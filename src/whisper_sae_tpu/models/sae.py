@@ -200,6 +200,22 @@ def topk_sae_loss(
     return loss, {"l0": l0, "active": active}
 
 
+def relu_sae_loss(
+    params: dict[str, jax.Array],
+    x: jax.Array,
+    sparsity_weight: float,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """Hot-path ReLU-SAE loss with metric aux (mirrors relu_sae_apply)."""
+    out, active = relu_sae_apply(params, x, sparsity_weight, compute_dtype)
+    return out.loss, {
+        "reconstruction_loss": out.reconstruction_loss,
+        "sparsity_loss": out.sparsity_loss,
+        "l0": out.l0,
+        "active": active,
+    }
+
+
 def relu_sae_apply(
     params: dict[str, jax.Array],
     x: jax.Array,

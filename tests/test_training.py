@@ -1,0 +1,266 @@
+"""Trainer tests.
+
+Ports the behavioral contracts of /root/reference/tests/test_training.py:
+run-dir creation, scheduler setup (warmup = min(cfg, total//10)), metrics
+from train_step, tuple/list batch handling, step progression, epoch
+bookkeeping, loss decrease over epochs, checkpoint round-trip, metrics.json
+schema, decoder unit-norm after step, resampling plumbing, AMP behavior —
+plus a torch-oracle test pinning the LR schedule to the reference curve.
+"""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_sae_tpu.config import TrainingConfig
+from whisper_sae_tpu.data.loader import ActivationLoader
+from whisper_sae_tpu.models.sae import ReLUSAE, TopKSAE
+from whisper_sae_tpu.training.schedule import warmup_cosine_schedule
+from whisper_sae_tpu.training.trainer import SAETrainer, TrainingMetrics
+
+D, H, K = 32, 128, 8
+
+
+def make_trainer(tmp_path, **cfg_kwargs):
+    defaults = dict(
+        batch_size=16, learning_rate=1e-3, epochs=2, warmup_steps=10, use_amp=False
+    )
+    cfg = TrainingConfig(**{**defaults, **cfg_kwargs})
+    model = TopKSAE(input_dim=D, hidden_dim=H, k=K, seed=0)
+    return SAETrainer(model, cfg, run_dir=tmp_path / "run")
+
+
+@pytest.fixture
+def data(rng):
+    return rng.standard_normal((128, D)).astype(np.float32)
+
+
+class TestSetup:
+    def test_run_dir_created(self, tmp_path):
+        t = make_trainer(tmp_path)
+        assert (tmp_path / "run").is_dir()
+        assert t.global_step == 0 and t.epoch == 0
+
+    def test_scheduler_warmup_capped_at_tenth(self, tmp_path):
+        t = make_trainer(tmp_path)
+        t.config.warmup_steps = 1000
+        t.setup_scheduler(total_steps=100)
+        # warmup = min(1000, 100//10) = 10 -> step 10 is the peak
+        assert t.learning_rate_at(10) == pytest.approx(1e-3, rel=1e-6)
+        assert t.learning_rate_at(0) == pytest.approx(1e-5, rel=1e-4)
+
+    def test_schedule_floor_is_tenth_of_lr(self, tmp_path):
+        t = make_trainer(tmp_path)
+        t.setup_scheduler(total_steps=100)
+        assert t.learning_rate_at(100) == pytest.approx(1e-4, rel=1e-4)
+
+
+class TestTorchScheduleOracle:
+    def test_matches_torch_sequential_lr(self):
+        torch = pytest.importorskip("torch")
+        base, total, warm_cfg = 1e-3, 60, 100
+        w = min(warm_cfg, total // 10)
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.AdamW([p], lr=base)
+        sched = torch.optim.lr_scheduler.SequentialLR(
+            opt,
+            schedulers=[
+                torch.optim.lr_scheduler.LinearLR(
+                    opt, start_factor=0.01, end_factor=1.0, total_iters=w
+                ),
+                torch.optim.lr_scheduler.CosineAnnealingLR(
+                    opt, T_max=total - w, eta_min=base * 0.1
+                ),
+            ],
+            milestones=[w],
+        )
+        ours = warmup_cosine_schedule(base, total, warm_cfg)
+        torch_lrs, our_lrs = [], []
+        for t in range(total):
+            torch_lrs.append(opt.param_groups[0]["lr"])
+            our_lrs.append(float(ours(t)))
+            opt.step()
+            sched.step()
+        np.testing.assert_allclose(our_lrs, torch_lrs, rtol=1e-5)
+
+
+class TestTrainStep:
+    def test_metrics_contract(self, tmp_path, data):
+        t = make_trainer(tmp_path)
+        m = t.train_step(data[:16])
+        assert isinstance(m, TrainingMetrics)
+        assert m.step == 1
+        assert m.l0 == pytest.approx(K, abs=1e-4)
+        assert m.sparsity_loss == 0.0
+        assert m.loss == m.reconstruction_loss
+        assert np.isfinite(m.loss)
+
+    def test_tuple_and_list_batches(self, tmp_path, data):
+        t = make_trainer(tmp_path)
+        m1 = t.train_step((data[:16],))
+        m2 = t.train_step([data[16:32]])
+        assert m1.step == 1 and m2.step == 2
+
+    def test_decoder_unit_norm_after_step(self, tmp_path, data):
+        t = make_trainer(tmp_path)
+        t.train_step(data[:16])
+        norms = np.linalg.norm(np.asarray(t.model.params["w_dec"]), axis=1)
+        np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+
+    def test_step_progression_and_state_sync(self, tmp_path, data):
+        t = make_trainer(tmp_path)
+        for i in range(3):
+            t.train_step(data[:16])
+        assert t.global_step == 3
+        assert int(t.model.state.step_count) == 3
+
+    def test_amp_bf16_runs(self, tmp_path, data):
+        t = make_trainer(tmp_path)
+        t.compute_dtype = jnp.bfloat16
+        t._step_fn = None
+        m = t.train_step(data[:16])
+        assert np.isfinite(m.loss)
+        # params stay f32 regardless of compute dtype
+        assert t.model.params["w_enc"].dtype == jnp.float32
+
+
+class TestEpochs:
+    def test_epoch_bookkeeping(self, tmp_path, data):
+        t = make_trainer(tmp_path)
+        loader = ActivationLoader(data, batch_size=16, seed=0)
+        metrics = t.train_epoch(loader)
+        assert len(metrics) == 8
+        assert t.epoch == 1
+        assert t.global_step == 8
+        assert len(t.metrics_history) == 8
+
+    def test_loss_decreases_over_epochs(self, tmp_path, data):
+        t = make_trainer(tmp_path, epochs=5)
+        loader = ActivationLoader(data, batch_size=16, seed=0)
+        t.train(loader, epochs=5, checkpoint_every=100)
+        first = np.mean([m.loss for m in t.metrics_history[:8]])
+        last = np.mean([m.loss for m in t.metrics_history[-8:]])
+        assert last < first
+
+    def test_partial_final_batch(self, tmp_path, rng):
+        t = make_trainer(tmp_path)
+        uneven = rng.standard_normal((40, D)).astype(np.float32)
+        loader = ActivationLoader(uneven, batch_size=16, seed=0)
+        assert len(loader) == 3
+        metrics = t.train_epoch(loader)
+        assert len(metrics) == 3
+
+
+class TestCheckpointing:
+    def test_round_trip_restores_everything(self, tmp_path, data):
+        t = make_trainer(tmp_path)
+        t.setup_scheduler(100)
+        for _ in range(4):
+            t.train_step(data[:16])
+        t.epoch = 2
+        path = t.save_checkpoint("ckpt.npz")
+        assert path.exists()
+
+        t2 = make_trainer(tmp_path)
+        t2.load_checkpoint(path)
+        assert t2.global_step == 4
+        assert t2.epoch == 2
+        np.testing.assert_array_equal(
+            np.asarray(t2.model.params["w_enc"]), np.asarray(t.model.params["w_enc"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(t2.model.state.feature_last_activated),
+            np.asarray(t.model.state.feature_last_activated),
+        )
+
+    def test_training_continues_after_restore(self, tmp_path, data):
+        t = make_trainer(tmp_path)
+        for _ in range(2):
+            t.train_step(data[:16])
+        path = t.save_checkpoint("c.npz")
+        t2 = make_trainer(tmp_path)
+        t2.load_checkpoint(path)
+        m = t2.train_step(data[:16])
+        assert m.step == 3
+
+    def test_periodic_checkpoints_written(self, tmp_path, data):
+        t = make_trainer(tmp_path)
+        loader = ActivationLoader(data, batch_size=16, seed=0)
+        t.train(loader, epochs=2, checkpoint_every=1)
+        assert (tmp_path / "run" / "checkpoint_epoch1.npz").exists()
+        assert (tmp_path / "run" / "checkpoint_epoch2.npz").exists()
+        assert (tmp_path / "run" / "final.npz").exists()
+
+    def test_save_final_exports_torch(self, tmp_path, data):
+        torch = pytest.importorskip("torch")
+        t = make_trainer(tmp_path)
+        t.train_step(data[:16])
+        t.save_final()
+        assert (tmp_path / "run" / "sae_final.npz").exists()
+        pt = tmp_path / "run" / "sae_final.pt"
+        assert pt.exists()
+        sd = torch.load(pt, weights_only=True)
+        assert sd["encoder.weight"].shape == (H, D)
+        assert sd["decoder.weight"].shape == (D, H)
+        np.testing.assert_allclose(
+            sd["decoder.weight"].numpy().T, np.asarray(t.model.params["w_dec"]),
+            rtol=1e-6,
+        )
+
+
+class TestMetricsFile:
+    def test_metrics_json_schema(self, tmp_path, data):
+        t = make_trainer(tmp_path)
+        loader = ActivationLoader(data, batch_size=16, seed=0)
+        t.train_epoch(loader)
+        path = t.save_metrics()
+        entries = json.loads(path.read_text())
+        assert len(entries) == 8
+        assert set(entries[0]) == {
+            "step",
+            "loss",
+            "reconstruction_loss",
+            "sparsity_loss",
+            "l0",
+            "dead_feature_ratio",
+            "learning_rate",
+        }
+        assert entries[0]["step"] == 1
+
+
+class TestResampling:
+    def test_resample_fires_on_schedule(self, tmp_path, data):
+        cfg = TrainingConfig(
+            batch_size=16, learning_rate=1e-3, epochs=1, warmup_steps=0, use_amp=False
+        )
+        model = TopKSAE(input_dim=D, hidden_dim=H, k=K, dead_feature_threshold=1, seed=0)
+        t = SAETrainer(
+            model, cfg, run_dir=tmp_path / "run", resample_dead_every=3,
+            resample_batch_size=64,
+        )
+        t.set_resample_dataset(data)
+        # Force many dead features: jump the step count far ahead.
+        for i in range(3):
+            t.train_step(data[:16])
+            model.state = model.state._replace(
+                step_count=model.state.step_count + 100
+            )
+        assert t.num_resampled_total > 0
+
+    def test_no_resample_without_dataset(self, tmp_path, data):
+        t = make_trainer(tmp_path)
+        t.resample_dead_every = 1
+        t.train_step(data[:16])
+        assert t.num_resampled_total == 0
+
+
+class TestReLUTrainer:
+    def test_relu_sae_trains(self, tmp_path, data):
+        cfg = TrainingConfig(batch_size=16, learning_rate=1e-3, epochs=1, use_amp=False)
+        model = ReLUSAE(input_dim=D, hidden_dim=H, seed=0)
+        t = SAETrainer(model, cfg, run_dir=tmp_path / "run")
+        m = t.train_step(data[:16])
+        assert np.isfinite(m.loss)
+        assert m.sparsity_loss > 0
