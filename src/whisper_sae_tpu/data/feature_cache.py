@@ -1,0 +1,232 @@
+"""Sharded activation cache + functional extraction driver.
+
+Keeps the reference cache contract
+(/root/reference/src/whisper_sae/data/feature_cache.py:60-197): path
+scheme ``{model_short}_{component}_layer{N}.*`` with a ``_meta.json``
+sidecar, ``has_cache``/``load``/``save``/``get_dataloader`` API and the
+same metadata fields — but stores raw ``.npy`` shards instead of torch
+pickles, memmaps on load, and writes incrementally so a full-scale
+encoder layer (~230 GB f32 at 100k clips, SURVEY §5.8) streams to disk
+instead of accumulating in RAM.
+
+The extraction driver replaces the hook pipeline (feature_cache.py:200-306):
+one jitted forward returns every requested layer's activations; there is
+no per-layer device->host sync inside the model.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass
+from datetime import datetime
+from pathlib import Path
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DataConfig, WhisperConfig
+from ..models.whisper import WhisperArch, extract_activations
+from .loader import ActivationLoader
+
+Component = Literal["encoder", "decoder"]
+
+# ~256 MiB f32 shards at d=384: 2^21 tokens * 384 * 4 B
+DEFAULT_SHARD_TOKENS = 1 << 21
+
+
+@dataclass
+class CacheMetadata:
+    """Per-layer cache metadata (reference feature_cache.py:23-57)."""
+
+    model_name: str
+    component: str
+    layer_idx: int
+    hidden_dim: int
+    num_samples: int
+    num_tokens: int
+    created_at: str
+    data_config: dict
+    shards: list[str] | None = None
+    dtype: str = "float32"
+
+    def to_json(self) -> str:
+        data = {
+            k: ({kk: str(vv) if isinstance(vv, Path) else vv for kk, vv in v.items()}
+                if isinstance(v, dict) else str(v) if isinstance(v, Path) else v)
+            for k, v in asdict(self).items()
+        }
+        return json.dumps(data, indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "CacheMetadata":
+        return cls(**json.loads(s))
+
+
+class CacheWriter:
+    """Incremental shard writer for one (component, layer)."""
+
+    def __init__(self, cache: "FeatureCache", component: Component, layer_idx: int,
+                 shard_tokens: int = DEFAULT_SHARD_TOKENS, dtype: str = "float32"):
+        self.cache = cache
+        self.component = component
+        self.layer_idx = layer_idx
+        self.shard_tokens = shard_tokens
+        self.dtype = np.dtype(dtype)
+        self._buf: list[np.ndarray] = []
+        self._buf_tokens = 0
+        self._shards: list[str] = []
+        self.num_tokens = 0
+        self.hidden_dim: int | None = None
+
+    def append(self, tokens: np.ndarray) -> None:
+        tokens = np.asarray(tokens, self.dtype)
+        self.hidden_dim = tokens.shape[-1]
+        self._buf.append(tokens)
+        self._buf_tokens += tokens.shape[0]
+        self.num_tokens += tokens.shape[0]
+        if self._buf_tokens >= self.shard_tokens:
+            self._flush()
+
+    def _flush(self) -> None:
+        if not self._buf:
+            return
+        shard = np.concatenate(self._buf, axis=0)
+        idx = len(self._shards)
+        path = self.cache._shard_path(self.component, self.layer_idx, idx)
+        tmp = path.with_suffix(".tmp.npy")
+        np.save(tmp, shard)
+        tmp.replace(path)
+        self._shards.append(path.name)
+        self._buf, self._buf_tokens = [], 0
+
+    def finalize(self, num_samples: int) -> CacheMetadata:
+        self._flush()
+        meta = CacheMetadata(
+            model_name=self.cache.whisper_config.model_name,
+            component=self.component,
+            layer_idx=self.layer_idx,
+            hidden_dim=int(self.hidden_dim or 0),
+            num_samples=num_samples,
+            num_tokens=self.num_tokens,
+            created_at=datetime.now().isoformat(),
+            data_config=json.loads(self.cache.data_config.model_dump_json()),
+            shards=self._shards,
+            dtype=str(self.dtype),
+        )
+        self.cache._write_meta(self.component, self.layer_idx, meta)
+        return meta
+
+
+class FeatureCache:
+    """Per-layer activation cache (reference feature_cache.py:60-197)."""
+
+    def __init__(self, cache_dir: Path | str, whisper_config: WhisperConfig,
+                 data_config: DataConfig):
+        self.cache_dir = Path(cache_dir)
+        self.cache_dir.mkdir(parents=True, exist_ok=True)
+        self.whisper_config = whisper_config
+        self.data_config = data_config
+        self.model_short = whisper_config.model_name.split("/")[-1]
+
+    def _stem(self, component: Component, layer_idx: int) -> str:
+        return f"{self.model_short}_{component}_layer{layer_idx}"
+
+    def _shard_path(self, component: Component, layer_idx: int, shard: int) -> Path:
+        return self.cache_dir / f"{self._stem(component, layer_idx)}_shard{shard:04d}.npy"
+
+    def _meta_path(self, component: Component, layer_idx: int) -> Path:
+        return self.cache_dir / f"{self._stem(component, layer_idx)}_meta.json"
+
+    def _write_meta(self, component: Component, layer_idx: int, meta: CacheMetadata) -> None:
+        self._meta_path(component, layer_idx).write_text(meta.to_json())
+
+    def has_cache(self, component: Component, layer_idx: int) -> bool:
+        mp = self._meta_path(component, layer_idx)
+        if not mp.exists():
+            return False
+        meta = CacheMetadata.from_json(mp.read_text())
+        return all(
+            (self.cache_dir / s).exists() for s in (meta.shards or [])
+        ) and bool(meta.shards)
+
+    def load_metadata(self, component: Component, layer_idx: int) -> CacheMetadata:
+        return CacheMetadata.from_json(self._meta_path(component, layer_idx).read_text())
+
+    def load(self, component: Component, layer_idx: int, mmap: bool = True
+             ) -> tuple[np.ndarray, CacheMetadata]:
+        """-> ([num_tokens, hidden_dim], metadata). Single-shard caches are
+        memmapped; multi-shard caches are concatenated (set mmap=False to
+        force a materialized array)."""
+        meta = self.load_metadata(component, layer_idx)
+        shards = meta.shards or []
+        if len(shards) == 1 and mmap:
+            arr = np.load(self.cache_dir / shards[0], mmap_mode="r")
+        else:
+            arr = np.concatenate(
+                [np.load(self.cache_dir / s) for s in shards], axis=0
+            )
+        return arr, meta
+
+    def save(self, features, component: Component, layer_idx: int, num_samples: int,
+             shard_tokens: int = DEFAULT_SHARD_TOKENS) -> CacheMetadata:
+        """One-shot save (reference feature_cache.py:136-167)."""
+        w = self.writer(component, layer_idx, shard_tokens=shard_tokens)
+        w.append(np.asarray(features))
+        return w.finalize(num_samples)
+
+    def writer(self, component: Component, layer_idx: int, **kw) -> CacheWriter:
+        return CacheWriter(self, component, layer_idx, **kw)
+
+    def get_dataloader(self, component: Component, layer_idx: int, batch_size: int,
+                       shuffle: bool = True, seed: int = 0, **_ignored) -> ActivationLoader:
+        features, _ = self.load(component, layer_idx)
+        return ActivationLoader(features, batch_size=batch_size, shuffle=shuffle, seed=seed)
+
+
+def extract_and_cache_features(
+    whisper_params: dict,
+    arch: WhisperArch,
+    audio_dataloader,
+    cache: FeatureCache,
+    encoder_layers: list[int],
+    decoder_layers: list[int],
+    max_samples: int | None = None,
+    apply_layer_norm: bool = True,
+    progress: bool = True,
+) -> None:
+    """Extraction loop (reference feature_cache.py:200-306, hook-free).
+
+    One jitted forward per batch returns [L, B, T, D] for all layers; the
+    requested layers are flattened to [B*T, D] and streamed to shards.
+    """
+    writers_e = {l: cache.writer("encoder", l) for l in encoder_layers}
+    writers_d = {l: cache.writer("decoder", l) for l in decoder_layers}
+    num_samples = 0
+    target = max_samples if max_samples is not None else float("inf")
+
+    for batch in audio_dataloader:
+        if num_samples >= target:
+            break
+        if isinstance(batch, (tuple, list)):
+            batch = batch[0]
+        mel = jnp.asarray(batch)
+        acts = extract_activations(
+            whisper_params, mel, arch,
+            apply_layer_norm=apply_layer_norm,
+            with_decoder=bool(decoder_layers),
+        )
+        enc = np.asarray(acts["encoder"])  # [L, B, T, D] one D2H per batch
+        for l, w in writers_e.items():
+            w.append(enc[l].reshape(-1, enc.shape[-1]))
+        if decoder_layers:
+            dec = np.asarray(acts["decoder"])
+            for l, w in writers_d.items():
+                w.append(dec[l].reshape(-1, dec.shape[-1]))
+        num_samples += mel.shape[0]
+        if progress and num_samples % (mel.shape[0] * 8) == 0:
+            print(f"extracted {num_samples} samples", flush=True)
+
+    for w in list(writers_e.values()) + list(writers_d.values()):
+        w.finalize(num_samples)

@@ -1,0 +1,220 @@
+"""LibriSpeech audio pipeline.
+
+Mirrors the reference dataset layer
+(/root/reference/src/whisper_sae/data/librispeech.py:23-218): streaming
+HF ``datasets`` load with raw-byte decode, resample to 16 kHz,
+multichannel -> mean, log-mel features, per-sample metadata
+(id/text/speaker_id/chapter_id), and an on-disk cache keyed by
+``librispeech_{subset}_{split}_{max}``.
+
+Differences from the reference:
+- audio decode is the framework's own WAV/FLAC-agnostic path (soundfile
+  bytes decode when available, stdlib WAV otherwise);
+- the log-mel frontend is the JAX implementation (data/mel.py), batched
+  on device rather than per-sample WhisperProcessor calls on host;
+- a deterministic :class:`SyntheticSpeechDataset` provides the same item
+  schema offline (tests, benches, and air-gapped extraction runs).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Iterator
+
+import numpy as np
+
+from ..config import DataConfig
+from ..utils.wavio import resample
+from .mel import SAMPLE_RATE, log_mel_spectrogram
+
+
+class LibriSpeechDataset:
+    """Streaming LibriSpeech dataset with on-disk feature cache.
+
+    Each item: ``{"input_features": [80, 3000] float32, "id": str,
+    "text": str, "speaker_id": int, "chapter_id": int}``.
+    """
+
+    def __init__(self, config: DataConfig, processor: Any | None = None):
+        self.config = config
+        self.processor = processor  # optional WhisperProcessor for parity mode
+        self.cache_dir = Path(config.cache_dir)
+        self.cache_dir.mkdir(parents=True, exist_ok=True)
+        stem = (
+            f"librispeech_{config.dataset_subset}_{config.dataset_split}_"
+            f"{config.max_samples}"
+        )
+        self._feat_path = self.cache_dir / f"{stem}.npy"
+        self._meta_path = self.cache_dir / f"{stem}_meta.json"
+        self._features: np.ndarray | None = None
+        self._meta: list[dict] | None = None
+        if self._feat_path.exists() and self._meta_path.exists():
+            self._features = np.load(self._feat_path, mmap_mode="r")
+            self._meta = json.loads(self._meta_path.read_text())
+        else:
+            self._load_streaming()
+
+    def _load_streaming(self) -> None:
+        try:
+            from datasets import Audio, load_dataset
+        except ImportError as e:
+            raise RuntimeError(
+                "HF `datasets` is required to stream LibriSpeech; use "
+                "SyntheticSpeechDataset for offline runs"
+            ) from e
+        ds = load_dataset(
+            self.config.dataset_name,
+            self.config.dataset_subset,
+            split=self.config.dataset_split,
+            streaming=self.config.streaming,
+        )
+        ds = ds.cast_column("audio", Audio(decode=False))
+        feats, meta = [], []
+        for i, sample in enumerate(ds):
+            if i >= self.config.max_samples:
+                break
+            try:
+                audio, rate = self._decode(sample["audio"])
+                audio = resample(audio, rate, SAMPLE_RATE)
+                if audio.ndim > 1:
+                    audio = audio.mean(axis=1)
+                feats.append(self._featurize(audio))
+                meta.append(
+                    {
+                        "id": sample.get("id", str(i)),
+                        "text": sample.get("text", ""),
+                        "speaker_id": sample.get("speaker_id", -1),
+                        "chapter_id": sample.get("chapter_id", -1),
+                    }
+                )
+            except Exception:
+                # per-sample resilience, reference librispeech.py:149-151
+                continue
+        self._features = np.stack(feats).astype(np.float32)
+        self._meta = meta
+        np.save(self._feat_path, self._features)
+        self._meta_path.write_text(json.dumps(meta))
+
+    @staticmethod
+    def _decode(audio_field: dict) -> tuple[np.ndarray, int]:
+        raw = audio_field.get("bytes")
+        path = audio_field.get("path", "")
+        try:
+            import io
+
+            import soundfile as sf
+
+            data, rate = sf.read(io.BytesIO(raw) if raw else path, dtype="float32")
+            return data, rate
+        except ImportError:
+            from ..utils.wavio import read_wav
+
+            if raw is not None and raw[:4] == b"RIFF":
+                import tempfile
+
+                with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+                    f.write(raw)
+                    f.flush()
+                    return read_wav(f.name)
+            return read_wav(path)
+
+    def _featurize(self, audio: np.ndarray) -> np.ndarray:
+        if self.processor is not None:
+            out = self.processor(
+                audio, sampling_rate=SAMPLE_RATE, return_tensors="np"
+            )
+            return np.asarray(out.input_features[0], np.float32)
+        return np.asarray(log_mel_spectrogram(audio))[0]
+
+    def __len__(self) -> int:
+        return len(self._meta)
+
+    def __getitem__(self, i: int) -> dict:
+        return {"input_features": np.asarray(self._features[i]), **self._meta[i]}
+
+
+class SyntheticSpeechDataset:
+    """Deterministic offline stand-in with the LibriSpeech item schema.
+
+    Generates harmonic tones with formant-like AM envelopes — structured
+    enough that Whisper activations are non-degenerate, cheap enough for
+    unit tests and air-gapped benches.
+    """
+
+    def __init__(self, num_samples: int = 16, duration_s: float = 2.0, seed: int = 0):
+        self.num_samples = num_samples
+        self.duration_s = duration_s
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.num_samples
+
+    def _waveform(self, i: int) -> np.ndarray:
+        rng = np.random.default_rng(self.seed * 100_003 + i)
+        n = int(self.duration_s * SAMPLE_RATE)
+        t = np.arange(n) / SAMPLE_RATE
+        f0 = rng.uniform(90.0, 250.0)
+        audio = np.zeros(n, np.float32)
+        for h in range(1, 6):
+            audio += rng.uniform(0.1, 1.0) / h * np.sin(
+                2 * np.pi * f0 * h * t + rng.uniform(0, 2 * np.pi)
+            )
+        env = 0.5 * (1 + np.sin(2 * np.pi * rng.uniform(2.0, 6.0) * t))
+        audio = audio * env + 0.01 * rng.standard_normal(n)
+        return (0.5 * audio / np.abs(audio).max()).astype(np.float32)
+
+    def __getitem__(self, i: int) -> dict:
+        return {
+            "input_features": np.asarray(log_mel_spectrogram(self._waveform(i)))[0],
+            "id": f"synthetic-{i}",
+            "text": f"synthetic utterance {i}",
+            "speaker_id": i % 7,
+            "chapter_id": i // 7,
+        }
+
+    def waveform(self, i: int) -> np.ndarray:
+        return self._waveform(i)
+
+
+class LibriSpeechFeaturesOnly:
+    """Wrapper yielding only ``input_features`` (reference
+    librispeech.py:169-187)."""
+
+    def __init__(self, dataset):
+        self.dataset = dataset
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        return self.dataset[i]["input_features"]
+
+
+class AudioBatchLoader:
+    """Batches ``input_features`` from a dataset (replaces the torch
+    DataLoader in the reference extraction path, scripts/train.py:311-317)."""
+
+    def __init__(self, dataset, batch_size: int = 16):
+        self.dataset = dataset
+        self.batch_size = batch_size
+
+    def __len__(self) -> int:
+        return -(-len(self.dataset) // self.batch_size)
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        n = len(self.dataset)
+        for start in range(0, n, self.batch_size):
+            items = [self.dataset[i] for i in range(start, min(start + self.batch_size, n))]
+            if isinstance(items[0], dict):
+                yield np.stack([it["input_features"] for it in items])
+            else:
+                yield np.stack(items)
+
+
+def create_librispeech_dataloader(
+    config: DataConfig, batch_size: int = 16, processor: Any | None = None
+) -> AudioBatchLoader:
+    """Reference librispeech.py:190-218 equivalent."""
+    ds = LibriSpeechDataset(config, processor=processor)
+    return AudioBatchLoader(LibriSpeechFeaturesOnly(ds), batch_size=batch_size)

@@ -1,0 +1,430 @@
+"""Whisper encoder/decoder forward in JAX with functional activation capture.
+
+Replaces the reference's hook-based extraction
+(/root/reference/src/whisper_sae/sae/hooks.py:40-230) with a pure
+function: the forward *returns* per-layer activations instead of
+mutating a cache via forward hooks with per-layer ``.cpu()`` round-trips.
+Layers run under ``lax.scan`` over stacked weights, so the whole
+capture is one XLA program and the per-layer outputs come back as a
+single stacked ``[L, B, T, D]`` array resident in HBM.
+
+Architecture facts pinned to HF ``transformers`` WhisperModel semantics
+(the parity oracle in tests/test_whisper.py mirrors reference
+tests/test_hooks.py:312-358):
+- conv stem: Conv1d(n_mels->D, k=3, pad 1) GELU, Conv1d(D->D, k=3,
+  stride 2, pad 1) GELU; sinusoidal encoder positions added to all
+  ``max_source_positions`` frames;
+- pre-LN transformer blocks; attention q/v/out have bias, k does not;
+  q scaled by head_dim**-0.5; exact (erf) GELU; LN eps 1e-5;
+- decoder: learned positional embeddings, causal self-attention +
+  cross-attention, final layer_norm on both stacks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LN_EPS = 1e-5
+
+
+@dataclass(frozen=True)
+class WhisperArch:
+    """Static architecture hyperparameters."""
+
+    d_model: int = 384
+    encoder_layers: int = 4
+    decoder_layers: int = 4
+    num_heads: int = 6
+    ffn_dim: int = 1536
+    n_mels: int = 80
+    max_source_positions: int = 1500
+    max_target_positions: int = 448
+    vocab_size: int = 51865
+    decoder_start_token_id: int = 50258
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.num_heads
+
+
+_ARCHS = {
+    "openai/whisper-tiny": WhisperArch(384, 4, 4, 6, 1536),
+    "openai/whisper-base": WhisperArch(512, 6, 6, 8, 2048),
+    "openai/whisper-small": WhisperArch(768, 12, 12, 12, 3072),
+    "openai/whisper-medium": WhisperArch(1024, 24, 24, 16, 4096),
+    "openai/whisper-large": WhisperArch(1280, 32, 32, 20, 5120),
+    "openai/whisper-large-v2": WhisperArch(1280, 32, 32, 20, 5120),
+    "openai/whisper-large-v3": WhisperArch(
+        1280, 32, 32, 20, 5120, n_mels=128, vocab_size=51866
+    ),
+}
+
+
+def arch_for(model_name: str) -> WhisperArch:
+    return _ARCHS[model_name]
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+
+def _layer_norm(x: jax.Array, g: jax.Array, b: jax.Array) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + LN_EPS) * g + b).astype(x.dtype)
+
+
+def _attention(
+    x_q: jax.Array,
+    x_kv: jax.Array,
+    p: dict[str, jax.Array],
+    num_heads: int,
+    causal: bool,
+) -> jax.Array:
+    b, tq, d = x_q.shape
+    tk = x_kv.shape[1]
+    hd = d // num_heads
+    scale = hd**-0.5
+
+    q = (x_q @ p["wq"] + p["bq"]) * scale
+    k = x_kv @ p["wk"]
+    v = x_kv @ p["wv"] + p["bv"]
+
+    q = q.reshape(b, tq, num_heads, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, tk, num_heads, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, tk, num_heads, hd).transpose(0, 2, 1, 3)
+
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    if causal:
+        mask = jnp.tril(jnp.ones((tq, tk), bool), k=tk - tq)
+        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+    attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+    out = out.transpose(0, 2, 1, 3).reshape(b, tq, d)
+    return out @ p["wo"] + p["bo"]
+
+
+def _mlp(x: jax.Array, p: dict[str, jax.Array]) -> jax.Array:
+    h = jax.nn.gelu(x @ p["w1"] + p["b1"], approximate=False)
+    return h @ p["w2"] + p["b2"]
+
+
+def _encoder_layer(x: jax.Array, lp: dict, num_heads: int) -> jax.Array:
+    x = x + _attention(
+        _layer_norm(x, lp["ln1_g"], lp["ln1_b"]),
+        _layer_norm(x, lp["ln1_g"], lp["ln1_b"]),
+        lp["attn"],
+        num_heads,
+        causal=False,
+    )
+    x = x + _mlp(_layer_norm(x, lp["ln2_g"], lp["ln2_b"]), lp["mlp"])
+    return x
+
+
+def _decoder_layer(
+    x: jax.Array, enc: jax.Array, lp: dict, num_heads: int
+) -> jax.Array:
+    h = _layer_norm(x, lp["ln1_g"], lp["ln1_b"])
+    x = x + _attention(h, h, lp["attn"], num_heads, causal=True)
+    h = _layer_norm(x, lp["ln_x_g"], lp["ln_x_b"])
+    x = x + _attention(h, enc, lp["xattn"], num_heads, causal=False)
+    x = x + _mlp(_layer_norm(x, lp["ln2_g"], lp["ln2_b"]), lp["mlp"])
+    return x
+
+
+# ---------------------------------------------------------------------------
+# forward passes with capture
+# ---------------------------------------------------------------------------
+
+
+def encoder_forward(
+    params: dict, mel: jax.Array, arch: WhisperArch
+) -> tuple[jax.Array, jax.Array]:
+    """Encoder forward.
+
+    Args:
+        params: whisper params (see ``init_whisper`` / ``from_hf_torch``).
+        mel: [B, n_mels, T_mel] log-mel features (T_mel = 2 * source pos).
+
+    Returns:
+        (last_hidden [B, T, D] — after the final layer_norm,
+         layer_outputs [L, B, T, D] — each layer's output, pre-final-LN,
+         i.e. exactly what the reference's forward hooks capture).
+    """
+    enc = params["encoder"]
+    dn = ("NCH", "OIH", "NCH")
+    x = jax.lax.conv_general_dilated(
+        mel, enc["conv1_w"], (1,), [(1, 1)], dimension_numbers=dn
+    ) + enc["conv1_b"][None, :, None]
+    x = jax.nn.gelu(x, approximate=False)
+    x = jax.lax.conv_general_dilated(
+        x, enc["conv2_w"], (2,), [(1, 1)], dimension_numbers=dn
+    ) + enc["conv2_b"][None, :, None]
+    x = jax.nn.gelu(x, approximate=False)
+    x = x.transpose(0, 2, 1)  # [B, T, D]
+    x = x + enc["pos"][: x.shape[1]]
+
+    def body(h, lp):
+        h = _encoder_layer(h, lp, arch.num_heads)
+        return h, h
+
+    x, layer_outputs = jax.lax.scan(body, x, enc["layers"])
+    last = _layer_norm(x, enc["ln_f_g"], enc["ln_f_b"])
+    return last, layer_outputs
+
+
+def decoder_forward(
+    params: dict,
+    token_ids: jax.Array,
+    enc_hidden: jax.Array,
+    arch: WhisperArch,
+    position_offset: int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """Decoder forward over ``token_ids`` [B, T_dec].
+
+    Returns (last_hidden after final LN, per-layer outputs [L, B, T_dec, D]).
+    """
+    dec = params["decoder"]
+    t = token_ids.shape[1]
+    x = dec["tok"][token_ids] + dec["pos"][position_offset : position_offset + t]
+
+    def body(h, lp):
+        h = _decoder_layer(h, enc_hidden, lp, arch.num_heads)
+        return h, h
+
+    x, layer_outputs = jax.lax.scan(body, x, dec["layers"])
+    last = _layer_norm(x, dec["ln_f_g"], dec["ln_f_b"])
+    return last, layer_outputs
+
+
+@partial(jax.jit, static_argnames=("arch", "apply_layer_norm", "with_decoder"))
+def extract_activations(
+    params: dict,
+    mel: jax.Array,
+    arch: WhisperArch,
+    apply_layer_norm: bool = True,
+    with_decoder: bool = True,
+) -> dict[str, jax.Array]:
+    """Functional replacement for the reference's hook pipeline
+    (hooks.py:146-210): run the encoder, then the decoder on a single
+    BOS token, and return every layer's output.
+
+    Returns dict with:
+        "encoder": [L_enc, B, T, D] per-layer outputs (final-LN applied
+                   when ``apply_layer_norm`` — the aiOla trick,
+                   hooks.py:87-92);
+        "decoder": [L_dec, B, 1, D] (present when ``with_decoder``);
+        "encoder_last": [B, T, D] final encoder hidden states.
+    """
+    enc_last, enc_layers = encoder_forward(params, mel, arch)
+    if apply_layer_norm:
+        g, b = params["encoder"]["ln_f_g"], params["encoder"]["ln_f_b"]
+        enc_layers = _layer_norm(enc_layers, g, b)
+    out = {"encoder": enc_layers, "encoder_last": enc_last}
+    if with_decoder:
+        bos = jnp.full((mel.shape[0], 1), arch.decoder_start_token_id, jnp.int32)
+        _, dec_layers = decoder_forward(params, bos, enc_last, arch)
+        if apply_layer_norm:
+            g, b = params["decoder"]["ln_f_g"], params["decoder"]["ln_f_b"]
+            dec_layers = _layer_norm(dec_layers, g, b)
+        out["decoder"] = dec_layers
+    return out
+
+
+def flatten_activations(acts: jax.Array) -> jax.Array:
+    """[B, S, H] -> [B*S, H] row-major (reference hooks.py:213-230)."""
+    return acts.reshape(-1, acts.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# params: random init & HF import
+# ---------------------------------------------------------------------------
+
+
+def _sinusoids(length: int, channels: int) -> np.ndarray:
+    """Whisper's fixed sinusoidal encoder positions."""
+    log_timescale = np.log(10000.0) / (channels // 2 - 1)
+    inv = np.exp(-log_timescale * np.arange(channels // 2))
+    scaled = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1).astype(np.float32)
+
+
+def init_whisper(key: jax.Array, arch: WhisperArch) -> dict:
+    """Random init (for tests; real runs import HF weights)."""
+    d, f = arch.d_model, arch.ffn_dim
+    keys = iter(jax.random.split(key, 64))
+
+    def lin(k, i, o):
+        return jax.random.normal(k, (i, o), jnp.float32) * (0.02)
+
+    def attn_p():
+        return {
+            "wq": lin(next(keys), d, d),
+            "bq": jnp.zeros((d,)),
+            "wk": lin(next(keys), d, d),
+            "wv": lin(next(keys), d, d),
+            "bv": jnp.zeros((d,)),
+            "wo": lin(next(keys), d, d),
+            "bo": jnp.zeros((d,)),
+        }
+
+    def enc_layer():
+        return {
+            "attn": attn_p(),
+            "ln1_g": jnp.ones((d,)),
+            "ln1_b": jnp.zeros((d,)),
+            "mlp": {
+                "w1": lin(next(keys), d, f),
+                "b1": jnp.zeros((f,)),
+                "w2": lin(next(keys), f, d),
+                "b2": jnp.zeros((d,)),
+            },
+            "ln2_g": jnp.ones((d,)),
+            "ln2_b": jnp.zeros((d,)),
+        }
+
+    def dec_layer():
+        lp = enc_layer()
+        lp["xattn"] = attn_p()
+        lp["ln_x_g"] = jnp.ones((d,))
+        lp["ln_x_b"] = jnp.zeros((d,))
+        return lp
+
+    def stack(layers):
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+    return {
+        "encoder": {
+            "conv1_w": jax.random.normal(next(keys), (d, arch.n_mels, 3)) * 0.02,
+            "conv1_b": jnp.zeros((d,)),
+            "conv2_w": jax.random.normal(next(keys), (d, d, 3)) * 0.02,
+            "conv2_b": jnp.zeros((d,)),
+            "pos": jnp.asarray(_sinusoids(arch.max_source_positions, d)),
+            "layers": stack([enc_layer() for _ in range(arch.encoder_layers)]),
+            "ln_f_g": jnp.ones((d,)),
+            "ln_f_b": jnp.zeros((d,)),
+        },
+        "decoder": {
+            "tok": jax.random.normal(next(keys), (arch.vocab_size, d)) * 0.02,
+            "pos": jax.random.normal(next(keys), (arch.max_target_positions, d)) * 0.02,
+            "layers": stack([dec_layer() for _ in range(arch.decoder_layers)]),
+            "ln_f_g": jnp.ones((d,)),
+            "ln_f_b": jnp.zeros((d,)),
+        },
+    }
+
+
+def from_hf_torch(model) -> tuple[dict, WhisperArch]:
+    """Import weights from a ``transformers`` WhisperForConditionalGeneration
+    / WhisperModel instance (torch, CPU).  Linear weights are transposed to
+    the x @ W layout."""
+    cfg = model.config
+    arch = WhisperArch(
+        d_model=cfg.d_model,
+        encoder_layers=cfg.encoder_layers,
+        decoder_layers=cfg.decoder_layers,
+        num_heads=cfg.encoder_attention_heads,
+        ffn_dim=cfg.encoder_ffn_dim,
+        n_mels=cfg.num_mel_bins,
+        max_source_positions=cfg.max_source_positions,
+        max_target_positions=cfg.max_target_positions,
+        vocab_size=cfg.vocab_size,
+        decoder_start_token_id=cfg.decoder_start_token_id,
+    )
+    sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+    prefix = "model." if any(k.startswith("model.") for k in sd) else ""
+
+    def g(name):
+        return jnp.asarray(sd[prefix + name])
+
+    def attn_p(base):
+        return {
+            "wq": g(f"{base}.q_proj.weight").T,
+            "bq": g(f"{base}.q_proj.bias"),
+            "wk": g(f"{base}.k_proj.weight").T,
+            "wv": g(f"{base}.v_proj.weight").T,
+            "bv": g(f"{base}.v_proj.bias"),
+            "wo": g(f"{base}.out_proj.weight").T,
+            "bo": g(f"{base}.out_proj.bias"),
+        }
+
+    def enc_layer(i):
+        base = f"encoder.layers.{i}"
+        return {
+            "attn": attn_p(f"{base}.self_attn"),
+            "ln1_g": g(f"{base}.self_attn_layer_norm.weight"),
+            "ln1_b": g(f"{base}.self_attn_layer_norm.bias"),
+            "mlp": {
+                "w1": g(f"{base}.fc1.weight").T,
+                "b1": g(f"{base}.fc1.bias"),
+                "w2": g(f"{base}.fc2.weight").T,
+                "b2": g(f"{base}.fc2.bias"),
+            },
+            "ln2_g": g(f"{base}.final_layer_norm.weight"),
+            "ln2_b": g(f"{base}.final_layer_norm.bias"),
+        }
+
+    def dec_layer(i):
+        base = f"decoder.layers.{i}"
+        return {
+            "attn": attn_p(f"{base}.self_attn"),
+            "xattn": attn_p(f"{base}.encoder_attn"),
+            "ln1_g": g(f"{base}.self_attn_layer_norm.weight"),
+            "ln1_b": g(f"{base}.self_attn_layer_norm.bias"),
+            "ln_x_g": g(f"{base}.encoder_attn_layer_norm.weight"),
+            "ln_x_b": g(f"{base}.encoder_attn_layer_norm.bias"),
+            "mlp": {
+                "w1": g(f"{base}.fc1.weight").T,
+                "b1": g(f"{base}.fc1.bias"),
+                "w2": g(f"{base}.fc2.weight").T,
+                "b2": g(f"{base}.fc2.bias"),
+            },
+            "ln2_g": g(f"{base}.final_layer_norm.weight"),
+            "ln2_b": g(f"{base}.final_layer_norm.bias"),
+        }
+
+    def stack(layers):
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+    params = {
+        "encoder": {
+            "conv1_w": g("encoder.conv1.weight"),
+            "conv1_b": g("encoder.conv1.bias"),
+            "conv2_w": g("encoder.conv2.weight"),
+            "conv2_b": g("encoder.conv2.bias"),
+            "pos": g("encoder.embed_positions.weight"),
+            "layers": stack([enc_layer(i) for i in range(arch.encoder_layers)]),
+            "ln_f_g": g("encoder.layer_norm.weight"),
+            "ln_f_b": g("encoder.layer_norm.bias"),
+        },
+        "decoder": {
+            "tok": g("decoder.embed_tokens.weight"),
+            "pos": g("decoder.embed_positions.weight"),
+            "layers": stack([dec_layer(i) for i in range(arch.decoder_layers)]),
+            "ln_f_g": g("decoder.layer_norm.weight"),
+            "ln_f_b": g("decoder.layer_norm.bias"),
+        },
+    }
+    return params, arch
+
+
+def load_pretrained(model_name: str):
+    """Load HF pretrained weights (requires network or local HF cache).
+
+    Raises a clear error offline; tests use ``init_whisper`` +
+    ``from_hf_torch`` on randomly initialized torch models instead.
+    """
+    try:
+        from transformers import WhisperForConditionalGeneration
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("transformers is required to import HF weights") from e
+    model = WhisperForConditionalGeneration.from_pretrained(model_name)
+    return from_hf_torch(model)

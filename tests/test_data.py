@@ -1,0 +1,233 @@
+"""Data-pipeline tests: mel frontend parity, WAV IO, datasets, feature cache.
+
+Covers the contracts of reference tests around librispeech.py and
+feature_cache.py: [80, 3000] feature shape, metadata schema, cache path
+scheme + has_cache/load/save semantics, flatten shapes — plus an HF
+WhisperFeatureExtractor oracle for the JAX mel frontend and an end-to-end
+extraction test with a tiny random Whisper (hook-free capture).
+"""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_sae_tpu.config import DataConfig, WhisperConfig
+from whisper_sae_tpu.data.feature_cache import (
+    CacheMetadata,
+    FeatureCache,
+    extract_and_cache_features,
+)
+from whisper_sae_tpu.data.librispeech import (
+    AudioBatchLoader,
+    LibriSpeechFeaturesOnly,
+    SyntheticSpeechDataset,
+)
+from whisper_sae_tpu.data.loader import ActivationLoader
+from whisper_sae_tpu.data.mel import log_mel_spectrogram, mel_filter_bank
+from whisper_sae_tpu.models.whisper import WhisperArch, init_whisper
+from whisper_sae_tpu.utils.wavio import read_wav, resample, write_wav
+
+
+class TestMelFrontend:
+    def test_shape_is_80x3000(self, rng):
+        audio = rng.standard_normal(16000 * 3).astype(np.float32)
+        mel = log_mel_spectrogram(audio)
+        assert mel.shape == (1, 80, 3000)
+
+    def test_batched(self, rng):
+        audio = rng.standard_normal((4, 16000)).astype(np.float32)
+        assert log_mel_spectrogram(audio).shape == (4, 80, 3000)
+
+    def test_matches_hf_feature_extractor(self, rng):
+        transformers = pytest.importorskip("transformers")
+        fe = transformers.WhisperFeatureExtractor()
+        audio = (rng.standard_normal(16000 * 5) * 0.1).astype(np.float32)
+        want = fe(audio, sampling_rate=16000, return_tensors="np").input_features[0]
+        got = np.asarray(log_mel_spectrogram(audio))[0]
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_filterbank_matches_hf(self):
+        transformers = pytest.importorskip("transformers")
+        from transformers.audio_utils import mel_filter_bank as hf_fb
+
+        want = hf_fb(
+            num_frequency_bins=201, num_mel_filters=80, min_frequency=0.0,
+            max_frequency=8000.0, sampling_rate=16000, norm="slaney",
+            mel_scale="slaney",
+        )
+        np.testing.assert_allclose(mel_filter_bank(), want, atol=1e-7)
+
+    def test_long_audio_truncated(self, rng):
+        audio = rng.standard_normal(16000 * 35).astype(np.float32)
+        assert log_mel_spectrogram(audio).shape == (1, 80, 3000)
+
+
+class TestWavIO:
+    def test_round_trip_mono(self, tmp_path, rng):
+        audio = rng.uniform(-0.9, 0.9, 8000).astype(np.float32)
+        path = tmp_path / "a.wav"
+        write_wav(path, audio, 16000)
+        back, rate = read_wav(path)
+        assert rate == 16000
+        np.testing.assert_allclose(back, audio, atol=1 / 32767 * 2)
+
+    def test_round_trip_stereo(self, tmp_path, rng):
+        audio = rng.uniform(-0.9, 0.9, (4000, 2)).astype(np.float32)
+        path = tmp_path / "s.wav"
+        write_wav(path, audio, 22050)
+        back, rate = read_wav(path)
+        assert rate == 22050
+        assert back.shape == (4000, 2)
+
+    def test_resample_halves_length(self, rng):
+        audio = rng.standard_normal(32000).astype(np.float32)
+        out = resample(audio, 32000, 16000)
+        assert abs(len(out) - 16000) <= 1
+
+    def test_resample_noop(self, rng):
+        audio = rng.standard_normal(100).astype(np.float32)
+        assert resample(audio, 16000, 16000) is not audio or True
+        np.testing.assert_array_equal(resample(audio, 16000, 16000), audio)
+
+
+class TestSyntheticDataset:
+    def test_item_schema(self):
+        ds = SyntheticSpeechDataset(num_samples=3)
+        item = ds[0]
+        assert item["input_features"].shape == (80, 3000)
+        assert set(item) == {"input_features", "id", "text", "speaker_id", "chapter_id"}
+
+    def test_deterministic(self):
+        a = SyntheticSpeechDataset(num_samples=2, seed=1)[0]["input_features"]
+        b = SyntheticSpeechDataset(num_samples=2, seed=1)[0]["input_features"]
+        np.testing.assert_array_equal(a, b)
+
+    def test_features_only_wrapper(self):
+        ds = LibriSpeechFeaturesOnly(SyntheticSpeechDataset(num_samples=2))
+        assert ds[0].shape == (80, 3000)
+        assert len(ds) == 2
+
+    def test_batch_loader(self):
+        loader = AudioBatchLoader(SyntheticSpeechDataset(num_samples=5), batch_size=2)
+        batches = list(loader)
+        assert len(loader) == 3
+        assert batches[0].shape == (2, 80, 3000)
+        assert batches[2].shape == (1, 80, 3000)
+
+
+class TestActivationLoader:
+    def test_reshuffles_each_epoch(self, rng):
+        data = np.arange(40, dtype=np.float32).reshape(20, 2)
+        loader = ActivationLoader(data, batch_size=20, seed=0)
+        e1 = next(iter(loader)).copy()
+        e2 = next(iter(loader)).copy()
+        assert not np.array_equal(e1, e2)
+        np.testing.assert_array_equal(np.sort(e1, axis=0), np.sort(e2, axis=0))
+
+    def test_no_shuffle_preserves_order(self):
+        data = np.arange(12, dtype=np.float32).reshape(6, 2)
+        loader = ActivationLoader(data, batch_size=4, shuffle=False)
+        batches = list(loader)
+        np.testing.assert_array_equal(np.concatenate(batches), data)
+
+
+@pytest.fixture
+def cache(tmp_path):
+    return FeatureCache(
+        cache_dir=tmp_path / "features",
+        whisper_config=WhisperConfig(),
+        data_config=DataConfig(max_samples=10),
+    )
+
+
+class TestFeatureCache:
+    def test_path_scheme(self, cache):
+        assert cache.model_short == "whisper-tiny"
+        p = cache._shard_path("encoder", 2, 0)
+        assert p.name == "whisper-tiny_encoder_layer2_shard0000.npy"
+        assert cache._meta_path("decoder", 1).name == "whisper-tiny_decoder_layer1_meta.json"
+
+    def test_has_cache_false_initially(self, cache):
+        assert not cache.has_cache("encoder", 0)
+
+    def test_save_load_round_trip(self, cache, rng):
+        feats = rng.standard_normal((100, 384)).astype(np.float32)
+        meta = cache.save(feats, "encoder", 0, num_samples=5)
+        assert cache.has_cache("encoder", 0)
+        loaded, meta2 = cache.load("encoder", 0)
+        np.testing.assert_array_equal(np.asarray(loaded), feats)
+        assert meta2.num_tokens == 100
+        assert meta2.num_samples == 5
+        assert meta2.hidden_dim == 384
+        assert meta2.model_name == "openai/whisper-tiny"
+        assert meta2.component == "encoder"
+
+    def test_metadata_json_round_trip(self):
+        meta = CacheMetadata(
+            model_name="openai/whisper-tiny", component="encoder", layer_idx=0,
+            hidden_dim=384, num_samples=10, num_tokens=1000,
+            created_at="2026-01-01T00:00:00", data_config={"cache_dir": "cache"},
+            shards=["a.npy"],
+        )
+        back = CacheMetadata.from_json(meta.to_json())
+        assert back == meta
+
+    def test_sharded_write(self, cache, rng):
+        w = cache.writer("encoder", 1, shard_tokens=64)
+        for _ in range(5):
+            w.append(rng.standard_normal((40, 16)).astype(np.float32))
+        meta = w.finalize(num_samples=5)
+        assert meta.num_tokens == 200
+        assert len(meta.shards) >= 3
+        loaded, _ = cache.load("encoder", 1)
+        assert loaded.shape == (200, 16)
+
+    def test_get_dataloader(self, cache, rng):
+        feats = rng.standard_normal((64, 8)).astype(np.float32)
+        cache.save(feats, "decoder", 3, num_samples=2)
+        loader = cache.get_dataloader("decoder", 3, batch_size=16)
+        assert len(loader) == 4
+        assert next(iter(loader)).shape == (16, 8)
+
+
+class TestExtraction:
+    def test_end_to_end_extract(self, cache, rng):
+        arch = WhisperArch(
+            d_model=64, encoder_layers=2, decoder_layers=2, num_heads=2,
+            ffn_dim=128, max_source_positions=1500, max_target_positions=20,
+            vocab_size=500, decoder_start_token_id=42,
+        )
+        params = init_whisper(jax.random.PRNGKey(0), arch)
+        mels = rng.standard_normal((6, 80, 3000)).astype(np.float32)
+        loader = [mels[:4], mels[4:]]
+        extract_and_cache_features(
+            params, arch, loader, cache,
+            encoder_layers=[0, 1], decoder_layers=[0],
+            progress=False,
+        )
+        for l in (0, 1):
+            feats, meta = cache.load("encoder", l)
+            assert feats.shape == (6 * 1500, 64)
+            assert meta.num_samples == 6
+        dec, meta = cache.load("decoder", 0)
+        assert dec.shape == (6, 64)  # one BOS token per clip
+
+    def test_max_samples_respected(self, cache, rng):
+        arch = WhisperArch(
+            d_model=64, encoder_layers=1, decoder_layers=1, num_heads=2,
+            ffn_dim=128, max_source_positions=1500, max_target_positions=20,
+            vocab_size=500, decoder_start_token_id=42,
+        )
+        params = init_whisper(jax.random.PRNGKey(0), arch)
+        mels = rng.standard_normal((8, 80, 3000)).astype(np.float32)
+        loader = [mels[:4], mels[4:]]
+        extract_and_cache_features(
+            params, arch, loader, cache,
+            encoder_layers=[0], decoder_layers=[], max_samples=4,
+            progress=False,
+        )
+        _, meta = cache.load("encoder", 0)
+        assert meta.num_samples == 4

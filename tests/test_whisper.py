@@ -1,0 +1,204 @@
+"""JAX Whisper parity tests against HF torch Whisper.
+
+Mirrors the numerical-parity oracle of reference tests/test_hooks.py:312-358
+(hook output == manual recompute), but offline: a *randomly initialized*
+torch WhisperForConditionalGeneration is the oracle — no network needed,
+and random weights exercise every code path the pretrained ones do.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax
+import jax.numpy as jnp
+
+from whisper_sae_tpu.models.whisper import (
+    WhisperArch,
+    arch_for,
+    decoder_forward,
+    encoder_forward,
+    extract_activations,
+    flatten_activations,
+    from_hf_torch,
+    init_whisper,
+)
+
+ATOL = 2e-4
+
+
+@pytest.fixture(scope="module")
+def torch_whisper():
+    cfg = transformers.WhisperConfig(
+        vocab_size=500,
+        num_mel_bins=80,
+        d_model=64,
+        encoder_layers=2,
+        decoder_layers=2,
+        encoder_attention_heads=2,
+        decoder_attention_heads=2,
+        encoder_ffn_dim=128,
+        decoder_ffn_dim=128,
+        max_source_positions=75,
+        max_target_positions=20,
+        decoder_start_token_id=42,
+        pad_token_id=0,
+        bos_token_id=0,
+        eos_token_id=1,
+    )
+    torch.manual_seed(0)
+    model = transformers.WhisperForConditionalGeneration(cfg)
+    model.eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def jax_whisper(torch_whisper):
+    return from_hf_torch(torch_whisper)
+
+
+@pytest.fixture
+def mel(rng):
+    return rng.standard_normal((2, 80, 150)).astype(np.float32)
+
+
+def torch_layer_outputs(model, mel, bos_id):
+    """Capture per-layer outputs with forward hooks, exactly like the
+    reference extractor (hooks.py:75-124)."""
+    enc_outs, dec_outs = [], []
+    hooks = []
+    for layer in model.model.encoder.layers:
+        hooks.append(
+            layer.register_forward_hook(
+                lambda m, i, o: enc_outs.append(o[0].detach().numpy())
+            )
+        )
+    for layer in model.model.decoder.layers:
+        hooks.append(
+            layer.register_forward_hook(
+                lambda m, i, o: dec_outs.append(o[0].detach().numpy())
+            )
+        )
+    with torch.no_grad():
+        enc = model.model.encoder(torch.from_numpy(mel))
+        ids = torch.full((mel.shape[0], 1), bos_id, dtype=torch.long)
+        model.model.decoder(input_ids=ids, encoder_hidden_states=enc.last_hidden_state)
+    for h in hooks:
+        h.remove()
+    return enc.last_hidden_state.numpy(), enc_outs, dec_outs
+
+
+class TestEncoderParity:
+    def test_last_hidden_state(self, torch_whisper, jax_whisper, mel):
+        params, arch = jax_whisper
+        want, _, _ = torch_layer_outputs(torch_whisper, mel, arch.decoder_start_token_id)
+        got, _ = encoder_forward(params, jnp.asarray(mel), arch)
+        np.testing.assert_allclose(np.asarray(got), want, atol=ATOL)
+
+    def test_per_layer_outputs_match_hooks(self, torch_whisper, jax_whisper, mel):
+        params, arch = jax_whisper
+        _, enc_outs, _ = torch_layer_outputs(
+            torch_whisper, mel, arch.decoder_start_token_id
+        )
+        _, layers = encoder_forward(params, jnp.asarray(mel), arch)
+        assert layers.shape[0] == len(enc_outs) == 2
+        for i, want in enumerate(enc_outs):
+            np.testing.assert_allclose(np.asarray(layers[i]), want, atol=ATOL)
+
+    def test_shapes(self, jax_whisper, mel):
+        params, arch = jax_whisper
+        last, layers = encoder_forward(params, jnp.asarray(mel), arch)
+        assert last.shape == (2, 75, 64)
+        assert layers.shape == (2, 2, 75, 64)
+
+
+class TestDecoderParity:
+    def test_decoder_layers_with_bos(self, torch_whisper, jax_whisper, mel):
+        params, arch = jax_whisper
+        _, _, dec_outs = torch_layer_outputs(
+            torch_whisper, mel, arch.decoder_start_token_id
+        )
+        enc_last, _ = encoder_forward(params, jnp.asarray(mel), arch)
+        bos = jnp.full((2, 1), arch.decoder_start_token_id, jnp.int32)
+        _, dec_layers = decoder_forward(params, bos, enc_last, arch)
+        assert dec_layers.shape == (2, 2, 1, 64)
+        for i, want in enumerate(dec_outs):
+            np.testing.assert_allclose(np.asarray(dec_layers[i]), want, atol=ATOL)
+
+    def test_multi_token_causal(self, torch_whisper, jax_whisper, mel):
+        params, arch = jax_whisper
+        ids_np = np.array([[42, 7, 13], [42, 99, 3]], dtype=np.int64)
+        with torch.no_grad():
+            enc = torch_whisper.model.encoder(torch.from_numpy(mel))
+            dec = torch_whisper.model.decoder(
+                input_ids=torch.from_numpy(ids_np),
+                encoder_hidden_states=enc.last_hidden_state,
+            )
+        enc_last, _ = encoder_forward(params, jnp.asarray(mel), arch)
+        got, _ = decoder_forward(params, jnp.asarray(ids_np, jnp.int32), enc_last, arch)
+        np.testing.assert_allclose(
+            np.asarray(got), dec.last_hidden_state.numpy(), atol=ATOL
+        )
+
+
+class TestExtractActivations:
+    def test_layer_norm_applied_matches_manual(self, torch_whisper, jax_whisper, mel):
+        params, arch = jax_whisper
+        _, enc_outs, _ = torch_layer_outputs(
+            torch_whisper, mel, arch.decoder_start_token_id
+        )
+        acts = extract_activations(params, jnp.asarray(mel), arch, apply_layer_norm=True)
+        ln = torch_whisper.model.encoder.layer_norm
+        for i, raw in enumerate(enc_outs):
+            want = ln(torch.from_numpy(raw)).detach().numpy()
+            np.testing.assert_allclose(np.asarray(acts["encoder"][i]), want, atol=ATOL)
+
+    def test_no_layer_norm_differs(self, jax_whisper, mel):
+        params, arch = jax_whisper
+        a = extract_activations(params, jnp.asarray(mel), arch, apply_layer_norm=True)
+        b = extract_activations(params, jnp.asarray(mel), arch, apply_layer_norm=False)
+        assert np.abs(np.asarray(a["encoder"]) - np.asarray(b["encoder"])).max() > 1e-3
+
+    def test_decoder_capture_shape(self, jax_whisper, mel):
+        params, arch = jax_whisper
+        acts = extract_activations(params, jnp.asarray(mel), arch)
+        assert acts["decoder"].shape == (2, 2, 1, 64)
+        assert acts["encoder"].shape == (2, 2, 75, 64)
+        assert acts["encoder_last"].shape == (2, 75, 64)
+
+    def test_without_decoder(self, jax_whisper, mel):
+        params, arch = jax_whisper
+        acts = extract_activations(
+            params, jnp.asarray(mel), arch, with_decoder=False
+        )
+        assert "decoder" not in acts
+
+
+class TestFlatten:
+    def test_row_major(self):
+        x = jnp.arange(2 * 3 * 4).reshape(2, 3, 4)
+        flat = flatten_activations(x)
+        assert flat.shape == (6, 4)
+        np.testing.assert_array_equal(np.asarray(flat[0]), np.arange(4))
+        np.testing.assert_array_equal(np.asarray(flat[3]), np.arange(12, 16))
+
+
+class TestArchTable:
+    def test_tiny(self):
+        a = arch_for("openai/whisper-tiny")
+        assert (a.d_model, a.encoder_layers, a.num_heads) == (384, 4, 6)
+
+    def test_large_v3_mels(self):
+        assert arch_for("openai/whisper-large-v3").n_mels == 128
+
+    def test_random_init_runs(self, mel):
+        arch = WhisperArch(
+            d_model=64, encoder_layers=2, decoder_layers=2, num_heads=2,
+            ffn_dim=128, max_source_positions=75, max_target_positions=20,
+            vocab_size=500, decoder_start_token_id=42,
+        )
+        params = init_whisper(jax.random.PRNGKey(0), arch)
+        acts = extract_activations(params, jnp.asarray(mel), arch)
+        assert acts["encoder"].shape == (2, 2, 75, 64)
