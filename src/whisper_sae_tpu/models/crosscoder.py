@@ -1,0 +1,315 @@
+"""Cross-layer crosscoders: shared sparse features across layers.
+
+Behavioral parity with the reference
+(/root/reference/src/whisper_sae/sae/crosscoder.py:38-417): per-layer
+encoders W_enc [L, D, S] + shared decoder W_dec [S, L, D]; decoder init
+xavier -> flat unit-norm -> x0.1 with encoder initialized as the decoder
+transpose (Anthropic method); encode sums per-layer contributions; loss
+is the sum of per-layer MSEs plus decoder-norm-weighted L1 (ReLU variant)
+or nothing (TopK variant); cross-layer feature detection via per-layer
+decoder norms.
+
+TPU-first: the functional core takes activations stacked as [L, B, D]
+(one einsum on the MXU instead of a Python loop over layers); the facade
+translates the reference's dict[layer_idx -> array] API.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.topk import scatter_topk, topk_select
+from .sae import (
+    dead_feature_mask,
+    init_dead_state,
+    update_dead_state,
+)
+
+
+class CrosscoderOutput(NamedTuple):
+    """Forward output (reference crosscoder.py:26-35)."""
+
+    reconstructed: dict[int, jax.Array]
+    hidden: jax.Array
+    loss: jax.Array
+    reconstruction_loss: jax.Array
+    sparsity_loss: jax.Array
+    l0: jax.Array
+    per_layer_loss: dict[int, jax.Array]
+
+
+def init_crosscoder(
+    key: jax.Array, d_model: int, n_layers: int, d_sae: int, normalize_decoder: bool = True
+) -> dict[str, jax.Array]:
+    """Xavier decoder -> flat unit-norm -> x0.1; encoder = decoder^T
+    (reference crosscoder.py:105-120)."""
+    import numpy as np
+
+    fan_sum = d_sae + n_layers * d_model  # torch xavier on [S, L, D]: fan_in = L*D
+    bound = float(np.sqrt(6.0 / fan_sum))
+    w_dec = jax.random.uniform(key, (d_sae, n_layers, d_model), jnp.float32, -bound, bound)
+    if normalize_decoder:
+        flat = w_dec.reshape(d_sae, -1)
+        flat = flat / jnp.linalg.norm(flat, axis=1, keepdims=True)
+        w_dec = flat.reshape(d_sae, n_layers, d_model) * 0.1
+    w_enc = jnp.transpose(w_dec, (1, 2, 0))  # [L, D, S] = W_dec[:, l, :].T per layer
+    return {
+        "w_enc": w_enc,
+        "b_enc": jnp.zeros((d_sae,), jnp.float32),
+        "w_dec": w_dec,
+        "b_dec": jnp.zeros((n_layers, d_model), jnp.float32),
+    }
+
+
+def crosscoder_encode_pre(params: dict, acts: jax.Array) -> jax.Array:
+    """Summed per-layer encoder contributions (crosscoder.py:138-161).
+
+    acts: [L, B, D] -> pre-activation [B, S].
+    """
+    return (
+        jnp.einsum("lbd,lds->bs", acts, params["w_enc"], preferred_element_type=jnp.float32)
+        + params["b_enc"]
+    )
+
+
+def crosscoder_decode(params: dict, hidden: jax.Array) -> jax.Array:
+    """[B, S] -> per-layer reconstructions [L, B, D] (crosscoder.py:171-188)."""
+    recon = jnp.einsum(
+        "bs,sld->lbd", hidden, params["w_dec"], preferred_element_type=jnp.float32
+    )
+    return recon + params["b_dec"][:, None, :]
+
+
+def decoder_norms(params: dict) -> jax.Array:
+    """Per-feature decoder norm over all layers [S] (crosscoder.py:129-136)."""
+    return jnp.linalg.norm(params["w_dec"].reshape(params["w_dec"].shape[0], -1), axis=1)
+
+
+def crosscoder_apply(
+    params: dict,
+    acts: jax.Array,
+    *,
+    k: int | None = None,
+    sparsity_weight: float = 0.01,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Pure forward on stacked activations [L, B, D].
+
+    Returns (recon [L,B,D], hidden [B,S], loss, recon_loss, sparsity_loss,
+    l0) — per-layer losses derivable from recon.  ``k=None`` selects the
+    ReLU+weighted-L1 variant; an integer selects TopK.
+    """
+    pre = crosscoder_encode_pre(params, acts)
+    if k is None:
+        hidden = jax.nn.relu(pre)
+    else:
+        vals, idx = topk_select(pre, k)
+        hidden = scatter_topk(vals, idx, pre.shape[-1])
+    recon = crosscoder_decode(params, hidden)
+    per_layer = jnp.mean(jnp.square(recon - acts), axis=(1, 2))  # [L]
+    recon_loss = jnp.sum(per_layer)
+    if k is None:
+        sparsity = jnp.mean(jnp.abs(hidden) @ decoder_norms(params))
+        loss = recon_loss + sparsity_weight * sparsity
+    else:
+        sparsity = jnp.zeros((), jnp.float32)
+        loss = recon_loss
+    l0 = jnp.mean(jnp.sum(hidden > 0, axis=-1).astype(jnp.float32))
+    return recon, hidden, loss, recon_loss, sparsity, l0
+
+
+def crosscoder_loss(
+    params: dict, acts: jax.Array, *, k: int | None = None, sparsity_weight: float = 0.01
+) -> tuple[jax.Array, dict]:
+    recon, hidden, loss, recon_loss, sparsity, l0 = crosscoder_apply(
+        params, acts, k=k, sparsity_weight=sparsity_weight
+    )
+    return loss, {
+        "reconstruction_loss": recon_loss,
+        "sparsity_loss": sparsity,
+        "l0": l0,
+        "active": jnp.any(hidden > 0, axis=0),
+    }
+
+
+def normalize_crosscoder_decoder(params: dict) -> dict:
+    """Flat unit-norm over (L, D) per feature (crosscoder.py:122-127)."""
+    w = params["w_dec"]
+    flat = w.reshape(w.shape[0], -1)
+    flat = flat / jnp.maximum(jnp.linalg.norm(flat, axis=1, keepdims=True), 1e-12)
+    return {**params, "w_dec": flat.reshape(w.shape)}
+
+
+class CrossLayerCrosscoder:
+    """ReLU + decoder-norm-weighted-L1 crosscoder facade
+    (reference crosscoder.py:38-284)."""
+
+    _k: int | None = None
+
+    def __init__(
+        self,
+        d_model: int,
+        n_layers: int,
+        d_sae: int,
+        layer_indices: list[int] | None = None,
+        activation: str = "relu",
+        sparsity_weight: float = 0.01,
+        normalize_decoder: bool = True,
+        dead_feature_threshold: int = 10_000,
+        *,
+        seed: int = 0,
+        params: dict | None = None,
+    ):
+        if activation != "relu":
+            raise ValueError(f"Unknown activation: {activation}")
+        self.d_model = d_model
+        self.n_layers = n_layers
+        self.d_sae = d_sae
+        self.layer_indices = layer_indices or list(range(n_layers))
+        self.activation = activation
+        self.sparsity_weight = sparsity_weight
+        self.normalize_decoder = normalize_decoder
+        self.dead_feature_threshold = dead_feature_threshold
+        self.params = (
+            params
+            if params is not None
+            else init_crosscoder(
+                jax.random.PRNGKey(seed), d_model, n_layers, d_sae, normalize_decoder
+            )
+        )
+        self.state = init_dead_state(d_sae)
+        self.training = True
+
+    # dict-of-layers <-> stacked translation
+    def _stack(self, layer_activations: dict[int, jax.Array]) -> jax.Array:
+        return jnp.stack(
+            [jnp.asarray(layer_activations[li]) for li in self.layer_indices]
+        )
+
+    @property
+    def W_enc(self) -> jax.Array:
+        return self.params["w_enc"]
+
+    @property
+    def W_dec(self) -> jax.Array:
+        return self.params["w_dec"]
+
+    def train(self):
+        self.training = True
+        return self
+
+    def eval(self):
+        self.training = False
+        return self
+
+    def encode(self, layer_activations: dict[int, jax.Array]) -> jax.Array:
+        acts = self._stack(layer_activations)
+        pre = crosscoder_encode_pre(self.params, acts)
+        if self._k is None:
+            return jax.nn.relu(pre)
+        vals, idx = topk_select(pre, self._k)
+        return scatter_topk(vals, idx, self.d_sae)
+
+    def decode(self, hidden: jax.Array) -> dict[int, jax.Array]:
+        recon = crosscoder_decode(self.params, jnp.asarray(hidden))
+        return {li: recon[i] for i, li in enumerate(self.layer_indices)}
+
+    def __call__(self, layer_activations: dict[int, jax.Array]) -> CrosscoderOutput:
+        acts = self._stack(layer_activations)
+        recon, hidden, loss, recon_loss, sparsity, l0 = crosscoder_apply(
+            self.params, acts, k=self._k, sparsity_weight=self.sparsity_weight
+        )
+        per_layer = {
+            li: jnp.mean(jnp.square(recon[i] - acts[i]))
+            for i, li in enumerate(self.layer_indices)
+        }
+        if self.training:
+            self.state = update_dead_state(self.state, jnp.any(hidden > 0, axis=0))
+        return CrosscoderOutput(
+            reconstructed={li: recon[i] for i, li in enumerate(self.layer_indices)},
+            hidden=hidden,
+            loss=loss,
+            reconstruction_loss=recon_loss,
+            sparsity_loss=sparsity,
+            l0=l0,
+            per_layer_loss=per_layer,
+        )
+
+    forward = __call__
+
+    def normalize_decoder_weights(self) -> None:
+        self.params = normalize_crosscoder_decoder(self.params)
+
+    def get_decoder_norms(self) -> jax.Array:
+        return decoder_norms(self.params)
+
+    def get_feature_layer_norms(self) -> jax.Array:
+        """[S, L] per-layer decoder norms (crosscoder.py:253-262)."""
+        return jnp.linalg.norm(self.params["w_dec"], axis=2)
+
+    def get_cross_layer_features(self, threshold: float = 0.1) -> jax.Array:
+        """Features with >= 2 layers above the relative-norm threshold
+        (crosscoder.py:264-284)."""
+        norms = self.get_feature_layer_norms()
+        rel = norms / (jnp.max(norms, axis=1, keepdims=True) + 1e-8)
+        return jnp.sum(rel > threshold, axis=1) >= 2
+
+    @property
+    def step_count(self) -> int:
+        return int(self.state.step_count)
+
+    def get_dead_features(self) -> jax.Array:
+        return dead_feature_mask(self.state, self.dead_feature_threshold)
+
+    def get_dead_feature_ratio(self) -> float:
+        return float(jnp.mean(self.get_dead_features().astype(jnp.float32)))
+
+
+class TopKCrossLayerCrosscoder(CrossLayerCrosscoder):
+    """TopK crosscoder (reference crosscoder.py:287-379)."""
+
+    def __init__(
+        self,
+        d_model: int,
+        n_layers: int,
+        d_sae: int,
+        k: int = 32,
+        layer_indices: list[int] | None = None,
+        normalize_decoder: bool = True,
+        dead_feature_threshold: int = 10_000,
+        *,
+        seed: int = 0,
+        params: dict | None = None,
+    ):
+        super().__init__(
+            d_model=d_model,
+            n_layers=n_layers,
+            d_sae=d_sae,
+            layer_indices=layer_indices,
+            activation="relu",
+            sparsity_weight=0.0,
+            normalize_decoder=normalize_decoder,
+            dead_feature_threshold=dead_feature_threshold,
+            seed=seed,
+            params=params,
+        )
+        self.k = k
+        self._k = k
+
+
+def create_crosscoder(
+    d_model: int,
+    n_layers: int,
+    d_sae: int,
+    k: int | None = None,
+    use_topk: bool = True,
+    **kwargs,
+):
+    """Factory (reference crosscoder.py:382-417)."""
+    if use_topk:
+        return TopKCrossLayerCrosscoder(
+            d_model=d_model, n_layers=n_layers, d_sae=d_sae, k=k or 32, **kwargs
+        )
+    return CrossLayerCrosscoder(d_model=d_model, n_layers=n_layers, d_sae=d_sae, **kwargs)
