@@ -1,1 +1,32 @@
+"""Analysis layer: top-activation tracking, reports, audio clips.
 
+Re-exports (reference analysis/__init__.py:11-38 parity surface).
+"""
+
+from .audio_extraction import (
+    AudioClipConfig,
+    AudioClipExtractor,
+    create_indexed_audio_loader,
+    create_librispeech_audio_loader,
+    create_synthetic_audio_loader,
+)
+from .feature_viz import (
+    FeatureActivation,
+    FeatureInterpretation,
+    FeatureReport,
+    TopKTracker,
+    collect_top_activations,
+)
+
+__all__ = [
+    "AudioClipConfig",
+    "AudioClipExtractor",
+    "FeatureActivation",
+    "FeatureInterpretation",
+    "FeatureReport",
+    "TopKTracker",
+    "collect_top_activations",
+    "create_indexed_audio_loader",
+    "create_librispeech_audio_loader",
+    "create_synthetic_audio_loader",
+]

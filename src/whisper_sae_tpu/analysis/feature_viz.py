@@ -1,0 +1,350 @@
+"""Top-activation tracking and feature reports.
+
+Behavioral parity with the reference
+(/root/reference/src/whisper_sae/analysis/feature_viz.py:22-484):
+FeatureActivation schema and JSON round-trip, per-feature top-k examples
+(k=20 default), 10 ms/frame timestamps (the reference's convention —
+feature_viz.py:139 — kept verbatim for output parity even though the
+post-conv encoder frame is physically 20 ms), feature stats, the
+``summary.json`` / ``features/feature_{i:05d}.json`` /
+``tracker_state.json`` report layout, and ``collect_top_activations``.
+
+TPU-native difference: the reference updates per-feature Python heaps in
+a batch x seq x active-features triple loop (feature_viz.py:121-157, the
+slowest code in that repo).  Here the running top-k state lives in three
+[F, k] device arrays and each batch update is ONE jitted merge:
+mask -> per-feature top-k over the batch -> concat with state -> top-k.
+Transcriptions/metadata are joined host-side at read-out time via a
+per-sample registry.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from functools import partial
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MS_PER_FRAME = 10.0  # reference convention (feature_viz.py:139)
+
+
+@dataclass
+class FeatureActivation:
+    """A single activation of a feature (reference feature_viz.py:22-57)."""
+
+    feature_idx: int
+    activation_value: float
+    sample_idx: int
+    position_idx: int
+    timestamp_ms: float | None = None
+    transcription: str | None = None
+    transcription_context: str | None = None
+    audio_path: str | None = None
+    metadata: dict[str, Any] = field(default_factory=dict)
+
+    def to_dict(self) -> dict:
+        return {
+            "feature_idx": self.feature_idx,
+            "activation_value": self.activation_value,
+            "sample_idx": self.sample_idx,
+            "position_idx": self.position_idx,
+            "timestamp_ms": self.timestamp_ms,
+            "transcription": self.transcription,
+            "transcription_context": self.transcription_context,
+            "audio_path": self.audio_path,
+            "metadata": self.metadata,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "FeatureActivation":
+        return cls(**d)
+
+
+@partial(jax.jit, static_argnames=("k",), donate_argnums=(0, 1, 2))
+def _merge_topk(
+    values: jax.Array,  # [F, k] running top values (-inf padded)
+    samples: jax.Array,  # [F, k] int32
+    positions: jax.Array,  # [F, k] int32
+    acts: jax.Array,  # [N, F] batch activations (flattened over batch*seq)
+    sample_ids: jax.Array,  # [N] int32
+    position_ids: jax.Array,  # [N] int32
+    k: int,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    kc = min(k, acts.shape[0])
+    masked = jnp.where(acts > 0, acts, -jnp.inf).T  # [F, N]
+    cand_v, cand_i = jax.lax.top_k(masked, kc)  # [F, kc]
+    cand_s = sample_ids[cand_i]
+    cand_p = position_ids[cand_i]
+
+    all_v = jnp.concatenate([values, cand_v], axis=1)
+    all_s = jnp.concatenate([samples, cand_s], axis=1)
+    all_p = jnp.concatenate([positions, cand_p], axis=1)
+    new_v, sel = jax.lax.top_k(all_v, k)
+    row = jnp.arange(values.shape[0])[:, None]
+    total = jnp.sum(acts > 0)
+    return new_v, all_s[row, sel], all_p[row, sel], total
+
+
+class TopKTracker:
+    """Vectorized running top-k of activating examples per feature."""
+
+    def __init__(self, num_features: int, k: int = 20):
+        self.num_features = num_features
+        self.k = k
+        self._values = jnp.full((num_features, k), -jnp.inf, jnp.float32)
+        self._samples = jnp.zeros((num_features, k), jnp.int32)
+        self._positions = jnp.zeros((num_features, k), jnp.int32)
+        self._sample_meta: dict[int, tuple[str | None, dict]] = {}
+        self.total_activations = 0
+        self.samples_processed = 0
+
+    def update(
+        self,
+        activations,
+        sample_indices,
+        transcriptions: list[str] | None = None,
+        metadata_list: list[dict] | None = None,
+    ) -> None:
+        """Merge a batch of activations ([B, F] or [B, S, F])."""
+        acts = jnp.asarray(activations)
+        if acts.ndim == 2:
+            acts = acts[:, None, :]
+        b, s, f = acts.shape
+        assert f == self.num_features
+
+        sample_indices = [int(i) for i in np.asarray(sample_indices).reshape(-1)]
+        for j, si in enumerate(sample_indices):
+            self._sample_meta[si] = (
+                transcriptions[j] if transcriptions else None,
+                dict(metadata_list[j]) if metadata_list else {},
+            )
+
+        sample_ids = jnp.repeat(jnp.asarray(sample_indices, jnp.int32), s)
+        position_ids = jnp.tile(jnp.arange(s, dtype=jnp.int32), b)
+        flat = acts.reshape(b * s, f)
+        self._values, self._samples, self._positions, total = _merge_topk(
+            self._values, self._samples, self._positions,
+            flat, sample_ids, position_ids, self.k,
+        )
+        self.total_activations += int(total)
+        self.samples_processed += b
+
+    def get_top_examples(self, feature_idx: int) -> list[FeatureActivation]:
+        """Top-k examples, descending (reference feature_viz.py:160-172)."""
+        vals = np.asarray(self._values[feature_idx])
+        samps = np.asarray(self._samples[feature_idx])
+        poss = np.asarray(self._positions[feature_idx])
+        out = []
+        for v, si, pi in zip(vals, samps, poss):
+            if not np.isfinite(v):
+                continue
+            transcription, metadata = self._sample_meta.get(int(si), (None, {}))
+            out.append(
+                FeatureActivation(
+                    feature_idx=int(feature_idx),
+                    activation_value=float(v),
+                    sample_idx=int(si),
+                    position_idx=int(pi),
+                    timestamp_ms=float(pi) * MS_PER_FRAME,
+                    transcription=transcription,
+                    metadata=dict(metadata),
+                )
+            )
+        out.sort(key=lambda x: x.activation_value, reverse=True)
+        return out
+
+    def get_all_top_examples(self) -> dict[int, list[FeatureActivation]]:
+        return {i: self.get_top_examples(i) for i in range(self.num_features)}
+
+    def get_feature_stats(self) -> dict[int, dict]:
+        """Per-feature stats computed vectorized (feature_viz.py:182-206)."""
+        vals = np.asarray(self._values)
+        finite = np.isfinite(vals)
+        n = finite.sum(axis=1)
+        safe = np.where(finite, vals, 0.0)
+        maxs = np.where(n > 0, vals.max(axis=1, initial=-np.inf), 0.0)
+        mins = np.where(n > 0, np.where(finite, vals, np.inf).min(axis=1, initial=np.inf), 0.0)
+        means = np.where(n > 0, safe.sum(axis=1) / np.maximum(n, 1), 0.0)
+        return {
+            i: {
+                "num_examples": int(n[i]),
+                "max_activation": float(maxs[i]) if n[i] else 0.0,
+                "min_activation": float(mins[i]) if n[i] else 0.0,
+                "mean_activation": float(means[i]) if n[i] else 0.0,
+            }
+            for i in range(self.num_features)
+        }
+
+    def save(self, path: Path | str) -> None:
+        """JSON state dump (same schema as reference feature_viz.py:208-229)."""
+        data = {
+            "num_features": self.num_features,
+            "k": self.k,
+            "total_activations": self.total_activations,
+            "samples_processed": self.samples_processed,
+            "features": {},
+        }
+        for i in range(self.num_features):
+            examples = self.get_top_examples(i)
+            if examples:
+                data["features"][str(i)] = [e.to_dict() for e in examples]
+        with open(path, "w") as f:
+            json.dump(data, f, indent=2)
+
+    @classmethod
+    def load(cls, path: Path | str) -> "TopKTracker":
+        with open(path) as f:
+            data = json.load(f)
+        tracker = cls(num_features=data["num_features"], k=data["k"])
+        tracker.total_activations = data["total_activations"]
+        tracker.samples_processed = data["samples_processed"]
+        values = np.full((tracker.num_features, tracker.k), -np.inf, np.float32)
+        samples = np.zeros((tracker.num_features, tracker.k), np.int32)
+        positions = np.zeros((tracker.num_features, tracker.k), np.int32)
+        for feat_str, examples in data["features"].items():
+            fi = int(feat_str)
+            for j, e in enumerate(examples[: tracker.k]):
+                ex = FeatureActivation.from_dict(e)
+                values[fi, j] = ex.activation_value
+                samples[fi, j] = ex.sample_idx
+                positions[fi, j] = ex.position_idx
+                tracker._sample_meta[ex.sample_idx] = (ex.transcription, ex.metadata)
+        tracker._values = jnp.asarray(values)
+        tracker._samples = jnp.asarray(samples)
+        tracker._positions = jnp.asarray(positions)
+        return tracker
+
+
+@dataclass
+class FeatureInterpretation:
+    """Manual feature interpretation (reference feature_viz.py:262-281)."""
+
+    feature_idx: int
+    category: str
+    description: str
+    confidence: float
+    evidence: list[str] = field(default_factory=list)
+    automated_labels: dict[str, Any] = field(default_factory=dict)
+
+    def to_dict(self) -> dict:
+        return {
+            "feature_idx": self.feature_idx,
+            "category": self.category,
+            "description": self.description,
+            "confidence": self.confidence,
+            "evidence": self.evidence,
+            "automated_labels": self.automated_labels,
+        }
+
+
+class FeatureReport:
+    """Interpretation reports (reference feature_viz.py:284-422):
+    ``summary.json``, ``features/feature_{i:05d}.json``,
+    ``tracker_state.json``."""
+
+    def __init__(self, tracker: TopKTracker, output_dir: Path | str):
+        self.tracker = tracker
+        self.output_dir = Path(output_dir)
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        self.interpretations: dict[int, FeatureInterpretation] = {}
+
+    def generate_feature_report(self, feature_idx: int, include_audio_paths: bool = True) -> dict:
+        examples = self.tracker.get_top_examples(feature_idx)
+        stats = self.tracker.get_feature_stats()[feature_idx]
+        report = {"feature_idx": feature_idx, "stats": stats, "top_examples": []}
+        for ex in examples:
+            ex_data = {
+                "activation_value": ex.activation_value,
+                "sample_idx": ex.sample_idx,
+                "position_idx": ex.position_idx,
+                "timestamp_ms": ex.timestamp_ms,
+                "transcription": ex.transcription,
+            }
+            if include_audio_paths and ex.audio_path:
+                ex_data["audio_path"] = ex.audio_path
+            report["top_examples"].append(ex_data)
+        if feature_idx in self.interpretations:
+            report["interpretation"] = self.interpretations[feature_idx].to_dict()
+        return report
+
+    def generate_summary_report(self, top_n: int = 100) -> dict:
+        stats = self.tracker.get_feature_stats()
+        sorted_features = sorted(
+            stats.items(), key=lambda x: x[1]["max_activation"], reverse=True
+        )[:top_n]
+        return {
+            "num_features": self.tracker.num_features,
+            "samples_processed": self.tracker.samples_processed,
+            "total_activations": self.tracker.total_activations,
+            "top_features": [
+                {"feature_idx": fi, **fs} for fi, fs in sorted_features
+            ],
+        }
+
+    def save_reports(self, top_n: int = 100) -> None:
+        summary = self.generate_summary_report(top_n=top_n)
+        with open(self.output_dir / "summary.json", "w") as f:
+            json.dump(summary, f, indent=2)
+        features_dir = self.output_dir / "features"
+        features_dir.mkdir(exist_ok=True)
+        for feat in summary["top_features"]:
+            fi = feat["feature_idx"]
+            with open(features_dir / f"feature_{fi:05d}.json", "w") as f:
+                json.dump(self.generate_feature_report(fi), f, indent=2)
+        self.tracker.save(self.output_dir / "tracker_state.json")
+
+    def add_interpretation(
+        self,
+        feature_idx: int,
+        category: str,
+        description: str,
+        confidence: float = 0.5,
+        evidence: list[str] | None = None,
+    ) -> None:
+        self.interpretations[feature_idx] = FeatureInterpretation(
+            feature_idx=feature_idx,
+            category=category,
+            description=description,
+            confidence=confidence,
+            evidence=evidence or [],
+        )
+
+
+def collect_top_activations(
+    model,
+    dataloader,
+    num_features: int,
+    k: int = 20,
+) -> TopKTracker:
+    """Collect top-k activating examples (reference feature_viz.py:425-484).
+
+    ``model`` is duck-typed: uses ``encode`` if present, else calls and
+    reads ``.hidden``.
+    """
+    tracker = TopKTracker(num_features=num_features, k=k)
+    if hasattr(model, "eval"):
+        model.eval()
+    sample_idx = 0
+    for batch in dataloader:
+        if isinstance(batch, (tuple, list)):
+            activations, metadata = batch[0], (batch[1] if len(batch) > 1 else None)
+        else:
+            activations, metadata = batch, None
+        if hasattr(model, "encode"):
+            hidden = model.encode(jnp.asarray(activations))
+        else:
+            out = model(jnp.asarray(activations))
+            hidden = out.hidden if hasattr(out, "hidden") else out[1]
+        b = hidden.shape[0]
+        sample_indices = list(range(sample_idx, sample_idx + b))
+        transcriptions = None
+        if metadata is not None and isinstance(metadata, dict):
+            transcriptions = metadata.get("transcriptions")
+        tracker.update(hidden, sample_indices, transcriptions=transcriptions)
+        sample_idx += b
+    return tracker
