@@ -1,0 +1,150 @@
+#!/usr/bin/env python3
+"""Benchmark: TopK-SAE training throughput in activations/sec/chip.
+
+The metric defined by BASELINE.json: whisper-tiny geometry (D=384,
+H=3072, k=32 — configs/tiny_default.yaml), full training semantics per
+step (fwd, bwd, global-norm clip, AdamW, decoder renorm, dead-feature
+tracking).  The TPU path runs the trainer's fused lax.scan epoch on
+device-resident data in bf16 compute.
+
+``vs_baseline`` compares against a torch implementation of the
+reference's train step (model.py:131-166 + training.py:161-217 semantics,
+re-implemented here, not copied) measured on THIS host — the reference
+publishes no benchmark numbers (BASELINE.md), so the same-host torch
+throughput is the only measurable baseline.  On the TPU image the host
+is a single CPU core; the A10G/MPS numbers the reference informally
+mentions do not exist as measurements.
+
+Output: one JSON line
+  {"metric": ..., "value": N, "unit": "activations/sec/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent / "src"))
+# persistent XLA compile cache: the fused-epoch program takes minutes to
+# compile on the single-core host; cache it across bench runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+D, H, K = 384, 3072, 32  # whisper-tiny SAE geometry
+
+
+def bench_tpu(batch: int, steps: int, warmup_steps: int = 8) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_sae_tpu.config import TrainingConfig
+    from whisper_sae_tpu.models.sae import TopKSAE
+    from whisper_sae_tpu.training.trainer import SAETrainer
+
+    model = TopKSAE(input_dim=D, hidden_dim=H, k=K, seed=0)
+    cfg = TrainingConfig(
+        batch_size=batch, learning_rate=1e-4, epochs=1, warmup_steps=1000,
+        use_amp=True,
+    )
+    trainer = SAETrainer(model, cfg, run_dir=Path("/tmp/wst_bench"))
+    trainer.setup_scheduler(total_steps=steps * 10)
+
+    key = jax.random.PRNGKey(0)
+    data = jax.random.normal(key, (steps * batch, D), jnp.float32)
+
+    # compile + warm up on the SAME scan shape (a different step count
+    # would recompile inside the timed region)
+    trainer.train_epoch_fused(data, shuffle=False)
+    jax.block_until_ready(trainer.model.params["w_enc"])
+
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        trainer.train_epoch_fused(data, shuffle=False)
+        jax.block_until_ready(trainer.model.params["w_enc"])
+        dt = time.perf_counter() - t0
+        best = max(best, steps * batch / dt)
+    return best
+
+
+def bench_torch_reference(batch: int = 128, steps: int = 10) -> float:
+    """Reference-semantics torch train step on this host (the measurable
+    baseline; see module docstring)."""
+    import torch
+
+    torch.manual_seed(0)
+    dev = "cuda" if torch.cuda.is_available() else "cpu"
+
+    enc = torch.nn.Linear(D, H).to(dev)
+    dec = torch.nn.Linear(H, D).to(dev)
+    with torch.no_grad():
+        torch.nn.init.xavier_uniform_(dec.weight)
+        dec.weight.data = torch.nn.functional.normalize(dec.weight.data, dim=0) * 0.1
+    b_pre = torch.nn.Parameter(torch.zeros(D, device=dev))
+    params = list(enc.parameters()) + list(dec.parameters()) + [b_pre]
+    opt = torch.optim.AdamW(params, lr=1e-4)
+
+    feature_last = torch.zeros(H, dtype=torch.long, device=dev)
+    step_count = torch.tensor(0, dtype=torch.long, device=dev)
+
+    def train_step(x):
+        nonlocal step_count
+        pre = enc(x - b_pre)
+        vals, idx = torch.topk(pre, K, dim=-1)
+        hidden = torch.zeros_like(pre).scatter_(-1, idx, torch.relu(vals))
+        recon = dec(hidden) + b_pre
+        loss = torch.nn.functional.mse_loss(recon, x)
+        opt.zero_grad()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(params, 1.0)
+        opt.step()
+        with torch.no_grad():
+            dec.weight.data = torch.nn.functional.normalize(dec.weight.data, dim=0)
+            step_count += 1
+            feature_last[(hidden > 0).any(dim=0)] = step_count
+        return float(loss.detach())
+
+    x = torch.randn(batch, D, device=dev)
+    train_step(x)  # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        train_step(x)
+    dt = time.perf_counter() - t0
+    return steps * batch / dt
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=32768)
+    parser.add_argument("--steps", type=int, default=64)
+    parser.add_argument("--baseline-steps", type=int, default=8)
+    parser.add_argument("--skip-baseline", action="store_true")
+    args = parser.parse_args()
+
+    value = bench_tpu(args.batch, args.steps)
+
+    if args.skip_baseline:
+        baseline = None
+    else:
+        try:
+            baseline = bench_torch_reference(steps=args.baseline_steps)
+        except Exception as e:  # torch missing or OOM: report absolute only
+            print(f"baseline measurement failed: {e}", file=sys.stderr)
+            baseline = None
+
+    result = {
+        "metric": "sae_training_throughput_whisper_tiny",
+        "value": round(value, 1),
+        "unit": "activations/sec/chip",
+        "vs_baseline": round(value / baseline, 2) if baseline else None,
+    }
+    if baseline:
+        result["baseline_torch_same_host"] = round(baseline, 1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -21,7 +21,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.topk import scatter_topk, topk_select
+from ..ops.topk import topk_mask_dense
 from .sae import (
     dead_feature_mask,
     init_dead_state,
@@ -105,8 +105,7 @@ def crosscoder_apply(
     if k is None:
         hidden = jax.nn.relu(pre)
     else:
-        vals, idx = topk_select(pre, k)
-        hidden = scatter_topk(vals, idx, pre.shape[-1])
+        hidden = topk_mask_dense(pre, k)
     recon = crosscoder_decode(params, hidden)
     per_layer = jnp.mean(jnp.square(recon - acts), axis=(1, 2))  # [L]
     recon_loss = jnp.sum(per_layer)
@@ -209,8 +208,7 @@ class CrossLayerCrosscoder:
         pre = crosscoder_encode_pre(self.params, acts)
         if self._k is None:
             return jax.nn.relu(pre)
-        vals, idx = topk_select(pre, self._k)
-        return scatter_topk(vals, idx, self.d_sae)
+        return topk_mask_dense(pre, self._k)
 
     def decode(self, hidden: jax.Array) -> dict[int, jax.Array]:
         recon = crosscoder_decode(self.params, jnp.asarray(hidden))

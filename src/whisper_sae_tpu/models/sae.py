@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SAEConfig
-from ..ops.topk import scatter_topk, sparse_decode, topk_encode
+from ..ops.topk import scatter_topk, sparse_decode, topk_encode, topk_mask_dense
 
 
 class SAEOutput(NamedTuple):
@@ -128,42 +128,56 @@ def topk_encode_sparse(
     )
 
 
+def topk_hidden_dense(
+    params: dict[str, jax.Array],
+    x: jax.Array,
+    k: int,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """Dense [B, H] top-k latent via the threshold-mask path.
+
+    TPU-first: on TPU, sort-based ``lax.top_k`` plus scatter/gather is
+    ~20x slower than the encoder matmul itself; the mask path (bit-exact
+    k-th-value bisection, ops/topk.py) keeps everything on the VPU/MXU.
+    """
+    xc = x - params["b_pre"]
+    pre = (
+        jnp.dot(
+            xc.astype(compute_dtype),
+            params["w_enc"].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        + params["b_enc"]
+    )
+    return topk_mask_dense(pre, k)
+
+
 def topk_sae_apply(
     params: dict[str, jax.Array],
     x: jax.Array,
     k: int,
     compute_dtype: jnp.dtype = jnp.float32,
-    with_dense_hidden: bool = False,
+    with_dense_hidden: bool = True,
 ) -> tuple[SAEOutput, jax.Array]:
     """Pure TopK-SAE forward.
 
     Returns (output, active_mask) where active_mask is the [H] bool vector
     of features active anywhere in the batch (for dead-feature tracking).
-    ``output.hidden`` is the dense [B, H] latent only when
-    ``with_dense_hidden``; otherwise a zero-size placeholder is avoided by
-    returning the compact (vals concat idx) — callers in the hot path never
-    ask for the dense latent.
     """
-    vals, idx = topk_encode_sparse(params, x, k, compute_dtype)
-    recon = sparse_decode(
-        vals,
-        idx,
-        params["w_dec"].astype(compute_dtype),
-        params["b_dec"],
+    hidden = topk_hidden_dense(params, x, k, compute_dtype)
+    recon = (
+        jnp.dot(
+            hidden.astype(compute_dtype),
+            params["w_dec"].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        + params["b_dec"]
+        + params["b_pre"]
     )
-    recon = recon + params["b_pre"]
-
-    diff = recon - x
-    reconstruction_loss = jnp.mean(jnp.square(diff))
-    l0 = jnp.mean(jnp.sum(vals > 0, axis=-1).astype(jnp.float32))
+    reconstruction_loss = jnp.mean(jnp.square(recon - x))
+    l0 = jnp.mean(jnp.sum(hidden > 0, axis=-1).astype(jnp.float32))
     sparsity_loss = jnp.zeros((), jnp.float32)
-
-    hidden_dim = params["w_enc"].shape[1]
-    hidden = scatter_topk(vals, idx, hidden_dim)
-
-    active = jnp.zeros((hidden_dim,), bool).at[idx.reshape(-1)].max(
-        (vals > 0).reshape(-1)
-    )
+    active = jnp.any(hidden > 0, axis=0)
 
     out = SAEOutput(
         reconstructed=recon,
@@ -182,22 +196,12 @@ def topk_sae_loss(
     k: int,
     compute_dtype: jnp.dtype = jnp.float32,
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
-    """Hot-path loss: never materializes the dense [B, H] latent.
+    """Hot-path loss (dense-mask top-k, all-matmul decode).
 
     Returns (loss, aux) with aux = {l0, active_mask} for metrics/state.
     """
-    vals, idx = topk_encode_sparse(params, x, k, compute_dtype)
-    recon = sparse_decode(
-        vals, idx, params["w_dec"].astype(compute_dtype), params["b_dec"]
-    )
-    recon = recon + params["b_pre"]
-    loss = jnp.mean(jnp.square(recon - x))
-    l0 = jnp.mean(jnp.sum(vals > 0, axis=-1).astype(jnp.float32))
-    hidden_dim = params["w_enc"].shape[1]
-    active = jnp.zeros((hidden_dim,), bool).at[idx.reshape(-1)].max(
-        (vals > 0).reshape(-1)
-    )
-    return loss, {"l0": l0, "active": active}
+    out, active = topk_sae_apply(params, x, k, compute_dtype)
+    return out.loss, {"l0": out.l0, "active": active}
 
 
 def relu_sae_loss(
@@ -343,8 +347,7 @@ class TopKSAE:
 
     # -- forward API --
     def encode(self, x: jax.Array) -> jax.Array:
-        vals, idx = topk_encode_sparse(self.params, jnp.asarray(x), self.k)
-        return scatter_topk(vals, idx, self.hidden_dim)
+        return topk_hidden_dense(self.params, jnp.asarray(x), self.k)
 
     def encode_sparse(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
         return topk_encode_sparse(self.params, jnp.asarray(x), self.k)

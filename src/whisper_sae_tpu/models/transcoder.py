@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.topk import scatter_topk, sparse_decode, topk_encode
+from ..ops.topk import scatter_topk, topk_encode, topk_mask_dense
 from .sae import (
     DeadFeatureState,
     _linear_default,
@@ -81,8 +81,23 @@ def transcoder_loss(
     """Hot-path loss (sparse decode; dense latent never materialized)."""
     if use_skip is None:
         use_skip = "w_skip" in params
-    vals, idx = topk_encode(x, params["w_enc"], params["b_enc"], None, k, compute_dtype)
-    pred = sparse_decode(vals, idx, params["w_dec"].astype(compute_dtype), params["b_dec"])
+    pre = (
+        jnp.dot(
+            x.astype(compute_dtype),
+            params["w_enc"].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        + params["b_enc"]
+    )
+    hidden = topk_mask_dense(pre, k)
+    pred = (
+        jnp.dot(
+            hidden.astype(compute_dtype),
+            params["w_dec"].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        + params["b_dec"]
+    )
     if use_skip:
         pred = pred + (
             jnp.dot(
@@ -93,10 +108,9 @@ def transcoder_loss(
             + params["b_skip"]
         )
     loss = jnp.mean(jnp.square(pred - y))
-    l0 = jnp.mean(jnp.sum(vals > 0, axis=-1).astype(jnp.float32))
-    hidden_dim = params["w_enc"].shape[1]
-    active = jnp.zeros((hidden_dim,), bool).at[idx.reshape(-1)].max((vals > 0).reshape(-1))
-    return loss, {"l0": l0, "active": active, "predicted": pred}
+    l0 = jnp.mean(jnp.sum(hidden > 0, axis=-1).astype(jnp.float32))
+    active = jnp.any(hidden > 0, axis=0)
+    return loss, {"l0": l0, "active": active, "predicted": pred, "hidden": hidden}
 
 
 def transcoder_apply(
@@ -108,11 +122,9 @@ def transcoder_apply(
 ) -> tuple[TranscoderOutput, jax.Array]:
     """Full forward with dense latent (reference transcoder.py:139-175)."""
     loss, aux = transcoder_loss(params, x, y, k, compute_dtype)
-    vals, idx = topk_encode(x, params["w_enc"], params["b_enc"], None, k, compute_dtype)
-    hidden = scatter_topk(vals, idx, params["w_enc"].shape[1])
     out = TranscoderOutput(
         predicted=aux["predicted"],
-        hidden=hidden,
+        hidden=aux["hidden"],
         loss=loss,
         reconstruction_loss=loss,
         sparsity_loss=jnp.zeros((), jnp.float32),
@@ -155,10 +167,14 @@ class _TranscoderBase:
         return self
 
     def encode(self, x: jax.Array) -> jax.Array:
-        vals, idx = topk_encode(
-            jnp.asarray(x), self.params["w_enc"], self.params["b_enc"], None, self.k
+        pre = (
+            jnp.dot(
+                jnp.asarray(x), self.params["w_enc"],
+                preferred_element_type=jnp.float32,
+            )
+            + self.params["b_enc"]
         )
-        return scatter_topk(vals, idx, self.hidden_dim)
+        return topk_mask_dense(pre, self.k)
 
     def decode(self, hidden: jax.Array) -> jax.Array:
         return (

@@ -260,7 +260,8 @@ def _sinusoids(length: int, channels: int) -> np.ndarray:
 def init_whisper(key: jax.Array, arch: WhisperArch) -> dict:
     """Random init (for tests; real runs import HF weights)."""
     d, f = arch.d_model, arch.ffn_dim
-    keys = iter(jax.random.split(key, 64))
+    n_keys = 8 + 10 * (arch.encoder_layers + arch.decoder_layers)
+    keys = iter(jax.random.split(key, n_keys))
 
     def lin(k, i, o):
         return jax.random.normal(k, (i, o), jnp.float32) * (0.02)

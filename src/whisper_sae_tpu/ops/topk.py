@@ -27,6 +27,71 @@ import jax
 import jax.numpy as jnp
 
 
+# ---------------------------------------------------------------------------
+# threshold-mask top-k (the TPU hot path)
+# ---------------------------------------------------------------------------
+#
+# ``jax.lax.top_k`` lowers to a full per-row sort on TPU: at H=3072 it costs
+# ~16 ms per [8192, 3072] batch — 30x the encoder matmul itself.  The hot
+# path never needs sorted values or indices, only the top-k *mask*; the
+# exact k-th value per row is found by 32-step bisection on the monotone
+# int32 transform of the f32 bit pattern (~1.5 ms, pure VPU compare+count
+# passes, no sort, no scatter).  Exactness: after 32 halvings of the int32
+# range the threshold is bit-exact, so ``x >= th`` selects exactly the k
+# largest entries (more only under exact float ties, where torch's
+# selection among tied values is arbitrary anyway).
+
+
+def _monotone_int(pre: jax.Array) -> jax.Array:
+    """Bitcast f32 -> int32 such that float order == integer order."""
+    x = jax.lax.bitcast_convert_type(pre, jnp.int32)
+    return jnp.where(x < 0, jnp.int32(-2147483648) - x - 1, x)
+
+
+def topk_threshold(pre: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Exact k-th-largest threshold per row.
+
+    Returns (x, th) where ``x`` is the monotone int32 transform of ``pre``
+    and ``th`` [..., 1] satisfies: count(x >= th) == k per row (ties at the
+    threshold may admit more, as with any threshold semantics).
+    """
+    x = _monotone_int(pre)
+    shape = pre.shape[:-1] + (1,)
+    lo = jnp.full(shape, jnp.int32(-2147483647))
+    hi = jnp.full(shape, jnp.int32(2147483647))
+
+    def body(_, lohi):
+        lo, hi = lohi
+        # overflow-safe midpoint
+        mid = jnp.right_shift(lo, 1) + jnp.right_shift(hi, 1) + (lo & hi & 1)
+        cnt = jnp.sum((x >= mid).astype(jnp.int32), axis=-1, keepdims=True)
+        take = cnt >= k
+        return jnp.where(take, mid, lo), jnp.where(take, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
+    return x, lo
+
+
+def topk_mask_dense(pre: jax.Array, k: int) -> jax.Array:
+    """Dense top-k activation: relu(pre) where pre is among the row's k
+    largest, else 0.  Same op order as the reference encode (top-k select
+    THEN relu), expressed as a mask so no sort/scatter ever runs.
+
+    On TPU this dispatches to the Pallas kernel (ops/pallas_topk.py),
+    which runs the bisection entirely in VMEM — one HBM read of ``pre``
+    instead of 32.  Elsewhere (or for unaligned shapes) the pure-XLA
+    bisection below is used; both are exact and share VJP semantics.
+    """
+    from . import pallas_topk
+
+    if pallas_topk.supported(pre.shape):
+        return pallas_topk.topk_mask_pallas(
+            pre, k, pallas_topk.pick_block_rows(pre.shape[0])
+        )
+    x, th = topk_threshold(pre, k)
+    return jnp.where(x >= th, jax.nn.relu(pre), 0.0)
+
+
 def topk_select(pre: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     """k largest pre-activations per row, relu'd.
 

@@ -20,15 +20,21 @@ from __future__ import annotations
 
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def warmup_cosine_schedule(
     base_lr: float,
     total_steps: int,
     warmup_steps: int,
-) -> Callable[[jnp.ndarray], jnp.ndarray]:
+) -> Callable:
     """Reference-parity warmup->cosine schedule.
+
+    Works on both traced jax values (inside the optimizer) and plain
+    numpy/int inputs (host-side metric logging — evaluating the schedule
+    on host must not dispatch a device computation per step).
 
     Args:
         base_lr: peak learning rate.
@@ -42,24 +48,28 @@ def warmup_cosine_schedule(
     eta_min = 0.1 * base_lr
 
     def schedule(count):
-        t = jnp.asarray(count, jnp.float32)
+        xp = jnp if isinstance(count, jax.core.Tracer) or isinstance(
+            count, jax.Array
+        ) else np
+        t = xp.asarray(count, xp.float32)
         if w > 0:
-            warm = base_lr * (0.01 + 0.99 * jnp.minimum(t, w) / w)
+            warm = base_lr * (0.01 + 0.99 * xp.minimum(t, w) / w)
         else:
-            warm = jnp.asarray(base_lr, jnp.float32)
-        c = jnp.clip(t - w, 0.0, t_cos)
-        cos = eta_min + (base_lr - eta_min) * 0.5 * (1.0 + jnp.cos(jnp.pi * c / t_cos))
-        return jnp.where(t < w, warm, cos)
+            warm = base_lr * xp.ones_like(t)
+        c = xp.clip(t - w, 0.0, t_cos)
+        cos = eta_min + (base_lr - eta_min) * 0.5 * (1.0 + xp.cos(xp.pi * c / t_cos))
+        return xp.where(t < w, warm, cos)
 
     return schedule
 
 
-def constant_schedule(base_lr: float) -> Callable[[jnp.ndarray], jnp.ndarray]:
+def constant_schedule(base_lr: float) -> Callable:
     """LR before ``setup_scheduler`` is called (reference: scheduler=None
     means the optimizer runs at its base LR)."""
 
     def schedule(count):
-        del count
-        return jnp.asarray(base_lr, jnp.float32)
+        if isinstance(count, jax.core.Tracer) or isinstance(count, jax.Array):
+            return jnp.full(jnp.shape(count), base_lr, jnp.float32)
+        return np.full(np.shape(count), base_lr, np.float32)[()]
 
     return schedule

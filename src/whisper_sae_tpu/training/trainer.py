@@ -47,6 +47,15 @@ from ..utils.checkpoint import export_torch_state_dict, load_pytree, save_pytree
 from .schedule import constant_schedule, warmup_cosine_schedule
 
 
+_METRIC_KEYS = (
+    "loss",
+    "reconstruction_loss",
+    "sparsity_loss",
+    "l0",
+    "dead_feature_ratio",
+)
+
+
 @dataclass
 class TrainingMetrics:
     """Per-step metrics (reference training.py:19-29)."""
@@ -88,6 +97,7 @@ class SAETrainer:
         self._optimizer = self._build_optimizer()
         self.opt_state = self._optimizer.init(self.model.params)
         self._step_fn = None  # built lazily (after scheduler setup)
+        self._epoch_fn = None
 
         self.global_step = 0
         self.epoch = 0
@@ -126,9 +136,15 @@ class SAETrainer:
         # changes.  (Matches torch, where the scheduler mutates LR on the
         # same optimizer.)
         self._step_fn = None
+        self._epoch_fn = None
 
     def learning_rate_at(self, step: int) -> float:
-        return float(self._schedule(jnp.asarray(step)))
+        return float(np.asarray(self._schedule(step)))
+
+    def learning_rates_at(self, start: int, count: int) -> np.ndarray:
+        """Vectorized host-side schedule evaluation (numpy, no device
+        round-trip per step)."""
+        return np.asarray(self._schedule(np.arange(start, start + count)))
 
     # ------------------------------------------------------------------
     # the jitted step
@@ -279,6 +295,126 @@ class SAETrainer:
         )
         return m
 
+    # ------------------------------------------------------------------
+    # fused-scan epoch (device-resident fast path)
+    # ------------------------------------------------------------------
+
+    def _build_epoch_fn(self):
+        """One jitted program per epoch: lax.scan over [S, B, D] batches.
+
+        No per-step host round-trip — metrics come back stacked once per
+        epoch.  This is the TPU-native replacement for the reference's
+        per-batch Python loop (training.py:237) and the path the benchmark
+        measures.
+        """
+        loss_fn = self._loss_fn()
+        opt = self._optimizer
+        renorm = getattr(self.model, "normalize_decoder", True)
+        threshold = getattr(self.model, "dead_feature_threshold", 10_000)
+
+        def body(carry, batch):
+            params, opt_state, dstate = carry
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch
+            )
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            if renorm:
+                params = normalize_decoder(params)
+            dstate = update_dead_state(dstate, aux["active"])
+            metrics = {
+                "loss": loss,
+                "reconstruction_loss": aux["reconstruction_loss"],
+                "sparsity_loss": aux["sparsity_loss"],
+                "l0": aux["l0"],
+                "dead_feature_ratio": jnp.mean(
+                    dead_feature_mask(dstate, threshold).astype(jnp.float32)
+                ),
+            }
+            return (params, opt_state, dstate), metrics
+
+        def epoch(params, opt_state, dstate, batches):
+            (params, opt_state, dstate), metrics = jax.lax.scan(
+                body, (params, opt_state, dstate), batches
+            )
+            # one [S, 5] array -> ONE device->host transfer per epoch
+            stacked = jnp.stack(
+                [metrics[k] for k in _METRIC_KEYS], axis=1
+            )
+            return params, opt_state, dstate, stacked
+
+        return jax.jit(epoch, donate_argnums=(0, 1, 2))
+
+    def train_epoch_fused(self, data, shuffle: bool = True, seed: int | None = None
+                          ) -> list[TrainingMetrics]:
+        """One epoch as a single XLA program over device-resident data.
+
+        ``data``: [N, D] array (host or device).  The remainder batch
+        (N % batch_size) runs through the per-step path so every token is
+        seen, matching the reference's drop_last=False semantics.  Dead-
+        feature resampling fires at the epoch boundary if the step counter
+        crossed a multiple of ``resample_dead_every`` during the epoch
+        (the per-step path honors the exact every-N contract).
+        """
+        b = self.config.batch_size
+        data = jnp.asarray(data)
+        n = data.shape[0]
+        steps = n // b
+        if shuffle:
+            key = jax.random.PRNGKey(self.config.seed if seed is None else seed)
+            key = jax.random.fold_in(key, self.epoch)
+            data = data[jax.random.permutation(key, n)]
+        epoch_metrics: list[TrainingMetrics] = []
+
+        if steps > 0:
+            if self._epoch_fn is None:
+                self._epoch_fn = self._build_epoch_fn()
+            batches = data[: steps * b].reshape(steps, b, data.shape[1])
+            start_step = self.global_step
+            params, self.opt_state, dstate, metrics = self._epoch_fn(
+                self.model.params, self.opt_state, self._dead_state, batches
+            )
+            self.model.params = params
+            if hasattr(self.model, "state"):
+                self.model.state = dstate
+            self.global_step += steps
+            host = np.asarray(metrics)  # [S, 5], single transfer
+            lrs = self.learning_rates_at(start_step, steps)
+            for i in range(steps):
+                row = dict(zip(_METRIC_KEYS, host[i]))
+                epoch_metrics.append(
+                    TrainingMetrics(
+                        loss=float(row["loss"]),
+                        reconstruction_loss=float(row["reconstruction_loss"]),
+                        sparsity_loss=float(row["sparsity_loss"]),
+                        l0=float(row["l0"]),
+                        dead_feature_ratio=float(row["dead_feature_ratio"]),
+                        learning_rate=float(lrs[i]),
+                        step=start_step + i + 1,
+                    )
+                )
+            if (
+                self._resample_dataset is not None
+                and (self.global_step // self.resample_dead_every)
+                > (start_step // self.resample_dead_every)
+            ):
+                self._force_resample()
+
+        if n % b:
+            epoch_metrics.append(self.train_step(data[steps * b :]))
+
+        self.metrics_history.extend(epoch_metrics)
+        self.epoch += 1
+        return epoch_metrics
+
+    def _force_resample(self) -> int:
+        saved = self.global_step
+        try:
+            self.global_step = self.resample_dead_every  # satisfy the modulo gate
+            return self._maybe_resample_dead_features()
+        finally:
+            self.global_step = saved
+
     def train_epoch(self, dataloader, progress=None, task_id=None) -> list[TrainingMetrics]:
         """One epoch (reference training.py:219-259)."""
         epoch_metrics = []
@@ -399,6 +535,7 @@ class SAETrainer:
             if meta.get("total_steps"):
                 self.setup_scheduler(int(meta["total_steps"]))
         self._step_fn = None
+        self._epoch_fn = None
 
     def save_final(self, filename_stem: str = "sae_final") -> None:
         """Write ``sae_final.npz`` (native) and ``sae_final.pt``

@@ -230,6 +230,49 @@ class TestMetricsFile:
         assert entries[0]["step"] == 1
 
 
+class TestFusedEpoch:
+    def test_matches_per_step_path(self, tmp_path, data):
+        # Same data, no shuffling: the fused lax.scan epoch must produce
+        # the same per-step metrics as the per-step jit path.
+        t1 = make_trainer(tmp_path)
+        loader = ActivationLoader(data, batch_size=16, shuffle=False)
+        m_step = t1.train_epoch(loader)
+
+        t2 = make_trainer(tmp_path)
+        m_fused = t2.train_epoch_fused(data, shuffle=False)
+
+        assert len(m_step) == len(m_fused) == 8
+        for a, b in zip(m_step, m_fused):
+            assert a.loss == pytest.approx(b.loss, rel=1e-5)
+            assert a.l0 == pytest.approx(b.l0, abs=1e-5)
+            assert a.step == b.step
+        np.testing.assert_allclose(
+            np.asarray(t1.model.params["w_enc"]),
+            np.asarray(t2.model.params["w_enc"]),
+            atol=1e-5,
+        )
+
+    def test_partial_batch_included(self, tmp_path, rng):
+        t = make_trainer(tmp_path)
+        uneven = rng.standard_normal((40, D)).astype(np.float32)
+        metrics = t.train_epoch_fused(uneven, shuffle=False)
+        assert len(metrics) == 3
+        assert t.global_step == 3
+        assert len(t.metrics_history) == 3
+
+    def test_fused_resample_fires_at_epoch_boundary(self, tmp_path, data):
+        cfg = TrainingConfig(
+            batch_size=16, learning_rate=1e-3, epochs=1, warmup_steps=0, use_amp=False
+        )
+        model = TopKSAE(input_dim=D, hidden_dim=H, k=K, dead_feature_threshold=1, seed=0)
+        t = SAETrainer(model, cfg, run_dir=tmp_path / "run", resample_dead_every=4)
+        t.set_resample_dataset(data)
+        model.state = model.state._replace(step_count=jnp.asarray(10_000, jnp.int32))
+        t.global_step = 0
+        t.train_epoch_fused(data, shuffle=False)  # 8 steps -> crosses 4
+        assert t.num_resampled_total > 0
+
+
 class TestResampling:
     def test_resample_fires_on_schedule(self, tmp_path, data):
         cfg = TrainingConfig(
