@@ -438,12 +438,41 @@ class SAETrainer:
         self.epoch += 1
         return epoch_metrics
 
-    def train(self, dataloader, epochs: int | None = None, checkpoint_every: int | None = None) -> None:
-        """Full loop (reference training.py:261-316)."""
+    def train(self, dataloader, epochs: int | None = None, checkpoint_every: int | None = None,
+              fused: bool | None = None) -> None:
+        """Full loop (reference training.py:261-316).
+
+        ``fused=None`` auto-selects: when the dataloader exposes its
+        backing array (ActivationLoader) and no mesh is attached, each
+        epoch runs as one fused lax.scan program; otherwise the per-step
+        path is used.  (The mesh path stays per-step for now — the fused
+        program would need sharded batch staging.)
+        """
         epochs = epochs or self.config.epochs
         checkpoint_every = checkpoint_every or self.config.checkpoint_every
         total_steps = len(dataloader) * epochs
         self.setup_scheduler(total_steps)
+        if fused is None:
+            fused = hasattr(dataloader, "data") and (
+                self.mesh is None or self.mesh.size == 1
+            )
+
+        if fused:
+            data = jnp.asarray(dataloader.data)
+            shuffle = getattr(dataloader, "shuffle", True)
+            for ep in range(epochs):
+                epoch_metrics = self.train_epoch_fused(data, shuffle=shuffle)
+                avg_loss = sum(m.loss for m in epoch_metrics) / max(len(epoch_metrics), 1)
+                avg_l0 = sum(m.l0 for m in epoch_metrics) / max(len(epoch_metrics), 1)
+                dead = epoch_metrics[-1].dead_feature_ratio if epoch_metrics else 0.0
+                print(
+                    f"Epoch {ep + 1}: loss={avg_loss:.4f}, L0={avg_l0:.1f}, "
+                    f"dead={dead:.1%}"
+                )
+                if (ep + 1) % checkpoint_every == 0:
+                    self.save_checkpoint(f"checkpoint_epoch{ep + 1}.npz")
+            self.save_checkpoint("final.npz")
+            return
 
         try:
             from rich.progress import (
