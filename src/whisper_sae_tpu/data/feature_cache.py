@@ -180,7 +180,25 @@ class FeatureCache:
         return CacheWriter(self, component, layer_idx, **kw)
 
     def get_dataloader(self, component: Component, layer_idx: int, batch_size: int,
-                       shuffle: bool = True, seed: int = 0, **_ignored) -> ActivationLoader:
+                       shuffle: bool = True, seed: int = 0,
+                       out_of_core: bool | None = None, **_ignored):
+        """Batch loader over a cached layer.
+
+        ``out_of_core=None`` auto-selects: multi-shard caches stream from
+        disk through the native shard reader (runtime/shard_reader.py)
+        with a prefetch thread; single-shard caches load in-memory
+        (the trainer can then use the fused-scan epoch path).
+        """
+        meta = self.load_metadata(component, layer_idx)
+        if out_of_core is None:
+            out_of_core = len(meta.shards or []) > 1
+        if out_of_core:
+            from ..runtime.shard_reader import PrefetchLoader, ShardReader
+
+            reader = ShardReader([self.cache_dir / s for s in meta.shards])
+            return PrefetchLoader(
+                reader, batch_size=batch_size, shuffle=shuffle, seed=seed
+            )
         features, _ = self.load(component, layer_idx)
         return ActivationLoader(features, batch_size=batch_size, shuffle=shuffle, seed=seed)
 
