@@ -1,0 +1,23 @@
+"""Causal intervention tools: activation patching, SAE substitution,
+feature ablation (implemented; the reference only declared this package,
+/root/reference/src/whisper_sae/causal/__init__.py)."""
+
+from .patching import (
+    encoder_forward_patched,
+    feature_ablation_patch,
+    logit_kl,
+    patched_logits,
+    sae_reconstruction_patch,
+    substitution_effect,
+    token_agreement,
+)
+
+__all__ = [
+    "encoder_forward_patched",
+    "feature_ablation_patch",
+    "logit_kl",
+    "patched_logits",
+    "sae_reconstruction_patch",
+    "substitution_effect",
+    "token_agreement",
+]

@@ -1,0 +1,193 @@
+"""Causal interventions: activation patching through the Whisper forward.
+
+The reference declares this package but never implements it
+(/root/reference/src/whisper_sae/causal/__init__.py is a one-line
+docstring; README.md:94 lists activation patching as planned).  The
+functional JAX forward makes it straightforward here: an intervention is
+just a function applied to one layer's output inside the (jitted,
+scanned) encoder pass — no hooks, no module surgery.
+
+Provided interventions:
+- arbitrary ``patch_fn`` on any encoder layer's output;
+- SAE substitution (replace a layer's activations with their SAE
+  reconstruction — the standard causal validation of SAE quality),
+  handling final-LN-space SAEs by inverting the layer norm with the
+  original activations' statistics;
+- SAE feature ablation (zero selected latents before reconstructing).
+
+Effect metrics: greedy-decode token agreement and mean KL of the LM
+logits under the patch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..models.whisper import (
+    LN_EPS,
+    WhisperArch,
+    _encoder_layer,
+    _layer_norm,
+    decoder_forward,
+    decoder_logits,
+    greedy_decode,
+)
+
+
+def encoder_forward_patched(
+    params: dict,
+    mel: jax.Array,
+    arch: WhisperArch,
+    layer_idx: int,
+    patch_fn: Callable[[jax.Array], jax.Array],
+) -> tuple[jax.Array, jax.Array]:
+    """Encoder forward with ``patch_fn`` applied to layer ``layer_idx``'s
+    output (shape-preserving [B, T, D] -> [B, T, D]).
+
+    Returns (last_hidden after final LN, per-layer outputs [L, B, T, D]
+    downstream of the patch).
+    """
+    enc = params["encoder"]
+    dn = ("NCH", "OIH", "NCH")
+    x = jax.lax.conv_general_dilated(
+        mel, enc["conv1_w"], (1,), [(1, 1)], dimension_numbers=dn
+    ) + enc["conv1_b"][None, :, None]
+    x = jax.nn.gelu(x, approximate=False)
+    x = jax.lax.conv_general_dilated(
+        x, enc["conv2_w"], (2,), [(1, 1)], dimension_numbers=dn
+    ) + enc["conv2_b"][None, :, None]
+    x = jax.nn.gelu(x, approximate=False)
+    x = x.transpose(0, 2, 1)
+    x = x + enc["pos"][: x.shape[1]]
+
+    def body(carry, scanned):
+        h, = carry
+        lp, i = scanned
+        h = _encoder_layer(h, lp, arch.num_heads)
+        h = jax.lax.cond(i == layer_idx, patch_fn, lambda a: a, h)
+        return (h,), h
+
+    idxs = jnp.arange(arch.encoder_layers)
+    (x,), layer_outputs = jax.lax.scan(body, (x,), (enc["layers"], idxs))
+    last = _layer_norm(x, enc["ln_f_g"], enc["ln_f_b"])
+    return last, layer_outputs
+
+
+def sae_reconstruction_patch(
+    sae,
+    whisper_params: dict,
+    apply_layer_norm: bool = True,
+) -> Callable[[jax.Array], jax.Array]:
+    """Patch a layer's output with its SAE reconstruction.
+
+    When the SAE was trained on final-LN-applied activations (the aiOla
+    trick, reference hooks.py:87-92), the reconstruction lives in LN
+    space; it is mapped back with the inverse affine using the original
+    activations' per-token mean/variance.
+    """
+    g = whisper_params["encoder"]["ln_f_g"]
+    b = whisper_params["encoder"]["ln_f_b"]
+
+    def patch(h: jax.Array) -> jax.Array:
+        shape = h.shape
+        flat = h.reshape(-1, shape[-1])
+        if apply_layer_norm:
+            mean = jnp.mean(flat, axis=-1, keepdims=True)
+            var = jnp.var(flat, axis=-1, keepdims=True)
+            x_ln = (flat - mean) * jax.lax.rsqrt(var + LN_EPS) * g + b
+            recon_ln = sae(x_ln).reconstructed
+            recon = (recon_ln - b) / g * jnp.sqrt(var + LN_EPS) + mean
+        else:
+            recon = sae(flat).reconstructed
+        return recon.reshape(shape)
+
+    return patch
+
+
+def feature_ablation_patch(
+    sae,
+    feature_idxs,
+    whisper_params: dict,
+    apply_layer_norm: bool = True,
+) -> Callable[[jax.Array], jax.Array]:
+    """Replace a layer's output with the SAE reconstruction computed with
+    the given latent features zeroed (causal feature ablation)."""
+    g = whisper_params["encoder"]["ln_f_g"]
+    b = whisper_params["encoder"]["ln_f_b"]
+    feature_idxs = jnp.asarray(feature_idxs)
+
+    def patch(h: jax.Array) -> jax.Array:
+        shape = h.shape
+        flat = h.reshape(-1, shape[-1])
+        if apply_layer_norm:
+            mean = jnp.mean(flat, axis=-1, keepdims=True)
+            var = jnp.var(flat, axis=-1, keepdims=True)
+            x = (flat - mean) * jax.lax.rsqrt(var + LN_EPS) * g + b
+        else:
+            x = flat
+        hidden = sae.encode(x)
+        hidden = hidden.at[:, feature_idxs].set(0.0)
+        recon = sae.decode(hidden)
+        if apply_layer_norm:
+            recon = (recon - b) / g * jnp.sqrt(var + LN_EPS) + mean
+        return recon.reshape(shape)
+
+    return patch
+
+
+# ---------------------------------------------------------------------------
+# effect metrics
+# ---------------------------------------------------------------------------
+
+
+def patched_logits(
+    params: dict, mel: jax.Array, arch: WhisperArch, layer_idx: int, patch_fn
+) -> jax.Array:
+    """LM logits for the BOS step under a patched encoder."""
+    enc_last, _ = encoder_forward_patched(params, mel, arch, layer_idx, patch_fn)
+    bos = jnp.full((mel.shape[0], 1), arch.decoder_start_token_id, jnp.int32)
+    hidden, _ = decoder_forward(params, bos, enc_last, arch)
+    return decoder_logits(params, hidden[:, 0, :])
+
+
+def logit_kl(clean_logits: jax.Array, patched: jax.Array) -> jax.Array:
+    """Mean KL(clean || patched) over the batch."""
+    p = jax.nn.log_softmax(clean_logits, axis=-1)
+    q = jax.nn.log_softmax(patched, axis=-1)
+    return jnp.mean(jnp.sum(jnp.exp(p) * (p - q), axis=-1))
+
+
+def token_agreement(tokens_a: jax.Array, tokens_b: jax.Array) -> jax.Array:
+    """Fraction of greedy-decoded tokens that agree."""
+    return jnp.mean((tokens_a == tokens_b).astype(jnp.float32))
+
+
+def substitution_effect(
+    params: dict,
+    mel: jax.Array,
+    arch: WhisperArch,
+    sae,
+    layer_idx: int,
+    apply_layer_norm: bool = True,
+    max_len: int = 16,
+) -> dict[str, float]:
+    """End-to-end causal validation of an SAE: substitute the layer's
+    activations with the SAE reconstruction and measure the downstream
+    effect on logits and greedy decodes."""
+    clean = patched_logits(params, mel, arch, layer_idx, lambda h: h)
+    patch = sae_reconstruction_patch(sae, params, apply_layer_norm)
+    subbed = patched_logits(params, mel, arch, layer_idx, patch)
+
+    clean_tokens = greedy_decode(params, mel, arch, max_len=max_len)
+    enc_last, _ = encoder_forward_patched(params, mel, arch, layer_idx, patch)
+    patched_tokens = greedy_decode(
+        params, mel, arch, max_len=max_len, encoder_hidden=enc_last
+    )
+    return {
+        "logit_kl": float(logit_kl(clean, subbed)),
+        "token_agreement": float(token_agreement(clean_tokens, patched_tokens)),
+    }

@@ -244,6 +244,40 @@ def flatten_activations(acts: jax.Array) -> jax.Array:
     return acts.reshape(-1, acts.shape[-1])
 
 
+def decoder_logits(params: dict, hidden: jax.Array) -> jax.Array:
+    """LM logits from decoder hidden states (Whisper ties the output
+    projection to the token embedding)."""
+    return jnp.dot(hidden, params["decoder"]["tok"].T, preferred_element_type=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("arch", "max_len"))
+def greedy_decode(
+    params: dict,
+    mel: jax.Array,
+    arch: WhisperArch,
+    max_len: int = 32,
+    encoder_hidden: jax.Array | None = None,
+) -> jax.Array:
+    """Greedy token decoding (no KV cache — O(L) full decoder passes on a
+    fixed-length buffer, fine for analysis-scale use; the reference never
+    decodes at all, its decoder only ever sees one BOS token).
+
+    Returns [B, max_len] token ids starting with the BOS token.
+    """
+    if encoder_hidden is None:
+        encoder_hidden, _ = encoder_forward(params, mel, arch)
+    b = encoder_hidden.shape[0]
+    tokens = jnp.full((b, max_len), arch.decoder_start_token_id, jnp.int32)
+
+    def step(t, tokens):
+        hidden, _ = decoder_forward(params, tokens, encoder_hidden, arch)
+        logits = decoder_logits(params, hidden[:, t, :])
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return tokens.at[:, t + 1].set(nxt)
+
+    return jax.lax.fori_loop(0, max_len - 1, step, tokens)
+
+
 # ---------------------------------------------------------------------------
 # params: random init & HF import
 # ---------------------------------------------------------------------------

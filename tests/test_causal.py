@@ -1,0 +1,152 @@
+"""Causal-intervention tests (the reference has no implementation to
+mirror — these pin the semantics of the TPU build's patching layer)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_sae_tpu.causal import (
+    encoder_forward_patched,
+    feature_ablation_patch,
+    logit_kl,
+    patched_logits,
+    sae_reconstruction_patch,
+    substitution_effect,
+    token_agreement,
+)
+from whisper_sae_tpu.models.sae import TopKSAE
+from whisper_sae_tpu.models.whisper import (
+    WhisperArch,
+    encoder_forward,
+    greedy_decode,
+    init_whisper,
+)
+
+ARCH = WhisperArch(
+    d_model=64, encoder_layers=2, decoder_layers=2, num_heads=2, ffn_dim=128,
+    max_source_positions=75, max_target_positions=24, vocab_size=200,
+    decoder_start_token_id=42,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_whisper(jax.random.PRNGKey(0), ARCH)
+
+
+@pytest.fixture
+def mel(rng):
+    return jnp.asarray(rng.standard_normal((2, 80, 150)), jnp.float32)
+
+
+class TestPatchedForward:
+    def test_identity_patch_matches_clean(self, params, mel):
+        clean_last, clean_layers = encoder_forward(params, mel, ARCH)
+        pat_last, pat_layers = encoder_forward_patched(
+            params, mel, ARCH, layer_idx=0, patch_fn=lambda h: h
+        )
+        np.testing.assert_allclose(
+            np.asarray(pat_last), np.asarray(clean_last), atol=1e-5
+        )
+
+    def test_zero_patch_changes_downstream_only(self, params, mel):
+        _, clean_layers = encoder_forward(params, mel, ARCH)
+        _, pat_layers = encoder_forward_patched(
+            params, mel, ARCH, layer_idx=0, patch_fn=lambda h: jnp.zeros_like(h)
+        )
+        # layer 0 output IS the patch
+        np.testing.assert_allclose(np.asarray(pat_layers[0]), 0.0, atol=1e-7)
+        # layer 1 differs from clean
+        assert (
+            np.abs(np.asarray(pat_layers[1]) - np.asarray(clean_layers[1])).max()
+            > 1e-3
+        )
+
+    def test_additive_patch_on_last_layer(self, params, mel):
+        # (a pure scaling patch would be invisible: the final LayerNorm
+        # is scale-invariant — use a direction-changing patch)
+        clean_last, _ = encoder_forward(params, mel, ARCH)
+        delta = jnp.ones((1, 1, 64)) * jnp.arange(64)
+        pat_last, _ = encoder_forward_patched(
+            params, mel, ARCH, layer_idx=1, patch_fn=lambda h: h + delta
+        )
+        assert np.abs(np.asarray(pat_last) - np.asarray(clean_last)).max() > 1e-3
+
+
+class TestGreedyDecode:
+    def test_shape_and_bos(self, params, mel):
+        tokens = greedy_decode(params, mel, ARCH, max_len=8)
+        assert tokens.shape == (2, 8)
+        assert (np.asarray(tokens[:, 0]) == 42).all()
+
+    def test_deterministic(self, params, mel):
+        a = np.asarray(greedy_decode(params, mel, ARCH, max_len=8))
+        b = np.asarray(greedy_decode(params, mel, ARCH, max_len=8))
+        np.testing.assert_array_equal(a, b)
+
+
+class TestSAEInterventions:
+    def _good_sae(self, params, mel, apply_ln=True):
+        """An SAE with enough capacity trained briefly on this layer."""
+        import optax
+
+        from whisper_sae_tpu.models.sae import normalize_decoder, topk_sae_loss
+        from whisper_sae_tpu.models.whisper import extract_activations
+
+        acts = extract_activations(
+            params, mel, ARCH, apply_layer_norm=apply_ln, with_decoder=False
+        )["encoder"][0].reshape(-1, 64)
+        sae = TopKSAE(input_dim=64, hidden_dim=512, k=48, seed=0)
+        opt = optax.adam(3e-3)
+        ost = opt.init(sae.params)
+
+        @jax.jit
+        def step(p, o):
+            l, g = jax.value_and_grad(lambda q: topk_sae_loss(q, acts, 48)[0])(p)
+            u, o = opt.update(g, o, p)
+            return normalize_decoder(optax.apply_updates(p, u)), o, l
+
+        p = sae.params
+        for _ in range(300):
+            p, ost, loss = step(p, ost)
+        sae.params = p
+        return sae, float(loss), acts
+
+    def test_substitution_effect_tracks_sae_quality(self, params, mel):
+        sae, loss, acts = self._good_sae(params, mel)
+        good = substitution_effect(params, mel, ARCH, sae, layer_idx=0, max_len=8)
+        bad_sae = TopKSAE(input_dim=64, hidden_dim=512, k=48, seed=1)  # untrained
+        bad = substitution_effect(params, mel, ARCH, bad_sae, layer_idx=0, max_len=8)
+        assert good["logit_kl"] < bad["logit_kl"]
+        assert good["token_agreement"] >= bad["token_agreement"]
+
+    def test_reconstruction_patch_ln_inverse(self, params, mel):
+        # a perfect "SAE" (identity reconstruction) must leave the
+        # forward unchanged, exercising the LN inversion
+        class IdentitySAE:
+            def __call__(self, x):
+                from whisper_sae_tpu.models.sae import SAEOutput
+
+                z = jnp.zeros(())
+                return SAEOutput(x, x, z, z, z, z)
+
+        patch = sae_reconstruction_patch(IdentitySAE(), params, apply_layer_norm=True)
+        clean = patched_logits(params, mel, ARCH, 0, lambda h: h)
+        pat = patched_logits(params, mel, ARCH, 0, patch)
+        np.testing.assert_allclose(np.asarray(pat), np.asarray(clean), atol=1e-3)
+
+    def test_feature_ablation_changes_output(self, params, mel):
+        sae, _, _ = self._good_sae(params, mel)
+        patch_none = sae_reconstruction_patch(sae, params)
+        patch_abl = feature_ablation_patch(sae, list(range(64)), params)
+        a = patched_logits(params, mel, ARCH, 0, patch_none)
+        b = patched_logits(params, mel, ARCH, 0, patch_abl)
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-4
+
+    def test_metrics(self):
+        t1 = jnp.asarray([[1, 2, 3, 4]])
+        t2 = jnp.asarray([[1, 2, 0, 4]])
+        assert float(token_agreement(t1, t2)) == pytest.approx(0.75)
+        logits = jnp.asarray([[1.0, 2.0, 3.0]])
+        assert float(logit_kl(logits, logits)) == pytest.approx(0.0, abs=1e-6)
