@@ -1,0 +1,275 @@
+#!/usr/bin/env python3
+"""Job launcher: the TPU analogue of the reference's Modal apps.
+
+The reference runs per-layer jobs on Modal A10Gs with persistent volumes
+(/root/reference/modal_app/{extract_features,train}.py): flat-kwarg
+entrypoints, atomic checkpoint writes, metadata.json / extraction_log.json
+/ training_config.json sidecars, and a sequential all-layers mode.  Here
+the same surface targets the local TPU (or any JAX backend): per-layer SAE
+runs are independent, so a slice-pool fan-out later only needs to change
+the ``_run`` dispatch.
+
+    python launcher/launch.py extract --layers-encoder 0,1 --max-samples 500
+    python launcher/launch.py train --component encoder --layer-idx 0
+    python launcher/launch.py train --all-layers
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from datetime import datetime
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "src"))
+
+CACHE_DIR = Path("cache")
+OUTPUT_DIR = Path("outputs")
+
+
+def _parse_layers(spec: str) -> list[int]:
+    return [int(x) for x in spec.split(",") if x != ""]
+
+
+def extract_features(
+    model_name: str = "openai/whisper-tiny",
+    layers_encoder: str = "0,1,2,3",
+    layers_decoder: str = "0,1,2,3",
+    max_samples: int = 1000,
+    batch_size: int = 16,
+    dataset: str = "librispeech_asr",
+    cache_dir: str | Path = CACHE_DIR,
+    random_whisper: bool = False,
+    seed: int = 42,
+) -> dict:
+    """Extraction job (reference modal_app/extract_features.py:42-327
+    surface): streams audio, one jitted capture forward per batch, atomic
+    shard writes, metadata.json + extraction_log.json."""
+    import jax
+
+    from whisper_sae_tpu.config import DataConfig, WhisperConfig
+    from whisper_sae_tpu.data.feature_cache import FeatureCache, extract_and_cache_features
+    from whisper_sae_tpu.data.librispeech import (
+        AudioBatchLoader,
+        LibriSpeechDataset,
+        LibriSpeechFeaturesOnly,
+        SyntheticSpeechDataset,
+    )
+    from whisper_sae_tpu.models.whisper import arch_for, init_whisper, load_pretrained
+
+    t0 = time.time()
+    enc_layers = _parse_layers(layers_encoder)
+    dec_layers = _parse_layers(layers_decoder)
+    whisper_cfg = WhisperConfig(model_name=model_name)
+    data_cfg = DataConfig(dataset_name=dataset, max_samples=max_samples, cache_dir=Path(cache_dir))
+
+    arch = arch_for(model_name)
+    if random_whisper:
+        params = init_whisper(jax.random.PRNGKey(seed), arch)
+    else:
+        try:
+            params, arch = load_pretrained(model_name)
+        except Exception:
+            print("pretrained load failed; using random weights", file=sys.stderr)
+            params = init_whisper(jax.random.PRNGKey(seed), arch)
+
+    if dataset == "synthetic":
+        ds = SyntheticSpeechDataset(num_samples=max_samples, seed=seed)
+    else:
+        ds = LibriSpeechDataset(data_cfg)
+    loader = AudioBatchLoader(LibriSpeechFeaturesOnly(ds), batch_size=batch_size)
+
+    cache = FeatureCache(Path(cache_dir) / "features", whisper_cfg, data_cfg)
+    extract_and_cache_features(
+        params, arch, loader, cache,
+        encoder_layers=enc_layers, decoder_layers=dec_layers,
+        max_samples=max_samples,
+    )
+
+    log = {
+        "model_name": model_name,
+        "encoder_layers": enc_layers,
+        "decoder_layers": dec_layers,
+        "max_samples": max_samples,
+        "dataset": dataset,
+        "elapsed_s": round(time.time() - t0, 1),
+        "finished_at": datetime.now().isoformat(),
+        "backend": jax.default_backend(),
+    }
+    (Path(cache_dir) / "features" / "extraction_log.json").write_text(
+        json.dumps(log, indent=2)
+    )
+    (Path(cache_dir) / "features" / "metadata.json").write_text(
+        json.dumps(
+            {
+                "model_name": model_name,
+                "layers": {"encoder": enc_layers, "decoder": dec_layers},
+                "created_at": datetime.now().isoformat(),
+            },
+            indent=2,
+        )
+    )
+    return log
+
+
+def train_sae(
+    component: str = "encoder",
+    layer_idx: int = 0,
+    model_name: str = "openai/whisper-tiny",
+    expansion_factor: int = 8,
+    k: int = 32,
+    batch_size: int = 4096,
+    learning_rate: float = 1e-4,
+    epochs: int = 10,
+    warmup_steps: int = 1000,
+    use_amp: bool = True,
+    cache_dir: str | Path = CACHE_DIR,
+    output_dir: str | Path = OUTPUT_DIR,
+    experiment_name: str = "launch",
+    seed: int = 42,
+) -> dict:
+    """Per-layer training job (reference modal_app/train.py:50-424
+    surface): loads the cached layer, trains, writes atomic checkpoints,
+    sae_final with embedded config, metrics.json, training_config.json."""
+    from whisper_sae_tpu.config import DataConfig, SAEConfig, TrainingConfig, WhisperConfig
+    from whisper_sae_tpu.data.feature_cache import FeatureCache
+    from whisper_sae_tpu.models.sae import create_sae
+    from whisper_sae_tpu.training.trainer import SAETrainer
+
+    t0 = time.time()
+    whisper_cfg = WhisperConfig(model_name=model_name)
+    cache = FeatureCache(Path(cache_dir) / "features", whisper_cfg, DataConfig())
+    if not cache.has_cache(component, layer_idx):
+        raise FileNotFoundError(
+            f"no cached features for {component} layer {layer_idx}; run extract first"
+        )
+
+    sae_cfg = SAEConfig(expansion_factor=expansion_factor, k=k)
+    train_cfg = TrainingConfig(
+        batch_size=batch_size, learning_rate=learning_rate, epochs=epochs,
+        warmup_steps=warmup_steps, use_amp=use_amp, seed=seed,
+    )
+
+    features, meta = cache.load(component, layer_idx)
+    sae = create_sae(sae_cfg, input_dim=meta.hidden_dim, seed=seed)
+    run_dir = Path(output_dir) / f"{experiment_name}_{component}_layer{layer_idx}"
+    run_dir.mkdir(parents=True, exist_ok=True)
+
+    trainer = SAETrainer(sae, train_cfg, run_dir=run_dir)
+    trainer.set_resample_dataset(features)
+    loader = cache.get_dataloader(component, layer_idx, batch_size=batch_size, seed=seed)
+    trainer.train(loader, epochs=epochs)
+    trainer.save_final()
+    trainer.save_metrics()
+
+    result = {
+        "component": component,
+        "layer_idx": layer_idx,
+        "num_tokens": meta.num_tokens,
+        "final_loss": trainer.metrics_history[-1].loss if trainer.metrics_history else None,
+        "elapsed_s": round(time.time() - t0, 1),
+        "run_dir": str(run_dir),
+    }
+    (run_dir / "training_config.json").write_text(
+        json.dumps(
+            {
+                "sae": json.loads(sae_cfg.model_dump_json()),
+                "training": json.loads(train_cfg.model_dump_json()),
+                "whisper": json.loads(whisper_cfg.model_dump_json()),
+                "component": component,
+                "layer_idx": layer_idx,
+                "finished_at": datetime.now().isoformat(),
+            },
+            indent=2,
+        )
+    )
+    return result
+
+
+def train_all_layers(
+    model_name: str = "openai/whisper-tiny",
+    layers_encoder: str = "0,1,2,3",
+    layers_decoder: str = "0,1,2,3",
+    **kwargs,
+) -> list[dict]:
+    """Sequential all-layers sweep (reference modal_app/train.py:427-486).
+    Per-layer runs are independent; this is the single-slice schedule."""
+    results = []
+    for layer in _parse_layers(layers_encoder):
+        results.append(train_sae(component="encoder", layer_idx=layer,
+                                 model_name=model_name, **kwargs))
+    for layer in _parse_layers(layers_decoder):
+        results.append(train_sae(component="decoder", layer_idx=layer,
+                                 model_name=model_name, **kwargs))
+    return results
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("extract")
+    pe.add_argument("--model-name", default="openai/whisper-tiny")
+    pe.add_argument("--layers-encoder", default="0,1,2,3")
+    pe.add_argument("--layers-decoder", default="0,1,2,3")
+    pe.add_argument("--max-samples", type=int, default=1000)
+    pe.add_argument("--batch-size", type=int, default=16)
+    pe.add_argument("--dataset", default="librispeech_asr")
+    pe.add_argument("--cache-dir", default=str(CACHE_DIR))
+    pe.add_argument("--random-whisper", action="store_true")
+
+    pt = sub.add_parser("train")
+    pt.add_argument("--component", default="encoder")
+    pt.add_argument("--layer-idx", type=int, default=0)
+    pt.add_argument("--all-layers", action="store_true")
+    pt.add_argument("--model-name", default="openai/whisper-tiny")
+    pt.add_argument("--layers-encoder", default="0,1,2,3")
+    pt.add_argument("--layers-decoder", default="0,1,2,3")
+    pt.add_argument("--expansion-factor", type=int, default=8)
+    pt.add_argument("--k", type=int, default=32)
+    pt.add_argument("--batch-size", type=int, default=4096)
+    pt.add_argument("--learning-rate", type=float, default=1e-4)
+    pt.add_argument("--epochs", type=int, default=10)
+    pt.add_argument("--cache-dir", default=str(CACHE_DIR))
+    pt.add_argument("--output-dir", default=str(OUTPUT_DIR))
+    pt.add_argument("--experiment-name", default="launch")
+
+    args = p.parse_args()
+    if args.cmd == "extract":
+        out = extract_features(
+            model_name=args.model_name,
+            layers_encoder=args.layers_encoder,
+            layers_decoder=args.layers_decoder,
+            max_samples=args.max_samples,
+            batch_size=args.batch_size,
+            dataset=args.dataset,
+            cache_dir=args.cache_dir,
+            random_whisper=args.random_whisper,
+        )
+    else:
+        common = dict(
+            model_name=args.model_name,
+            expansion_factor=args.expansion_factor,
+            k=args.k,
+            batch_size=args.batch_size,
+            learning_rate=args.learning_rate,
+            epochs=args.epochs,
+            cache_dir=args.cache_dir,
+            output_dir=args.output_dir,
+            experiment_name=args.experiment_name,
+        )
+        if args.all_layers:
+            out = train_all_layers(
+                layers_encoder=args.layers_encoder,
+                layers_decoder=args.layers_decoder,
+                **common,
+            )
+        else:
+            out = train_sae(component=args.component, layer_idx=args.layer_idx, **common)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
