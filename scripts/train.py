@@ -45,6 +45,8 @@ def parse_args() -> argparse.Namespace:
                              "has no resume flag; this is a TPU-build addition)")
     parser.add_argument("--random-whisper", action="store_true",
                         help="Use randomly initialized Whisper weights (offline mode)")
+    parser.add_argument("--profile", type=Path, default=None,
+                        help="Capture a jax.profiler trace into this directory")
     return parser.parse_args()
 
 
@@ -241,7 +243,10 @@ def main() -> None:
                 console.print("Continuing without W&B logging...")
 
         console.print(f"Training for {config.training.epochs} epochs...")
-        trainer.train(dataloader, epochs=config.training.epochs)
+        from whisper_sae_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            trainer.train(dataloader, epochs=config.training.epochs)
         trainer.save_final()
         console.print(f"[green]Saved model to {run_dir / 'sae_final.npz'}[/green]")
         trainer.save_metrics()

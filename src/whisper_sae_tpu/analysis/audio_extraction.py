@@ -78,6 +78,9 @@ class AudioClipExtractor:
         clip_len = self._ms_to_samples(self.config.clip_duration_ms)
         start = max(0, center - context)
         end = min(len(audio), start + clip_len)
+        if end <= start:
+            # activation frame beyond the (padded-to-30s) audio length
+            return None
         clip = audio[start:end]
         if self.config.normalize_audio and np.abs(clip).max() > 0:
             clip = clip / np.abs(clip).max() * 0.95

@@ -44,6 +44,7 @@ from ..models.sae import (
     update_dead_state,
 )
 from ..utils.checkpoint import export_torch_state_dict, load_pytree, save_pytree
+from ..utils.profiling import ThroughputMeter
 from .schedule import constant_schedule, warmup_cosine_schedule
 
 
@@ -106,6 +107,9 @@ class SAETrainer:
         self.wandb_run = None
         self._resample_dataset = None
         self._resample_rng = np.random.default_rng(config.seed)
+        self.throughput = ThroughputMeter(
+            num_chips=mesh.size if mesh is not None else 1
+        )
 
     # ------------------------------------------------------------------
     # optimizer / schedule
@@ -461,13 +465,17 @@ class SAETrainer:
             data = jnp.asarray(dataloader.data)
             shuffle = getattr(dataloader, "shuffle", True)
             for ep in range(epochs):
+                self.throughput.start()
                 epoch_metrics = self.train_epoch_fused(data, shuffle=shuffle)
+                self.throughput.add_tokens(data.shape[0])
+                rate = self.throughput.stop()
                 avg_loss = sum(m.loss for m in epoch_metrics) / max(len(epoch_metrics), 1)
                 avg_l0 = sum(m.l0 for m in epoch_metrics) / max(len(epoch_metrics), 1)
                 dead = epoch_metrics[-1].dead_feature_ratio if epoch_metrics else 0.0
                 print(
                     f"Epoch {ep + 1}: loss={avg_loss:.4f}, L0={avg_l0:.1f}, "
-                    f"dead={dead:.1%}"
+                    f"dead={dead:.1%}, "
+                    f"{rate['activations_per_sec_per_chip']:,.0f} act/s/chip"
                 )
                 if (ep + 1) % checkpoint_every == 0:
                     self.save_checkpoint(f"checkpoint_epoch{ep + 1}.npz")
@@ -506,7 +514,13 @@ class SAETrainer:
                     if progress
                     else None
                 )
+                self.throughput.start()
                 epoch_metrics = self.train_epoch(dataloader, progress, step_task)
+                self.throughput.add_tokens(
+                    getattr(dataloader, "num_tokens", 0)
+                    or self.config.batch_size * len(epoch_metrics)
+                )
+                self.throughput.stop()
                 avg_loss = sum(m.loss for m in epoch_metrics) / max(len(epoch_metrics), 1)
                 avg_l0 = sum(m.l0 for m in epoch_metrics) / max(len(epoch_metrics), 1)
                 dead = epoch_metrics[-1].dead_feature_ratio if epoch_metrics else 0.0

@@ -110,6 +110,30 @@ class TestDistributedTraining:
         np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
 
 
+class TestDistributedTopK:
+    def test_sharded_threshold_matches_dense(self, rng):
+        from jax.sharding import PartitionSpec as P
+
+        shard_map = jax.shard_map
+
+        from whisper_sae_tpu.ops.topk import topk_mask_dense
+        from whisper_sae_tpu.parallel.tp_topk import topk_mask_sharded
+
+        mesh = make_mesh(data=1, model=8)
+        pre = jnp.asarray(rng.standard_normal((16, 256)), jnp.float32)
+
+        f = shard_map(
+            lambda p: topk_mask_sharded(p, 8, MODEL_AXIS),
+            mesh=mesh,
+            in_specs=P(None, MODEL_AXIS),
+            out_specs=P(None, MODEL_AXIS),
+        )
+        got = np.asarray(jax.jit(f)(pre))
+        want = np.asarray(jax.jit(lambda p: topk_mask_dense(p, 8))(pre))
+        np.testing.assert_array_equal(got, want)
+        assert ((got > 0).sum(axis=1) <= 8).all()
+
+
 class TestGraftEntry:
     def test_dryrun_multichip(self):
         import sys
