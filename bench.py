@@ -70,6 +70,38 @@ def bench_tpu(batch: int, steps: int, warmup_steps: int = 8) -> float:
     return best
 
 
+def bench_extraction(batch: int = 16, steps: int = 8) -> dict:
+    """Extraction throughput: whisper-tiny forward with all-layer capture
+    (clips/sec and activation-tokens/sec/layer), random weights + random
+    mel — the compute path is identical to a pretrained run."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_sae_tpu.models.whisper import WhisperArch, extract_activations, init_whisper
+
+    arch = WhisperArch()
+    params = init_whisper(jax.random.PRNGKey(0), arch)
+    mels = jax.random.normal(jax.random.PRNGKey(1), (steps, batch, 80, 3000), jnp.float32)
+
+    def run(mels):
+        def body(c, mel):
+            acts = extract_activations(params, mel, arch, with_decoder=True)
+            return c, (jnp.sum(acts["encoder"][:, :, 0, 0]), jnp.sum(acts["decoder"]))
+        _, out = jax.lax.scan(body, 0, mels)
+        return jax.tree_util.tree_map(jnp.sum, out)
+
+    f = jax.jit(run)
+    jax.tree_util.tree_map(float, f(mels))  # compile + warm
+    t0 = time.perf_counter()
+    jax.tree_util.tree_map(float, f(mels))
+    dt = time.perf_counter() - t0
+    clips = steps * batch
+    return {
+        "clips_per_sec": clips / dt,
+        "activation_tokens_per_sec_per_layer": clips * 1500 / dt,
+    }
+
+
 def bench_torch_reference(batch: int = 128, steps: int = 10) -> float:
     """Reference-semantics torch train step on this host (the measurable
     baseline; see module docstring)."""
@@ -122,7 +154,20 @@ def main() -> None:
     parser.add_argument("--steps", type=int, default=64)
     parser.add_argument("--baseline-steps", type=int, default=8)
     parser.add_argument("--skip-baseline", action="store_true")
+    parser.add_argument("--extraction", action="store_true",
+                        help="Benchmark activation extraction instead of SAE training")
     args = parser.parse_args()
+
+    if args.extraction:
+        ext = bench_extraction()
+        print(json.dumps({
+            "metric": "whisper_tiny_extraction_throughput",
+            "value": round(ext["activation_tokens_per_sec_per_layer"], 1),
+            "unit": "activation-tokens/sec/layer/chip",
+            "clips_per_sec": round(ext["clips_per_sec"], 2),
+            "vs_baseline": None,
+        }))
+        return
 
     value = bench_tpu(args.batch, args.steps)
 

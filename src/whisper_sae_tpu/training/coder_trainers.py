@@ -1,0 +1,103 @@
+"""Trainers for transcoders and crosscoders.
+
+The reference has no trainer for these — its tests hand-roll torch optim
+loops (tests/test_transcoder.py, test_crosscoder.py).  Here they reuse
+the full SAETrainer machinery (jitted step, fused-scan epochs,
+schedule/checkpoints/metrics, resampling) by overriding the loss, batch
+preparation, and renorm hooks.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.crosscoder import (
+    CrossLayerCrosscoder,
+    crosscoder_loss,
+    normalize_crosscoder_decoder,
+)
+from ..models.transcoder import _TranscoderBase, transcoder_loss
+from .trainer import SAETrainer
+
+
+class TranscoderTrainer(SAETrainer):
+    """Trains TopK / Skip transcoders on (mlp_input, mlp_output) pairs.
+
+    Batches are ``(x, y)`` tuples (or stacked ``[2, B, D]`` arrays);
+    ``set_resample_dataset`` takes the same pair.
+    """
+
+    model: _TranscoderBase
+
+    def _loss_fn(self):
+        k = self.model.k
+        dtype = self.compute_dtype
+        use_skip = "w_skip" in self.model.params
+
+        def loss_fn(params, batch):
+            x, y = batch
+            loss, aux = transcoder_loss(params, x, y, k, dtype, use_skip=use_skip)
+            return loss, {
+                "reconstruction_loss": loss,
+                "sparsity_loss": jnp.zeros((), jnp.float32),
+                "l0": aux["l0"],
+                "active": aux["active"],
+            }
+
+        return loss_fn
+
+    def _prepare_batch(self, batch):
+        if isinstance(batch, (tuple, list)) and len(batch) == 2:
+            return (jnp.asarray(batch[0]), jnp.asarray(batch[1]))
+        arr = jnp.asarray(batch)
+        if arr.ndim == 3 and arr.shape[0] == 2:
+            return (arr[0], arr[1])
+        raise ValueError("transcoder batches must be (mlp_input, mlp_output)")
+
+    def set_resample_dataset(self, dataset) -> None:
+        x, y = dataset
+        self._resample_dataset = (np.asarray(x), np.asarray(y))
+
+    def _maybe_resample_dead_features(self) -> int:
+        if self._resample_dataset is None:
+            return 0
+        if self.global_step == 0 or self.global_step % self.resample_dead_every != 0:
+            return 0
+        x, y = self._resample_dataset
+        n = min(self.resample_batch_size, len(x))
+        idx = self._resample_rng.permutation(len(x))[:n]
+        num = self.model.resample_dead_features(jnp.asarray(x[idx]), jnp.asarray(y[idx]))
+        if num > 0:
+            self._reset_moments_for_current_params()
+            self.num_resampled_total += num
+        return num
+
+
+class CrosscoderTrainer(SAETrainer):
+    """Trains cross-layer crosscoders on token-major ``[N, L, D]`` data
+    (the loss transposes to the model's [L, B, D] layout)."""
+
+    model: CrossLayerCrosscoder
+
+    def _loss_fn(self):
+        k = self.model._k  # None selects the ReLU + weighted-L1 variant
+        sw = self.model.sparsity_weight
+
+        def loss_fn(params, batch):
+            acts = jnp.transpose(batch, (1, 0, 2))  # [L, B, D]
+            return crosscoder_loss(params, acts, k=k, sparsity_weight=sw)
+
+        return loss_fn
+
+    def _prepare_batch(self, batch):
+        if isinstance(batch, (tuple, list)):
+            batch = batch[0]
+        arr = jnp.asarray(batch)
+        if arr.ndim != 3:
+            raise ValueError("crosscoder batches must be [B, n_layers, d_model]")
+        return arr
+
+    def _renorm_params(self, params):
+        return normalize_crosscoder_decoder(params)

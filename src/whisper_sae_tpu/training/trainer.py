@@ -155,6 +155,9 @@ class SAETrainer:
     # ------------------------------------------------------------------
 
     def _loss_fn(self):
+        """(params, batch) -> (loss, aux dict with reconstruction_loss,
+        sparsity_loss, l0, active).  Subclasses (transcoder/crosscoder
+        trainers) override this and ``_prepare_batch``/``_renorm_params``."""
         model = self.model
         dtype = self.compute_dtype
         if isinstance(model, TopKSAE):
@@ -173,10 +176,25 @@ class SAETrainer:
         sw = model.sparsity_weight
         return lambda params, batch: relu_sae_loss(params, batch, sw, dtype)
 
+    def _prepare_batch(self, batch):
+        """Normalize an incoming batch to the loss fn's expected pytree.
+        The base trainer unwraps 1-element tuples (TensorDataset style,
+        reference training.py:173-174)."""
+        if isinstance(batch, (tuple, list)):
+            batch = batch[0]
+        return jnp.asarray(batch)
+
+    def _renorm_params(self, params):
+        return normalize_decoder(params)
+
+    def _should_renorm(self) -> bool:
+        return getattr(self.model, "normalize_decoder", True)
+
     def _build_step(self):
         loss_fn = self._loss_fn()
         opt = self._optimizer
-        renorm = getattr(self.model, "normalize_decoder", True)
+        renorm = self._should_renorm()
+        renorm_fn = self._renorm_params
         threshold = getattr(self.model, "dead_feature_threshold", 10_000)
 
         def step(params, opt_state, dstate: DeadFeatureState, batch):
@@ -186,7 +204,7 @@ class SAETrainer:
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             if renorm:
-                params = normalize_decoder(params)
+                params = renorm_fn(params)
             dstate = update_dead_state(dstate, aux["active"])
             dead_ratio = jnp.mean(
                 dead_feature_mask(dstate, threshold).astype(jnp.float32)
@@ -272,9 +290,7 @@ class SAETrainer:
 
     def train_step(self, batch) -> TrainingMetrics:
         """One optimizer step (reference training.py:161-217)."""
-        if isinstance(batch, (tuple, list)):
-            batch = batch[0]
-        batch = jnp.asarray(batch)
+        batch = self._prepare_batch(batch)
         step_fn = self._ensure_step()
 
         lr = self.learning_rate_at(self.global_step)
@@ -313,7 +329,8 @@ class SAETrainer:
         """
         loss_fn = self._loss_fn()
         opt = self._optimizer
-        renorm = getattr(self.model, "normalize_decoder", True)
+        renorm = self._should_renorm()
+        renorm_fn = self._renorm_params
         threshold = getattr(self.model, "dead_feature_threshold", 10_000)
 
         def body(carry, batch):
@@ -324,7 +341,7 @@ class SAETrainer:
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             if renorm:
-                params = normalize_decoder(params)
+                params = renorm_fn(params)
             dstate = update_dead_state(dstate, aux["active"])
             metrics = {
                 "loss": loss,
@@ -361,19 +378,22 @@ class SAETrainer:
         (the per-step path honors the exact every-N contract).
         """
         b = self.config.batch_size
-        data = jnp.asarray(data)
-        n = data.shape[0]
+        data = jax.tree_util.tree_map(jnp.asarray, data)
+        n = jax.tree_util.tree_leaves(data)[0].shape[0]
         steps = n // b
         if shuffle:
             key = jax.random.PRNGKey(self.config.seed if seed is None else seed)
             key = jax.random.fold_in(key, self.epoch)
-            data = data[jax.random.permutation(key, n)]
+            perm = jax.random.permutation(key, n)
+            data = jax.tree_util.tree_map(lambda a: a[perm], data)
         epoch_metrics: list[TrainingMetrics] = []
 
         if steps > 0:
             if self._epoch_fn is None:
                 self._epoch_fn = self._build_epoch_fn()
-            batches = data[: steps * b].reshape(steps, b, data.shape[1])
+            batches = jax.tree_util.tree_map(
+                lambda a: a[: steps * b].reshape(steps, b, *a.shape[1:]), data
+            )
             start_step = self.global_step
             params, self.opt_state, dstate, metrics = self._epoch_fn(
                 self.model.params, self.opt_state, self._dead_state, batches
@@ -405,7 +425,8 @@ class SAETrainer:
                 self._force_resample()
 
         if n % b:
-            epoch_metrics.append(self.train_step(data[steps * b :]))
+            rem = jax.tree_util.tree_map(lambda a: a[steps * b :], data)
+            epoch_metrics.append(self.train_step(rem))
 
         self.metrics_history.extend(epoch_metrics)
         self.epoch += 1
