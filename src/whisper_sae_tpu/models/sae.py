@@ -139,7 +139,22 @@ def topk_hidden_dense(
     TPU-first: on TPU, sort-based ``lax.top_k`` plus scatter/gather is
     ~20x slower than the encoder matmul itself; the mask path (bit-exact
     k-th-value bisection, ops/topk.py) keeps everything on the VPU/MXU.
+    On TPU the whole encode (matmul + bisection + mask) runs as one
+    fused Pallas kernel with the pre-activation VMEM-resident
+    (ops/pallas_sae.py); elsewhere the XLA bisection path is used.
     """
+    from ..ops import pallas_sae
+
+    if pallas_sae.supported(x.shape, params["w_enc"].shape[1]):
+        return pallas_sae.fused_topk_encode(
+            x,
+            params["w_enc"],
+            params["b_enc"],
+            params["b_pre"],
+            k,
+            pallas_sae.pick_block_rows(x.shape[0]),
+            compute_dtype,
+        )
     xc = x - params["b_pre"]
     pre = (
         jnp.dot(

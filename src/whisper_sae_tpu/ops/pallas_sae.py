@@ -1,0 +1,146 @@
+"""Fused Pallas SAE encode: matmul + exact top-k mask in one kernel.
+
+The XLA hot path materializes the [B, H] pre-activation to HBM between
+the encoder matmul and the bisection mask (~800 MB of f32 round-trip per
+32k-token step).  This kernel computes, per row-block tile held in VMEM:
+
+    pre    = (x - b_pre) @ w_enc + b_enc      (MXU, bf16 in / f32 acc)
+    th     = exact k-th largest per row        (32-step bit bisection, VPU)
+    hidden = relu(pre) * (pre >= th)           (written once, bf16)
+
+so the pre-activation never leaves VMEM and the latent is stored at half
+width.  A custom VJP routes gradients to the selected positive entries
+(identical to torch's topk->relu backward) with plain XLA matmuls for the
+parameter cotangents.
+
+Numerics: selection is bit-identical to ops.topk.topk_mask_dense; the
+only difference is the bf16 rounding of the stored latent (the decode
+matmul consumes bf16 under AMP anyway).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INT_MIN = np.int32(-2147483648)
+
+
+def _encode_kernel(x_ref, w_ref, benc_ref, bpre_ref, out_ref, *, k: int):
+    xc = (x_ref[:] - bpre_ref[:]).astype(jnp.bfloat16)
+    pre = (
+        jnp.dot(xc, w_ref[:], preferred_element_type=jnp.float32)
+        + benc_ref[:]
+    )
+
+    xi = pltpu.bitcast(pre, jnp.int32)
+    xi = jnp.where(xi < 0, _INT_MIN - xi - 1, xi)
+    rows = pre.shape[0]
+    lo = jnp.full((rows, 1), jnp.int32(-2147483647))
+    hi = jnp.full((rows, 1), jnp.int32(2147483647))
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = jnp.right_shift(lo, 1) + jnp.right_shift(hi, 1) + (lo & hi & 1)
+        cnt = jnp.sum((xi >= mid).astype(jnp.int32), axis=1, keepdims=True)
+        take = cnt >= k
+        return jnp.where(take, mid, lo), jnp.where(take, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
+    hidden = jnp.where(xi >= lo, jnp.maximum(pre, 0.0), 0.0)
+    out_ref[:] = hidden.astype(out_ref.dtype)
+
+
+def _encode_forward(x, w_enc_bf, b_enc, b_pre, k, block_rows, out_dtype):
+    b, d = x.shape
+    h = w_enc_bf.shape[1]
+    grid = pl.cdiv(b, block_rows)
+    return pl.pallas_call(
+        functools.partial(_encode_kernel, k=k),
+        out_shape=jax.ShapeDtypeStruct((b, h), out_dtype),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_rows, h), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * d * h + 33 * b * h,
+            bytes_accessed=b * d * 4 + d * h * 2 + b * h * 2,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(x, w_enc_bf, b_enc.reshape(1, h), b_pre.reshape(1, d))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_topk_encode(
+    x: jax.Array,
+    w_enc: jax.Array,
+    b_enc: jax.Array,
+    b_pre: jax.Array,
+    k: int,
+    block_rows: int = 256,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """hidden = topk_mask(relu((x - b_pre) @ w_enc + b_enc), k) — fused."""
+    return _encode_forward(
+        x, w_enc.astype(jnp.bfloat16), b_enc, b_pre, k, block_rows, out_dtype
+    )
+
+
+def _fwd(x, w_enc, b_enc, b_pre, k, block_rows, out_dtype):
+    w_bf = w_enc.astype(jnp.bfloat16)
+    hidden = _encode_forward(x, w_bf, b_enc, b_pre, k, block_rows, out_dtype)
+    return hidden, (x, w_bf, b_pre, hidden)
+
+
+def _bwd(k, block_rows, out_dtype, res, g):
+    x, w_bf, b_pre, hidden = res
+    # gradient flows exactly to the selected entries with positive
+    # activation (torch topk->relu backward)
+    dpre = jnp.where(hidden > 0, g.astype(jnp.float32), 0.0)
+    dpre_bf = dpre.astype(jnp.bfloat16)
+    xc_bf = (x - b_pre).astype(jnp.bfloat16)
+    dw = jnp.einsum(
+        "bd,bh->dh", xc_bf, dpre_bf, preferred_element_type=jnp.float32
+    )
+    db_enc = jnp.sum(dpre, axis=0)
+    # d b_pre = -(sum_b dpre) @ w^T  (collapses to a [H] @ [H, D] product)
+    db_pre = -(jnp.sum(dpre_bf, axis=0) @ w_bf.T).astype(jnp.float32)
+    dx = jnp.dot(dpre_bf, w_bf.T, preferred_element_type=jnp.float32)
+    return dx, dw, db_enc, db_pre
+
+
+fused_topk_encode.defvjp(_fwd, _bwd)
+
+
+def supported(x_shape, hidden_dim: int) -> bool:
+    try:
+        platform = jax.default_backend()
+    except Exception:  # pragma: no cover
+        return False
+    return (
+        platform not in ("cpu",)
+        and len(x_shape) == 2
+        and hidden_dim % 128 == 0
+        and x_shape[1] % 128 == 0
+    )
+
+
+def pick_block_rows(b: int) -> int:
+    for candidate in (256, 128, 64, 32, 16, 8):
+        if b % candidate == 0:
+            return candidate
+    return b
