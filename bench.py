@@ -85,7 +85,9 @@ def bench_extraction(batch: int = 16, steps: int = 8) -> dict:
 
     def run(mels):
         def body(c, mel):
-            acts = extract_activations(params, mel, arch, with_decoder=True)
+            acts = extract_activations(
+                params, mel, arch, with_decoder=True, compute_dtype=jnp.bfloat16
+            )
             return c, (jnp.sum(acts["encoder"][:, :, 0, 0]), jnp.sum(acts["decoder"]))
         _, out = jax.lax.scan(body, 0, mels)
         return jax.tree_util.tree_map(jnp.sum, out)

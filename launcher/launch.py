@@ -81,11 +81,14 @@ def extract_features(
         ds = LibriSpeechDataset(data_cfg)
     loader = AudioBatchLoader(LibriSpeechFeaturesOnly(ds), batch_size=batch_size)
 
+    import jax.numpy as jnp
+
     cache = FeatureCache(Path(cache_dir) / "features", whisper_cfg, data_cfg)
     extract_and_cache_features(
         params, arch, loader, cache,
         encoder_layers=enc_layers, decoder_layers=dec_layers,
         max_samples=max_samples,
+        compute_dtype=jnp.bfloat16,
     )
 
     log = {

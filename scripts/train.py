@@ -175,10 +175,13 @@ def main() -> None:
         else:
             dataset = LibriSpeechDataset(config.data)
         loader = AudioBatchLoader(LibriSpeechFeaturesOnly(dataset), batch_size=16)
+        import jax.numpy as jnp
+
         extract_and_cache_features(
             params, arch, loader, feature_cache,
             encoder_layers=encoder_layers, decoder_layers=decoder_layers,
             max_samples=config.data.max_samples,
+            compute_dtype=jnp.bfloat16 if config.training.use_amp else None,
         )
         console.print("[green]Feature extraction complete[/green]")
 

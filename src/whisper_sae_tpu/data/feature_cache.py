@@ -213,11 +213,14 @@ def extract_and_cache_features(
     max_samples: int | None = None,
     apply_layer_norm: bool = True,
     progress: bool = True,
+    compute_dtype=None,
 ) -> None:
     """Extraction loop (reference feature_cache.py:200-306, hook-free).
 
     One jitted forward per batch returns [L, B, T, D] for all layers; the
     requested layers are flattened to [B*T, D] and streamed to shards.
+    ``compute_dtype=jnp.bfloat16`` selects fast extraction (flash
+    attention + bf16 matmuls); activations are stored f32 either way.
     """
     writers_e = {l: cache.writer("encoder", l) for l in encoder_layers}
     writers_d = {l: cache.writer("decoder", l) for l in decoder_layers}
@@ -234,6 +237,7 @@ def extract_and_cache_features(
             whisper_params, mel, arch,
             apply_layer_norm=apply_layer_norm,
             with_decoder=bool(decoder_layers),
+            compute_dtype=compute_dtype,
         )
         enc = np.asarray(acts["encoder"])  # [L, B, T, D] one D2H per batch
         for l, w in writers_e.items():

@@ -82,6 +82,58 @@ def _layer_norm(x: jax.Array, g: jax.Array, b: jax.Array) -> jax.Array:
     return ((x32 - mean) * jax.lax.rsqrt(var + LN_EPS) * g + b).astype(x.dtype)
 
 
+def _use_flash_attention(tq: int, tk: int, dtype) -> bool:
+    """Flash attention pays off for long self-attention (the encoder's
+    1500-frame sequence, where materializing [B, H, T, T] scores is the
+    memory bottleneck); tiny decoder sequences stay on the XLA path.
+    Restricted to bf16 compute: the kernel's internal rounding (~1e-3
+    relative) is inside bf16 noise but would break the f32 parity mode's
+    2e-4 budget against HF Whisper."""
+    try:
+        platform = jax.default_backend()
+    except Exception:  # pragma: no cover
+        return False
+    return (
+        platform not in ("cpu",)
+        and dtype == jnp.bfloat16
+        and tq == tk
+        and tq >= 256
+    )
+
+
+def _flash_self_attention(q, k, v) -> jax.Array:
+    """Pallas TPU flash attention over [B, h, T, hd], padding T up to a
+    block multiple with segment-id masking (encoder T=1500 -> 1536)."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    b, h, t, hd = q.shape
+    block = 512
+    t_pad = -(-t // block) * block
+    pad = t_pad - t
+    if pad:
+        padding = ((0, 0), (0, 0), (0, pad), (0, 0))
+        q = jnp.pad(q, padding)
+        k = jnp.pad(k, padding)
+        v = jnp.pad(v, padding)
+        ids = jnp.concatenate(
+            [jnp.zeros((b, t), jnp.int32), jnp.ones((b, pad), jnp.int32)], axis=1
+        )
+        segment_ids = fa.SegmentIds(q=ids, kv=ids)
+    else:
+        segment_ids = None
+    sizes = fa.BlockSizes(
+        block_q=block, block_k_major=block, block_k=block, block_b=1,
+        block_q_major_dkv=block, block_k_major_dkv=block, block_k_dkv=block,
+        block_q_dkv=block, block_k_major_dq=block, block_k_dq=block,
+        block_q_dq=block,
+    )
+    out = fa.flash_attention(
+        q, k, v, segment_ids=segment_ids, causal=False, sm_scale=1.0,
+        block_sizes=sizes,
+    )
+    return out[:, :, :t, :]
+
+
 def _attention(
     x_q: jax.Array,
     x_kv: jax.Array,
@@ -102,12 +154,17 @@ def _attention(
     k = k.reshape(b, tk, num_heads, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, tk, num_heads, hd).transpose(0, 2, 1, 3)
 
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-    if causal:
-        mask = jnp.tril(jnp.ones((tq, tk), bool), k=tk - tq)
-        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
-    attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+    if not causal and _use_flash_attention(tq, tk, q.dtype):
+        out = _flash_self_attention(q, k, v)
+    else:
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        )
+        if causal:
+            mask = jnp.tril(jnp.ones((tq, tk), bool), k=tk - tq)
+            scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+        attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
     out = out.transpose(0, 2, 1, 3).reshape(b, tq, d)
     return out @ p["wo"] + p["bo"]
 
@@ -205,17 +262,26 @@ def decoder_forward(
     return last, layer_outputs
 
 
-@partial(jax.jit, static_argnames=("arch", "apply_layer_norm", "with_decoder"))
+@partial(
+    jax.jit,
+    static_argnames=("arch", "apply_layer_norm", "with_decoder", "compute_dtype"),
+)
 def extract_activations(
     params: dict,
     mel: jax.Array,
     arch: WhisperArch,
     apply_layer_norm: bool = True,
     with_decoder: bool = True,
+    compute_dtype=None,
 ) -> dict[str, jax.Array]:
     """Functional replacement for the reference's hook pipeline
     (hooks.py:146-210): run the encoder, then the decoder on a single
     BOS token, and return every layer's output.
+
+    ``compute_dtype=jnp.bfloat16`` runs the transformer blocks in bf16 on
+    the MXU (layer norms and softmax stay f32 internally) — ~3x faster
+    extraction; captured activations are returned in f32 either way.
+    The default (None) is full f32, the parity-oracle mode.
 
     Returns dict with:
         "encoder": [L_enc, B, T, D] per-layer outputs (final-LN applied
@@ -224,14 +290,28 @@ def extract_activations(
         "decoder": [L_dec, B, 1, D] (present when ``with_decoder``);
         "encoder_last": [B, T, D] final encoder hidden states.
     """
+    if compute_dtype is not None:
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(compute_dtype)
+            if a.dtype == jnp.float32
+            else a,
+            params,
+        )
+        mel = mel.astype(compute_dtype)
     enc_last, enc_layers = encoder_forward(params, mel, arch)
+    enc_last = enc_last.astype(jnp.float32)
+    enc_layers = enc_layers.astype(jnp.float32)
     if apply_layer_norm:
         g, b = params["encoder"]["ln_f_g"], params["encoder"]["ln_f_b"]
         enc_layers = _layer_norm(enc_layers, g, b)
     out = {"encoder": enc_layers, "encoder_last": enc_last}
     if with_decoder:
         bos = jnp.full((mel.shape[0], 1), arch.decoder_start_token_id, jnp.int32)
-        _, dec_layers = decoder_forward(params, bos, enc_last, arch)
+        enc_for_dec = (
+            enc_last.astype(compute_dtype) if compute_dtype is not None else enc_last
+        )
+        _, dec_layers = decoder_forward(params, bos, enc_for_dec, arch)
+        dec_layers = dec_layers.astype(jnp.float32)
         if apply_layer_norm:
             g, b = params["decoder"]["ln_f_g"], params["decoder"]["ln_f_b"]
             dec_layers = _layer_norm(dec_layers, g, b)
