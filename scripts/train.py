@@ -21,6 +21,9 @@ import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "src"))
+# persistent XLA compile cache (first-run compiles take minutes on the
+# single-core TPU-VM host)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache"))
 
 
 def parse_args() -> argparse.Namespace:

@@ -117,8 +117,13 @@ def _bwd(k, block_rows, out_dtype, res, g):
         "bd,bh->dh", xc_bf, dpre_bf, preferred_element_type=jnp.float32
     )
     db_enc = jnp.sum(dpre, axis=0)
-    # d b_pre = -(sum_b dpre) @ w^T  (collapses to a [H] @ [H, D] product)
-    db_pre = -(jnp.sum(dpre_bf, axis=0) @ w_bf.T).astype(jnp.float32)
+    # d b_pre = -(sum_b dpre) @ w^T  (collapses to a [H] @ [H, D] product;
+    # the sum must accumulate in f32 — a bf16 reduction over the batch
+    # loses ~1e-3 relative)
+    db_pre = -jnp.dot(
+        db_enc, w_bf.T.astype(jnp.float32), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     dx = jnp.dot(dpre_bf, w_bf.T, preferred_element_type=jnp.float32)
     return dx, dw, db_enc, db_pre
 
