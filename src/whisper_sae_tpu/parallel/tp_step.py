@@ -1,0 +1,184 @@
+"""Explicit shard_map train step for dp x tp TopK-SAE training.
+
+The generic trainer path jits the step with sharded inputs and lets
+GSPMD place collectives.  That is fine for pure data parallelism, but
+with the SAE feature dim sharded over ``model`` the partitioner treats
+the Pallas encode kernel as opaque and falls back to gathering.  This
+module writes the communication explicitly:
+
+    pre_local    = (x_local - b_pre) @ w_enc_local            (no comms)
+    hidden_local = top-k mask with GLOBAL threshold            (32 x [B,1]
+                   int32 psum over ``model`` — parallel/tp_topk.py)
+    recon        = psum_model(hidden_local @ w_dec_local)      (one [B, D]
+                   all-reduce over ICI)
+    loss         = psum_data(local squared error) / N
+    grads        = jax.grad through the collectives, then
+                   psum over ``data`` (the gradient all-reduce)
+
+Per-feature state (b_enc, dead-feature counters) and w_enc/w_dec stay
+fully sharded; decoder renorm is local because w_dec rows (feature
+directions) are complete on their shard.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.sae import DeadFeatureState, dead_feature_mask, update_dead_state
+from .mesh import DATA_AXIS, MODEL_AXIS
+from .sharding import leaf_pspec
+from .tp_topk import topk_mask_sharded
+
+PARAM_SPECS = {
+    "w_enc": P(None, MODEL_AXIS),
+    "b_enc": P(MODEL_AXIS),
+    "w_dec": P(MODEL_AXIS, None),
+    "b_dec": P(),
+    "b_pre": P(),
+}
+DSTATE_SPECS = DeadFeatureState(feature_last_activated=P(MODEL_AXIS), step_count=P())
+
+
+def _distributed_clip(grads: dict, clip: float):
+    """Global-norm clip where model-sharded leaves contribute their psum'd
+    squares (optax's clip inside shard_map would see only local norms)."""
+    sq = jnp.zeros((), jnp.float32)
+    sq_sharded = jnp.zeros((), jnp.float32)
+    for name, g in grads.items():
+        s = jnp.sum(jnp.square(g).astype(jnp.float32))
+        if PARAM_SPECS[name] == P():
+            sq = sq + s
+        else:
+            sq_sharded = sq_sharded + s
+    total = sq + jax.lax.psum(sq_sharded, MODEL_AXIS)
+    norm = jnp.sqrt(total)
+    scale = clip / jnp.maximum(norm, clip)
+    return jax.tree_util.tree_map(lambda g: g * scale, grads)
+
+
+def build_tp_train_step(
+    optimizer: optax.GradientTransformation,
+    k: int,
+    compute_dtype,
+    mesh: Mesh,
+    dead_feature_threshold: int,
+    example_params: dict,
+    example_opt_state,
+    renorm: bool = True,
+    gradient_clip: float | None = None,
+) -> Callable:
+    """Jitted shard_map step: (params, opt_state, dstate, batch [B, D]) ->
+    (params, opt_state, dstate, metrics dict of replicated scalars).
+
+    ``optimizer`` may include an optax clip_by_global_norm: after the
+    distributed clip here the local norms are <= the threshold, so the
+    inner clip becomes a no-op and the optimizer state layout matches the
+    single-device trainer's (checkpoints interchange)."""
+    n_data = mesh.shape[DATA_AXIS]
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def local_step(params, opt_state, dstate, batch):
+        def loss_fn(p):
+            xc = batch - p["b_pre"]
+            pre = (
+                jnp.dot(
+                    xc.astype(compute_dtype),
+                    p["w_enc"].astype(compute_dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                + p["b_enc"]
+            )
+            hidden = topk_mask_sharded(pre, k, MODEL_AXIS)
+            recon_part = jnp.dot(
+                hidden.astype(compute_dtype),
+                p["w_dec"].astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            recon = jax.lax.psum(recon_part, MODEL_AXIS) + p["b_dec"] + p["b_pre"]
+            sq = jnp.sum(jnp.square(recon - batch))
+            n_global = batch.shape[0] * n_data * batch.shape[1]
+            loss = jax.lax.psum(sq, DATA_AXIS) / n_global
+            l0 = jax.lax.psum(
+                jnp.sum(hidden > 0).astype(jnp.float32), (DATA_AXIS, MODEL_AXIS)
+            ) / (batch.shape[0] * n_data)
+            # a feature is active if ANY data shard activated it
+            active = (
+                jax.lax.psum(
+                    jnp.any(hidden > 0, axis=0).astype(jnp.int32), DATA_AXIS
+                )
+                > 0
+            )
+            return loss, {"l0": l0, "active": active}
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        grads = jax.lax.psum(grads, DATA_AXIS)  # gradient all-reduce
+        if gradient_clip is not None:
+            grads = _distributed_clip(grads, gradient_clip)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if renorm:
+            w = params["w_dec"]  # feature rows are complete per model shard
+            norm = jnp.maximum(jnp.linalg.norm(w, axis=1, keepdims=True), 1e-12)
+            params = {**params, "w_dec": w / norm}
+        dstate = update_dead_state(dstate, aux["active"])
+        dead_ratio = jax.lax.psum(
+            jnp.sum(
+                dead_feature_mask(dstate, dead_feature_threshold).astype(jnp.float32)
+            ),
+            MODEL_AXIS,
+        ) / (params["b_enc"].shape[0] * n_model)
+        metrics = {
+            "loss": loss,
+            "reconstruction_loss": loss,
+            "sparsity_loss": jnp.zeros((), jnp.float32),
+            "l0": aux["l0"],
+            "dead_feature_ratio": dead_ratio,
+        }
+        return params, opt_state, dstate, metrics
+
+    d, h = example_params["w_enc"].shape
+    opt_specs = jax.tree_util.tree_map(
+        lambda leaf: leaf_pspec(jnp.shape(leaf), d, h), example_opt_state
+    )
+    metric_specs = {
+        key: P()
+        for key in (
+            "loss", "reconstruction_loss", "sparsity_loss", "l0",
+            "dead_feature_ratio",
+        )
+    }
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(PARAM_SPECS, opt_specs, DSTATE_SPECS, P(DATA_AXIS, None)),
+        out_specs=(PARAM_SPECS, opt_specs, DSTATE_SPECS, metric_specs),
+        check_vma=False,
+    )
+    return jax.jit(step, donate_argnums=(0, 1, 2))
+
+
+def place_for_tp(mesh: Mesh, params: dict, opt_state, dstate: DeadFeatureState):
+    """device_put params/opt/dead-state per the TP layout rules."""
+    d, h = params["w_enc"].shape
+    params = {
+        key: jax.device_put(v, NamedSharding(mesh, PARAM_SPECS[key]))
+        for key, v in params.items()
+    }
+    opt_state = jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(
+            leaf, NamedSharding(mesh, leaf_pspec(jnp.shape(leaf), d, h))
+        ),
+        opt_state,
+    )
+    dstate = DeadFeatureState(
+        feature_last_activated=jax.device_put(
+            dstate.feature_last_activated, NamedSharding(mesh, P(MODEL_AXIS))
+        ),
+        step_count=jax.device_put(dstate.step_count, NamedSharding(mesh, P())),
+    )
+    return params, opt_state, dstate

@@ -219,10 +219,49 @@ class SAETrainer:
             return params, opt_state, dstate, metrics
 
         if self.mesh is not None:
+            from ..parallel.mesh import MODEL_AXIS
+
+            if (
+                self.mesh.shape.get(MODEL_AXIS, 1) > 1
+                and isinstance(self.model, TopKSAE)
+            ):
+                return self._build_tp_step()
             from ..parallel.sharding import shard_train_step
 
             return shard_train_step(step, self.mesh)
         return jax.jit(step, donate_argnums=(0, 1, 2))
+
+    def _build_tp_step(self):
+        """Explicit shard_map dp x tp step (parallel/tp_step.py): the
+        feature dim is sharded over ``model`` with the distributed
+        bisection top-k; the generic GSPMD path stays for dp-only."""
+        from ..parallel.sharding import batch_sharding
+        from ..parallel.tp_step import build_tp_train_step, place_for_tp
+
+        step = build_tp_train_step(
+            self._optimizer,
+            self.model.k,
+            self.compute_dtype,
+            self.mesh,
+            getattr(self.model, "dead_feature_threshold", 10_000),
+            self.model.params,
+            self.opt_state,
+            renorm=self._should_renorm(),
+            gradient_clip=self.config.gradient_clip,
+        )
+        bshard = batch_sharding(self.mesh)
+        placed = {"done": False}
+
+        def wrapped(params, opt_state, dstate, batch):
+            if not placed["done"]:
+                params, opt_state, dstate = place_for_tp(
+                    self.mesh, params, opt_state, dstate
+                )
+                placed["done"] = True
+            batch = jax.device_put(batch, bshard)
+            return step(params, opt_state, dstate, batch)
+
+        return wrapped
 
     def _ensure_step(self):
         if self._step_fn is None:
