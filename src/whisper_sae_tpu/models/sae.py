@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SAEConfig
-from ..ops.topk import scatter_topk, sparse_decode, topk_encode, topk_mask_dense
+from ..ops.topk import topk_encode, topk_mask_dense
 
 
 class SAEOutput(NamedTuple):

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.topk import scatter_topk, topk_encode, topk_mask_dense
+from ..ops.topk import topk_mask_dense
 from .sae import (
     DeadFeatureState,
     _linear_default,
