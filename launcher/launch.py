@@ -157,14 +157,22 @@ def train_sae(
         warmup_steps=warmup_steps, use_amp=use_amp, seed=seed,
     )
 
-    features, meta = cache.load(component, layer_idx)
+    meta = cache.load_metadata(component, layer_idx)
     sae = create_sae(sae_cfg, input_dim=meta.hidden_dim, seed=seed)
     run_dir = Path(output_dir) / f"{experiment_name}_{component}_layer{layer_idx}"
     run_dir.mkdir(parents=True, exist_ok=True)
 
     trainer = SAETrainer(sae, train_cfg, run_dir=run_dir)
-    trainer.set_resample_dataset(features)
     loader = cache.get_dataloader(component, layer_idx, batch_size=batch_size, seed=seed)
+    if hasattr(loader, "reader"):  # out-of-core: bounded resample subsample
+        import numpy as np
+
+        idx = np.random.default_rng(seed).permutation(meta.num_tokens)[
+            : 8 * trainer.resample_batch_size
+        ]
+        trainer.set_resample_dataset(loader.reader.gather(np.sort(idx)))
+    else:
+        trainer.set_resample_dataset(loader.data)
     trainer.train(loader, epochs=epochs)
     trainer.save_final()
     trainer.save_metrics()

@@ -204,11 +204,11 @@ def main() -> None:
             console.print("Run with --extract-only first to extract features")
             return
 
-        features, metadata = feature_cache.load(component, layer_idx)
-        console.print(f"Loaded {features.shape[0]:,} tokens, dim={features.shape[1]}")
+        metadata = feature_cache.load_metadata(component, layer_idx)
+        console.print(f"Cached {metadata.num_tokens:,} tokens, dim={metadata.hidden_dim}")
 
-        sae = create_sae(config.sae, input_dim=features.shape[1], seed=config.training.seed)
-        console.print(f"Created SAE: {features.shape[1]} -> {sae.hidden_dim} (k={config.sae.k})")
+        sae = create_sae(config.sae, input_dim=metadata.hidden_dim, seed=config.training.seed)
+        console.print(f"Created SAE: {metadata.hidden_dim} -> {sae.hidden_dim} (k={config.sae.k})")
 
         dataloader = feature_cache.get_dataloader(
             component=component, layer_idx=layer_idx,
@@ -222,7 +222,15 @@ def main() -> None:
 
         trainer = SAETrainer(model=sae, config=config.training, run_dir=run_dir, mesh=mesh)
         if config.sae.dead_feature_resample:
-            trainer.set_resample_dataset(features)
+            # a bounded random subsample, so out-of-core caches don't get
+            # pulled into RAM just for resampling
+            if hasattr(dataloader, "reader"):
+                idx = np.random.default_rng(config.training.seed).permutation(
+                    metadata.num_tokens
+                )[: 8 * trainer.resample_batch_size]
+                trainer.set_resample_dataset(dataloader.reader.gather(np.sort(idx)))
+            else:
+                trainer.set_resample_dataset(dataloader.data)
         if args.resume is not None:
             trainer.load_checkpoint(args.resume)
             console.print(f"Resumed from {args.resume} (step {trainer.global_step})")
