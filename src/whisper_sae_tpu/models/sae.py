@@ -172,7 +172,6 @@ def topk_sae_apply(
     x: jax.Array,
     k: int,
     compute_dtype: jnp.dtype = jnp.float32,
-    with_dense_hidden: bool = True,
 ) -> tuple[SAEOutput, jax.Array]:
     """Pure TopK-SAE forward.
 
@@ -302,10 +301,10 @@ class _JitCache:
 
     @classmethod
     def topk(cls, k: int, dtype: Any):
-        key = (k, jnp.dtype(dtype), True)
+        key = (k, jnp.dtype(dtype))
         if key not in cls._topk:
             cls._topk[key] = jax.jit(
-                partial(topk_sae_apply, k=k, compute_dtype=dtype, with_dense_hidden=True)
+                partial(topk_sae_apply, k=k, compute_dtype=dtype)
             )
         return cls._topk[key]
 

@@ -11,17 +11,14 @@ Note the relu is applied *after* selection, so a token can have fewer than
 k nonzeros if some of its top-k pre-activations are negative — tests and
 downstream metrics depend on this exact order, not an idealized top-k.
 
-TPU-first design: the decode never materializes a dense [B, H] @ [H, D]
-matmul.  Because only k << H latents are nonzero, reconstruction is a
-gather of the k selected decoder rows followed by a tiny [B, k] x
-[B, k, D] contraction — ~k/H of the dense-decode FLOPs (k=32, H=3072
-means ~1%).  The dense ``hidden`` is only built when the caller asks for
-it (the public ``encode`` contract returns it).
+The training hot path is the threshold-mask formulation below (exact
+k-th value by bit bisection; dense mask; MXU decode) — on TPU, sort,
+scatter, and gather are all far slower than the matmuls they would save.
+The (vals, idx) sparse utilities at the bottom remain for compact
+analysis-side representations.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -165,10 +162,3 @@ def topk_encode(
         + b_enc
     )
     return topk_select(pre, k)
-
-
-@partial(jax.jit, static_argnames=("k", "hidden_dim"))
-def topk_activation(pre: jax.Array, k: int, hidden_dim: int) -> jax.Array:
-    """Dense top-k activation: relu(top-k(pre)) scattered into [..., H]."""
-    vals, idx = topk_select(pre, k)
-    return scatter_topk(vals, idx, hidden_dim)

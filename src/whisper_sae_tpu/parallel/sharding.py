@@ -39,12 +39,6 @@ def leaf_pspec(shape: tuple[int, ...], d: int, h: int) -> P:
     return P()
 
 
-def tree_pspecs(tree: Any, d: int, h: int) -> Any:
-    return jax.tree_util.tree_map(
-        lambda leaf: leaf_pspec(np.shape(leaf), d, h), tree
-    )
-
-
 def place_tree(mesh: Mesh, tree: Any, d: int, h: int) -> Any:
     """device_put every leaf according to the shape rules."""
     return jax.tree_util.tree_map(
