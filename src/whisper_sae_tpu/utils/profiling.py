@@ -29,7 +29,12 @@ def trace(trace_dir: str | Path | None):
         return
     trace_dir = Path(trace_dir)
     trace_dir.mkdir(parents=True, exist_ok=True)
-    jax.profiler.start_trace(str(trace_dir))
+    try:
+        jax.profiler.start_trace(str(trace_dir))
+    except Exception as e:  # experimental backends may lack trace support
+        print(f"profiler trace unavailable ({e}); continuing without", flush=True)
+        yield
+        return
     try:
         yield
     finally:
