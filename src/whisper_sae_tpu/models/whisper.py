@@ -243,15 +243,15 @@ def decoder_forward(
     token_ids: jax.Array,
     enc_hidden: jax.Array,
     arch: WhisperArch,
-    position_offset: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
-    """Decoder forward over ``token_ids`` [B, T_dec].
+    """Decoder forward over ``token_ids`` [B, T_dec] (full-sequence; no KV
+    cache — analysis-scale decoding re-runs the stack, see greedy_decode).
 
     Returns (last_hidden after final LN, per-layer outputs [L, B, T_dec, D]).
     """
     dec = params["decoder"]
     t = token_ids.shape[1]
-    x = dec["tok"][token_ids] + dec["pos"][position_offset : position_offset + t]
+    x = dec["tok"][token_ids] + dec["pos"][:t]
 
     def body(h, lp):
         h = _decoder_layer(h, enc_hidden, lp, arch.num_heads)

@@ -185,6 +185,28 @@ class TestFlatten:
         np.testing.assert_array_equal(np.asarray(flat[3]), np.arange(12, 16))
 
 
+class TestOtherGeometries:
+    @pytest.mark.parametrize("d_model,heads,ffn", [(128, 4, 256), (96, 3, 192)])
+    def test_parity_across_geometries(self, rng, d_model, heads, ffn):
+        cfg = transformers.WhisperConfig(
+            vocab_size=300, num_mel_bins=80, d_model=d_model,
+            encoder_layers=2, decoder_layers=2,
+            encoder_attention_heads=heads, decoder_attention_heads=heads,
+            encoder_ffn_dim=ffn, decoder_ffn_dim=ffn,
+            max_source_positions=50, max_target_positions=12,
+            decoder_start_token_id=7, pad_token_id=0, bos_token_id=0,
+            eos_token_id=1,
+        )
+        torch.manual_seed(1)
+        model = transformers.WhisperForConditionalGeneration(cfg).eval()
+        params, arch = from_hf_torch(model)
+        mel = rng.standard_normal((1, 80, 100)).astype(np.float32)
+        with torch.no_grad():
+            want = model.model.encoder(torch.from_numpy(mel)).last_hidden_state.numpy()
+        got, _ = encoder_forward(params, jnp.asarray(mel), arch)
+        np.testing.assert_allclose(np.asarray(got), want, atol=ATOL)
+
+
 class TestArchTable:
     def test_tiny(self):
         a = arch_for("openai/whisper-tiny")
