@@ -3,6 +3,7 @@ feature ablation (implemented; the reference only declared this package,
 /root/reference/src/whisper_sae/causal/__init__.py)."""
 
 from .patching import (
+    decoder_forward_patched,
     encoder_forward_patched,
     feature_ablation_patch,
     logit_kl,
@@ -13,6 +14,7 @@ from .patching import (
 )
 
 __all__ = [
+    "decoder_forward_patched",
     "encoder_forward_patched",
     "feature_ablation_patch",
     "logit_kl",

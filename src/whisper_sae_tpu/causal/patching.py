@@ -77,20 +77,51 @@ def encoder_forward_patched(
     return last, layer_outputs
 
 
+def decoder_forward_patched(
+    params: dict,
+    token_ids: jax.Array,
+    enc_hidden: jax.Array,
+    arch: WhisperArch,
+    layer_idx: int,
+    patch_fn: Callable[[jax.Array], jax.Array],
+) -> tuple[jax.Array, jax.Array]:
+    """Decoder forward with ``patch_fn`` applied to decoder layer
+    ``layer_idx``'s output (for decoder-side SAE validation)."""
+    from ..models.whisper import _decoder_layer
+
+    dec = params["decoder"]
+    t = token_ids.shape[1]
+    x = dec["tok"][token_ids] + dec["pos"][:t]
+
+    def body(carry, scanned):
+        (h,) = carry
+        lp, i = scanned
+        h = _decoder_layer(h, enc_hidden, lp, arch.num_heads)
+        h = jax.lax.cond(i == layer_idx, patch_fn, lambda a: a, h)
+        return (h,), h
+
+    idxs = jnp.arange(arch.decoder_layers)
+    (x,), layer_outputs = jax.lax.scan(body, (x,), (dec["layers"], idxs))
+    last = _layer_norm(x, dec["ln_f_g"], dec["ln_f_b"])
+    return last, layer_outputs
+
+
 def sae_reconstruction_patch(
     sae,
     whisper_params: dict,
     apply_layer_norm: bool = True,
+    component: str = "encoder",
 ) -> Callable[[jax.Array], jax.Array]:
     """Patch a layer's output with its SAE reconstruction.
 
     When the SAE was trained on final-LN-applied activations (the aiOla
     trick, reference hooks.py:87-92), the reconstruction lives in LN
     space; it is mapped back with the inverse affine using the original
-    activations' per-token mean/variance.
+    activations' per-token mean/variance.  ``component`` selects whose
+    final layer norm defines that space (encoder or decoder SAEs).
     """
-    g = whisper_params["encoder"]["ln_f_g"]
-    b = whisper_params["encoder"]["ln_f_b"]
+    g = whisper_params[component]["ln_f_g"]
+    b = whisper_params[component]["ln_f_b"]
 
     def patch(h: jax.Array) -> jax.Array:
         shape = h.shape
@@ -113,11 +144,12 @@ def feature_ablation_patch(
     feature_idxs,
     whisper_params: dict,
     apply_layer_norm: bool = True,
+    component: str = "encoder",
 ) -> Callable[[jax.Array], jax.Array]:
     """Replace a layer's output with the SAE reconstruction computed with
     the given latent features zeroed (causal feature ablation)."""
-    g = whisper_params["encoder"]["ln_f_g"]
-    b = whisper_params["encoder"]["ln_f_b"]
+    g = whisper_params[component]["ln_f_g"]
+    b = whisper_params[component]["ln_f_b"]
     feature_idxs = jnp.asarray(feature_idxs)
 
     def patch(h: jax.Array) -> jax.Array:

@@ -150,3 +150,51 @@ class TestSAEInterventions:
         assert float(token_agreement(t1, t2)) == pytest.approx(0.75)
         logits = jnp.asarray([[1.0, 2.0, 3.0]])
         assert float(logit_kl(logits, logits)) == pytest.approx(0.0, abs=1e-6)
+
+
+class TestDecoderPatching:
+    def test_identity_patch_matches_clean(self, params, mel):
+        from whisper_sae_tpu.causal import decoder_forward_patched
+        from whisper_sae_tpu.models.whisper import decoder_forward
+
+        enc, _ = encoder_forward(params, mel, ARCH)
+        ids = jnp.asarray([[42, 5, 9], [42, 1, 2]], jnp.int32)
+        want, _ = decoder_forward(params, ids, enc, ARCH)
+        got, _ = decoder_forward_patched(
+            params, ids, enc, ARCH, layer_idx=0, patch_fn=lambda h: h
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def test_zero_patch_changes_output(self, params, mel):
+        from whisper_sae_tpu.causal import decoder_forward_patched
+        from whisper_sae_tpu.models.whisper import decoder_forward
+
+        enc, _ = encoder_forward(params, mel, ARCH)
+        ids = jnp.asarray([[42, 5], [42, 1]], jnp.int32)
+        want, _ = decoder_forward(params, ids, enc, ARCH)
+        got, layers = decoder_forward_patched(
+            params, ids, enc, ARCH, layer_idx=0, patch_fn=jnp.zeros_like
+        )
+        np.testing.assert_allclose(np.asarray(layers[0]), 0.0, atol=1e-7)
+        assert np.abs(np.asarray(got) - np.asarray(want)).max() > 1e-3
+
+    def test_decoder_component_patch_factory(self, params, mel):
+        from whisper_sae_tpu.causal import decoder_forward_patched
+
+        class IdentitySAE:
+            def __call__(self, x):
+                from whisper_sae_tpu.models.sae import SAEOutput
+
+                z = jnp.zeros(())
+                return SAEOutput(x, x, z, z, z, z)
+
+        from whisper_sae_tpu.models.whisper import decoder_forward
+
+        patch = sae_reconstruction_patch(
+            IdentitySAE(), params, apply_layer_norm=True, component="decoder"
+        )
+        enc, _ = encoder_forward(params, mel, ARCH)
+        ids = jnp.asarray([[42, 5], [42, 1]], jnp.int32)
+        want, _ = decoder_forward(params, ids, enc, ARCH)
+        got, _ = decoder_forward_patched(params, ids, enc, ARCH, 1, patch)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
