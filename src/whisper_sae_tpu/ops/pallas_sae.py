@@ -131,6 +131,11 @@ def _bwd(k, block_rows, out_dtype, res, g):
 fused_topk_encode.defvjp(_fwd, _bwd)
 
 
+# the kernel holds all of w_enc (bf16) in VMEM; above this it must fall
+# back to the XLA bisection path (whisper-large 32x: 1280*40960*2 = 105 MB)
+_MAX_W_VMEM_BYTES = 48 * 1024 * 1024
+
+
 def supported(x_shape, hidden_dim: int) -> bool:
     try:
         platform = jax.default_backend()
@@ -141,14 +146,16 @@ def supported(x_shape, hidden_dim: int) -> bool:
         and len(x_shape) == 2
         and hidden_dim % 128 == 0
         and x_shape[1] % 128 == 0
+        and x_shape[1] * hidden_dim * 2 <= _MAX_W_VMEM_BYTES
     )
 
 
-def pick_block_rows(b: int) -> int:
+def pick_block_rows(b: int, h: int | None = None) -> int:
     # 512-row blocks measured fastest at whisper-tiny geometry (the
-    # bisection loop amortizes better over bigger tiles); fall back to
-    # whatever divides the batch.
+    # bisection loop amortizes better over bigger tiles); shrink so the
+    # f32 pre + int32 tile stays within ~24 MB of VMEM at larger H.
+    budget = 24 * 1024 * 1024
     for candidate in (512, 256, 128, 64, 32, 16, 8):
-        if b % candidate == 0:
+        if b % candidate == 0 and (h is None or candidate * h * 8 <= budget):
             return candidate
-    return b
+    return min(b, 8)

@@ -87,18 +87,27 @@ topk_mask_pallas.defvjp(_fwd, _bwd)
 
 
 def supported(pre_shape: tuple[int, ...]) -> bool:
-    """Pallas path is TPU-only and wants lane-aligned feature dims."""
+    """Pallas path is TPU-only, wants lane-aligned feature dims, and must
+    fit a (block_rows, H) f32 tile + int32 copy in VMEM."""
     if len(pre_shape) != 2:
         return False
     try:
         platform = jax.default_backend()
     except Exception:  # pragma: no cover
         return False
-    return platform not in ("cpu",) and pre_shape[1] % 128 == 0
+    min_tile_bytes = 8 * pre_shape[1] * 8  # pre f32 + xi int32, 8 rows
+    return (
+        platform not in ("cpu",)
+        and pre_shape[1] % 128 == 0
+        and min_tile_bytes <= 16 * 1024 * 1024
+    )
 
 
-def pick_block_rows(b: int) -> int:
+def pick_block_rows(b: int, h: int) -> int:
+    """Largest row block that divides the batch and keeps the f32+int32
+    tile within ~16 MB of VMEM (H=3072 -> 256 rows; H=40960 -> 32)."""
+    budget = 16 * 1024 * 1024
     for candidate in (256, 128, 64, 32, 16, 8):
-        if b % candidate == 0:
+        if b % candidate == 0 and candidate * h * 8 <= budget:
             return candidate
-    return b
+    return min(b, 8)

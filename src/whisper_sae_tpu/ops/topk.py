@@ -83,7 +83,7 @@ def topk_mask_dense(pre: jax.Array, k: int) -> jax.Array:
 
     if pallas_topk.supported(pre.shape):
         return pallas_topk.topk_mask_pallas(
-            pre, k, pallas_topk.pick_block_rows(pre.shape[0])
+            pre, k, pallas_topk.pick_block_rows(pre.shape[0], pre.shape[1])
         )
     x, th = topk_threshold(pre, k)
     return jnp.where(x >= th, jax.nn.relu(pre), 0.0)
