@@ -471,6 +471,34 @@ class SAETrainer:
         self.epoch += 1
         return epoch_metrics
 
+    def train_epoch_out_of_core(
+        self, reader, chunk_tokens: int = 1 << 22, seed: int | None = None
+    ) -> list[TrainingMetrics]:
+        """One epoch over a disk-resident cache as a few fused-scan chunks.
+
+        A globally shuffled permutation is gathered chunk-by-chunk through
+        the native shard reader (runtime/shard_reader.py); each ~chunk_tokens
+        slice is staged to HBM once and trained with the fused lax.scan
+        epoch body — per-step host dispatch (which dominates when batches
+        stream individually) is amortized to one dispatch per chunk.
+        """
+        n = reader.num_rows
+        b = self.config.batch_size
+        chunk_tokens = max(b, (chunk_tokens // b) * b)  # avoid per-chunk remainders
+        rng = np.random.default_rng(
+            (self.config.seed if seed is None else seed) + self.epoch
+        )
+        order = rng.permutation(n)
+        epoch_metrics: list[TrainingMetrics] = []
+        epoch_no = self.epoch
+        for start in range(0, n, chunk_tokens):
+            chunk_idx = order[start : start + chunk_tokens]
+            chunk = reader.gather(np.sort(chunk_idx))
+            epoch_metrics.extend(self.train_epoch_fused(chunk, shuffle=True))
+            self.epoch = epoch_no  # train_epoch_fused bumps it per call
+        self.epoch = epoch_no + 1
+        return epoch_metrics
+
     def _force_resample(self) -> int:
         saved = self.global_step
         try:
@@ -516,10 +544,27 @@ class SAETrainer:
         checkpoint_every = checkpoint_every or self.config.checkpoint_every
         total_steps = len(dataloader) * epochs
         self.setup_scheduler(total_steps)
+        single_device = self.mesh is None or self.mesh.size == 1
         if fused is None:
-            fused = hasattr(dataloader, "data") and (
-                self.mesh is None or self.mesh.size == 1
-            )
+            fused = hasattr(dataloader, "data") and single_device
+
+        if hasattr(dataloader, "reader") and single_device and fused is not False:
+            # disk-resident cache: chunked fused epochs through the native
+            # shard reader
+            for ep in range(epochs):
+                self.throughput.start()
+                epoch_metrics = self.train_epoch_out_of_core(dataloader.reader)
+                self.throughput.add_tokens(dataloader.reader.num_rows)
+                rate = self.throughput.stop()
+                avg_loss = sum(m.loss for m in epoch_metrics) / max(len(epoch_metrics), 1)
+                print(
+                    f"Epoch {ep + 1}: loss={avg_loss:.4f}, "
+                    f"{rate['activations_per_sec_per_chip']:,.0f} act/s/chip (out-of-core)"
+                )
+                if (ep + 1) % checkpoint_every == 0:
+                    self.save_checkpoint(f"checkpoint_epoch{ep + 1}.npz")
+            self.save_checkpoint("final.npz")
+            return
 
         if fused:
             data = jnp.asarray(dataloader.data)

@@ -77,6 +77,34 @@ class TestPrefetchLoader:
         e2 = next(iter(loader)).copy()
         assert not np.array_equal(e1, e2)
 
+    def test_chunked_out_of_core_epoch(self, tmp_path, rng):
+        from whisper_sae_tpu.config import DataConfig, TrainingConfig, WhisperConfig
+        from whisper_sae_tpu.data.feature_cache import FeatureCache
+        from whisper_sae_tpu.models.sae import TopKSAE
+        from whisper_sae_tpu.training.trainer import SAETrainer
+
+        cache = FeatureCache(tmp_path / "f", WhisperConfig(), DataConfig(max_samples=1))
+        w = cache.writer("encoder", 0, shard_tokens=100)
+        data = rng.standard_normal((520, 32)).astype(np.float32)
+        for c in np.array_split(data, 4):
+            w.append(c)
+        w.finalize(num_samples=4)
+
+        loader = cache.get_dataloader("encoder", 0, batch_size=64, seed=0)
+        model = TopKSAE(input_dim=32, hidden_dim=128, k=8, seed=0)
+        cfg = TrainingConfig(batch_size=64, learning_rate=1e-3, epochs=1,
+                             warmup_steps=0, use_amp=False)
+        t = SAETrainer(model, cfg, run_dir=tmp_path / "run")
+        ms = t.train_epoch_out_of_core(loader.reader, chunk_tokens=256)
+        # 520 tokens in chunks of 256 (=4 batches) + 256 + 8 remainder:
+        # every token is seen exactly once per epoch
+        assert sum(1 for _ in ms) == len(ms)
+        assert t.global_step == len(ms)
+        assert t.epoch == 1
+        total = sum(64 if m.step else 0 for m in ms)  # steps counted
+        assert len(ms) == 9  # 4 + 4 + 1 (8-token remainder batch)
+        assert np.isfinite([m.loss for m in ms]).all()
+
     def test_trains_through_cache(self, tmp_path, rng):
         # end-to-end: multi-shard cache -> out-of-core loader -> trainer
         from whisper_sae_tpu.config import DataConfig, TrainingConfig, WhisperConfig
