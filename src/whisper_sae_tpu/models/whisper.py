@@ -331,6 +331,101 @@ def decoder_logits(params: dict, hidden: jax.Array) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("arch", "max_len"))
+def greedy_decode_cached(
+    params: dict,
+    mel: jax.Array,
+    arch: WhisperArch,
+    max_len: int = 32,
+    encoder_hidden: jax.Array | None = None,
+) -> jax.Array:
+    """KV-cached greedy decoding: one incremental decoder step per token.
+
+    Cross-attention K/V are computed once from the encoder states; the
+    self-attention cache is a fixed [L, B, max_len, D] buffer updated by
+    ``dynamic_update_slice`` inside a ``fori_loop`` (static shapes, no
+    recompute of earlier positions — unlike :func:`greedy_decode`, which
+    re-runs the full stack per step).  Produces identical tokens.
+    """
+    if encoder_hidden is None:
+        encoder_hidden, _ = encoder_forward(params, mel, arch)
+    dec = params["decoder"]
+    b = encoder_hidden.shape[0]
+    d = arch.d_model
+    nh = arch.num_heads
+    hd = arch.head_dim
+    n_layers = arch.decoder_layers
+
+    # cross-attention K/V once per layer: [L, B, T_enc, D]
+    def xkv(lp):
+        return (
+            encoder_hidden @ lp["xattn"]["wk"],
+            encoder_hidden @ lp["xattn"]["wv"] + lp["xattn"]["bv"],
+        )
+
+    xk, xv = jax.vmap(xkv)(dec["layers"])
+
+    tokens = jnp.full((b, max_len), arch.decoder_start_token_id, jnp.int32)
+    cache_k = jnp.zeros((n_layers, b, max_len, d), encoder_hidden.dtype)
+    cache_v = jnp.zeros((n_layers, b, max_len, d), encoder_hidden.dtype)
+
+    def split(y):  # [B, 1, D] -> [B, nh, 1, hd]
+        return y.reshape(b, 1, nh, hd).transpose(0, 2, 1, 3)
+
+    def merge(y):  # [B, nh, 1, hd] -> [B, 1, D]
+        return y.transpose(0, 2, 1, 3).reshape(b, 1, d)
+
+    def step(t, state):
+        tokens, cache_k, cache_v = state
+        x = dec["tok"][tokens[:, t]][:, None, :] + dec["pos"][t]
+
+        def layer(carry, scanned):
+            (h,) = carry
+            lp, ck, cv, kx, vx = scanned
+            # self-attention with cache
+            hn = _layer_norm(h, lp["ln1_g"], lp["ln1_b"])
+            q = split((hn @ lp["attn"]["wq"] + lp["attn"]["bq"]) * hd**-0.5)
+            k_new = hn @ lp["attn"]["wk"]
+            v_new = hn @ lp["attn"]["wv"] + lp["attn"]["bv"]
+            ck = jax.lax.dynamic_update_slice(ck, k_new, (0, t, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v_new, (0, t, 0))
+            ks = ck.reshape(b, max_len, nh, hd).transpose(0, 2, 1, 3)
+            vs = cv.reshape(b, max_len, nh, hd).transpose(0, 2, 1, 3)
+            s = jnp.einsum("bhqd,bhkd->bhqk", q, ks, preferred_element_type=jnp.float32)
+            valid = (jnp.arange(max_len) <= t)[None, None, None, :]
+            s = jnp.where(valid, s, jnp.finfo(jnp.float32).min)
+            a = jax.nn.softmax(s, axis=-1).astype(vs.dtype)
+            h = h + merge(jnp.einsum("bhqk,bhkd->bhqd", a, vs)) @ lp["attn"]["wo"] + lp["attn"]["bo"]
+            # cross-attention against precomputed encoder K/V
+            hn = _layer_norm(h, lp["ln_x_g"], lp["ln_x_b"])
+            q = split((hn @ lp["xattn"]["wq"] + lp["xattn"]["bq"]) * hd**-0.5)
+            kx_h = kx.reshape(b, -1, nh, hd).transpose(0, 2, 1, 3)
+            vx_h = vx.reshape(b, -1, nh, hd).transpose(0, 2, 1, 3)
+            s = jnp.einsum("bhqd,bhkd->bhqk", q, kx_h, preferred_element_type=jnp.float32)
+            a = jax.nn.softmax(s, axis=-1).astype(vx_h.dtype)
+            h = h + merge(jnp.einsum("bhqk,bhkd->bhqd", a, vx_h)) @ lp["xattn"]["wo"] + lp["xattn"]["bo"]
+            # mlp
+            h = h + _mlp(_layer_norm(h, lp["ln2_g"], lp["ln2_b"]), lp["mlp"])
+            return (h,), (ck, cv)
+
+        (x,), (cache_k, cache_v) = jax.lax.scan(
+            layer, (x,), (dec["layers"], cache_k, cache_v, xk, xv)
+        )
+        x = _layer_norm(x, dec["ln_f_g"], dec["ln_f_b"])
+        logits = decoder_logits(params, x[:, 0, :])
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        tokens = jax.lax.cond(
+            t + 1 < max_len,
+            lambda tk: tk.at[:, t + 1].set(nxt),
+            lambda tk: tk,
+            tokens,
+        )
+        return tokens, cache_k, cache_v
+
+    tokens, _, _ = jax.lax.fori_loop(0, max_len - 1, step, (tokens, cache_k, cache_v))
+    return tokens
+
+
+@partial(jax.jit, static_argnames=("arch", "max_len"))
 def greedy_decode(
     params: dict,
     mel: jax.Array,

@@ -85,6 +85,13 @@ class TestGreedyDecode:
         b = np.asarray(greedy_decode(params, mel, ARCH, max_len=8))
         np.testing.assert_array_equal(a, b)
 
+    def test_kv_cached_decode_matches_uncached(self, params, mel):
+        from whisper_sae_tpu.models.whisper import greedy_decode_cached
+
+        want = np.asarray(greedy_decode(params, mel, ARCH, max_len=10))
+        got = np.asarray(greedy_decode_cached(params, mel, ARCH, max_len=10))
+        np.testing.assert_array_equal(got, want)
+
 
 class TestSAEInterventions:
     def _good_sae(self, params, mel, apply_ln=True):
