@@ -34,7 +34,7 @@ from ..models.whisper import (
     _layer_norm,
     decoder_forward,
     decoder_logits,
-    greedy_decode,
+    greedy_decode_cached,
 )
 
 
@@ -214,9 +214,9 @@ def substitution_effect(
     patch = sae_reconstruction_patch(sae, params, apply_layer_norm)
     subbed = patched_logits(params, mel, arch, layer_idx, patch)
 
-    clean_tokens = greedy_decode(params, mel, arch, max_len=max_len)
+    clean_tokens = greedy_decode_cached(params, mel, arch, max_len=max_len)
     enc_last, _ = encoder_forward_patched(params, mel, arch, layer_idx, patch)
-    patched_tokens = greedy_decode(
+    patched_tokens = greedy_decode_cached(
         params, mel, arch, max_len=max_len, encoder_hidden=enc_last
     )
     return {

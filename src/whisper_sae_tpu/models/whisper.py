@@ -626,6 +626,30 @@ def from_hf_torch(model) -> tuple[dict, WhisperArch]:
     return params, arch
 
 
+def transcribe(
+    params: dict,
+    arch: WhisperArch,
+    audio,
+    tokenizer=None,
+    max_len: int = 224,
+):
+    """Audio -> token ids (and text when a tokenizer is given).
+
+    End-to-end ASR helper: JAX log-mel frontend -> encoder -> KV-cached
+    greedy decode.  ``tokenizer`` is any object with ``batch_decode``
+    (e.g. HF WhisperTokenizer); without one, raw token ids are returned.
+    (The reference never decodes at all — its decoder only ever sees a
+    BOS token, hooks.py:184-195.)
+    """
+    from ..data.mel import log_mel_spectrogram
+
+    mel = log_mel_spectrogram(audio)
+    tokens = greedy_decode_cached(params, mel, arch, max_len=max_len)
+    if tokenizer is None:
+        return tokens
+    return tokenizer.batch_decode(np.asarray(tokens), skip_special_tokens=True)
+
+
 def load_pretrained(model_name: str):
     """Load HF pretrained weights (requires network or local HF cache).
 

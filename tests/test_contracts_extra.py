@@ -207,3 +207,21 @@ class TestCheckpointUtils:
         save_pytree_orbax(tmp_path / "ckpt", tree)
         back = load_pytree_orbax(tmp_path / "ckpt", tree)
         np.testing.assert_array_equal(np.asarray(back["w"]), np.asarray(tree["w"]))
+
+
+class TestTranscribe:
+    def test_returns_tokens_without_tokenizer(self, rng):
+        from whisper_sae_tpu.models.whisper import WhisperArch, init_whisper, transcribe
+
+        arch = WhisperArch(
+            d_model=64, encoder_layers=2, decoder_layers=2, num_heads=2,
+            ffn_dim=128, max_source_positions=1500, max_target_positions=16,
+            vocab_size=200, decoder_start_token_id=42,
+        )
+        import jax
+
+        params = init_whisper(jax.random.PRNGKey(0), arch)
+        audio = rng.standard_normal(16000).astype(np.float32)
+        tokens = transcribe(params, arch, audio, max_len=6)
+        assert tokens.shape == (1, 6)
+        assert int(tokens[0, 0]) == 42
