@@ -44,6 +44,27 @@ PARAM_SPECS = {
 DSTATE_SPECS = DeadFeatureState(feature_last_activated=P(MODEL_AXIS), step_count=P())
 
 
+def psum_identity_vjp(x: jax.Array, axis_name: str) -> jax.Array:
+    """psum whose VJP passes the cotangent through unchanged.
+
+    Inside ``shard_map(check_vma=False)`` the default transpose of
+    ``psum`` is another psum, which scales every upstream gradient by the
+    axis size (measured: w_enc grads 8x on a 2x4 mesh).  When the output
+    cotangent is replicated over ``axis_name`` — true for the recon/loss
+    reductions here, where every shard computes the same downstream math —
+    the exact VJP of ``sum_over_shards`` is the identity, which is what
+    this wrapper pins down.  The primal value is the genuine psum, so it
+    is bitwise identical on every participating shard.
+    """
+
+    @jax.custom_vjp
+    def f(v):
+        return jax.lax.psum(v, axis_name)
+
+    f.defvjp(lambda v: (jax.lax.psum(v, axis_name), None), lambda _, g: (g,))
+    return f(x)
+
+
 def _distributed_clip(grads: dict, clip: float):
     """Global-norm clip where model-sharded leaves contribute their psum'd
     squares (optax's clip inside shard_map would see only local norms)."""
@@ -99,10 +120,19 @@ def build_tp_train_step(
                 p["w_dec"].astype(compute_dtype),
                 preferred_element_type=jnp.float32,
             )
-            recon = jax.lax.psum(recon_part, MODEL_AXIS) + p["b_dec"] + p["b_pre"]
+            # The replicated biases ride inside the model psum at 1/n_model
+            # weight so that psumming their gradients over MODEL afterwards
+            # recovers the exact total (decoder-path ct once, encoder-path
+            # contributions summed across feature shards).
+            recon = psum_identity_vjp(
+                recon_part + (p["b_dec"] + p["b_pre"]) / n_model, MODEL_AXIS
+            )
             sq = jnp.sum(jnp.square(recon - batch))
             n_global = batch.shape[0] * n_data * batch.shape[1]
-            loss = jax.lax.psum(sq, DATA_AXIS) / n_global
+            # differentiate the LOCAL contribution (grads are psummed over
+            # DATA below); report the global loss as a metric
+            loss = sq / n_global
+            loss_metric = jax.lax.psum(jax.lax.stop_gradient(sq), DATA_AXIS) / n_global
             l0 = jax.lax.psum(
                 jnp.sum(hidden > 0).astype(jnp.float32), (DATA_AXIS, MODEL_AXIS)
             ) / (batch.shape[0] * n_data)
@@ -113,10 +143,22 @@ def build_tp_train_step(
                 )
                 > 0
             )
-            return loss, {"l0": l0, "active": active}
+            return loss, {"l0": l0, "active": active, "loss_metric": loss_metric}
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        loss = aux["loss_metric"]
         grads = jax.lax.psum(grads, DATA_AXIS)  # gradient all-reduce
+        # replicated leaves carry per-shard partial gradients (their
+        # encoder-path term flows through the local feature shard only);
+        # the MODEL psum completes them — and, being a collective, leaves
+        # bitwise-identical values on every model shard, so replicated
+        # params never drift apart.
+        grads = {
+            name: (
+                jax.lax.psum(g, MODEL_AXIS) if PARAM_SPECS[name] == P() else g
+            )
+            for name, g in grads.items()
+        }
         if gradient_clip is not None:
             grads = _distributed_clip(grads, gradient_clip)
         updates, opt_state = optimizer.update(grads, opt_state, params)
