@@ -106,6 +106,28 @@ def decoder_forward_patched(
     return last, layer_outputs
 
 
+def _pure_reconstruct(sae, x: jax.Array) -> jax.Array:
+    """SAE reconstruction WITHOUT the stateful facade __call__.
+
+    The patch functions run inside traced forwards (lax.cond branches);
+    calling a training-mode ``TopKSAE`` facade there would assign traced
+    dead-feature counters into ``sae.state``, leaving leaked tracers that
+    poison later resampling/checkpointing.  Known facades are routed
+    through the pure functional forwards on ``sae.params``; stateless
+    duck-typed callables fall back to ``sae(x)``.
+    """
+    from ..models.sae import relu_sae_apply, topk_sae_apply
+
+    params = getattr(sae, "params", None)
+    if params is not None and hasattr(sae, "k"):
+        out, _ = topk_sae_apply(params, x, sae.k)
+        return out.reconstructed
+    if params is not None and hasattr(sae, "sparsity_weight"):
+        out, _ = relu_sae_apply(params, x, sae.sparsity_weight)
+        return out.reconstructed
+    return sae(x).reconstructed
+
+
 def sae_reconstruction_patch(
     sae,
     whisper_params: dict,
@@ -130,10 +152,10 @@ def sae_reconstruction_patch(
             mean = jnp.mean(flat, axis=-1, keepdims=True)
             var = jnp.var(flat, axis=-1, keepdims=True)
             x_ln = (flat - mean) * jax.lax.rsqrt(var + LN_EPS) * g + b
-            recon_ln = sae(x_ln).reconstructed
+            recon_ln = _pure_reconstruct(sae, x_ln)
             recon = (recon_ln - b) / g * jnp.sqrt(var + LN_EPS) + mean
         else:
-            recon = sae(flat).reconstructed
+            recon = _pure_reconstruct(sae, flat)
         return recon.reshape(shape)
 
     return patch

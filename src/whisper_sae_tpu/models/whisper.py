@@ -47,6 +47,7 @@ class WhisperArch:
     max_target_positions: int = 448
     vocab_size: int = 51865
     decoder_start_token_id: int = 50258
+    eos_token_id: int = 50257
 
     @property
     def head_dim(self) -> int:
@@ -330,13 +331,25 @@ def decoder_logits(params: dict, hidden: jax.Array) -> jax.Array:
     return jnp.dot(hidden, params["decoder"]["tok"].T, preferred_element_type=jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("arch", "max_len"))
+def _forced_buffer(forced_ids, max_len: int) -> jnp.ndarray:
+    """[max_len] int32: forced token id at positions 1..len(forced_ids),
+    -1 (= unforced) elsewhere.  Mirrors HF generate's
+    ``forced_decoder_ids`` (language/task/notimestamps prompt)."""
+    buf = np.full((max_len,), -1, np.int32)
+    if forced_ids:
+        ids = list(forced_ids)[: max_len - 1]
+        buf[1 : 1 + len(ids)] = ids
+    return jnp.asarray(buf)
+
+
+@partial(jax.jit, static_argnames=("arch", "max_len", "forced_ids"))
 def greedy_decode_cached(
     params: dict,
     mel: jax.Array,
     arch: WhisperArch,
     max_len: int = 32,
     encoder_hidden: jax.Array | None = None,
+    forced_ids: tuple[int, ...] | None = None,
 ) -> jax.Array:
     """KV-cached greedy decoding: one incremental decoder step per token.
 
@@ -345,6 +358,11 @@ def greedy_decode_cached(
     ``dynamic_update_slice`` inside a ``fori_loop`` (static shapes, no
     recompute of earlier positions — unlike :func:`greedy_decode`, which
     re-runs the full stack per step).  Produces identical tokens.
+
+    Sequences freeze to ``arch.eos_token_id`` once they emit it (so no
+    post-EOS garbage reaches ``batch_decode``); ``forced_ids`` pins the
+    decoder prompt positions 1..len(forced_ids) like HF generate's
+    forced_decoder_ids.
     """
     if encoder_hidden is None:
         encoder_hidden, _ = encoder_forward(params, mel, arch)
@@ -367,6 +385,9 @@ def greedy_decode_cached(
     tokens = jnp.full((b, max_len), arch.decoder_start_token_id, jnp.int32)
     cache_k = jnp.zeros((n_layers, b, max_len, d), encoder_hidden.dtype)
     cache_v = jnp.zeros((n_layers, b, max_len, d), encoder_hidden.dtype)
+    finished = jnp.zeros((b,), jnp.bool_)
+    forced_buf = _forced_buffer(forced_ids, max_len)
+    eos = jnp.int32(arch.eos_token_id)
 
     def split(y):  # [B, 1, D] -> [B, nh, 1, hd]
         return y.reshape(b, 1, nh, hd).transpose(0, 2, 1, 3)
@@ -375,7 +396,7 @@ def greedy_decode_cached(
         return y.transpose(0, 2, 1, 3).reshape(b, 1, d)
 
     def step(t, state):
-        tokens, cache_k, cache_v = state
+        tokens, cache_k, cache_v, finished = state
         x = dec["tok"][tokens[:, t]][:, None, :] + dec["pos"][t]
 
         def layer(carry, scanned):
@@ -413,44 +434,59 @@ def greedy_decode_cached(
         x = _layer_norm(x, dec["ln_f_g"], dec["ln_f_b"])
         logits = decoder_logits(params, x[:, 0, :])
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(forced_buf[t + 1] >= 0, forced_buf[t + 1], nxt)
+        nxt = jnp.where(finished, eos, nxt)
+        finished = finished | (nxt == eos)
         tokens = jax.lax.cond(
             t + 1 < max_len,
             lambda tk: tk.at[:, t + 1].set(nxt),
             lambda tk: tk,
             tokens,
         )
-        return tokens, cache_k, cache_v
+        return tokens, cache_k, cache_v, finished
 
-    tokens, _, _ = jax.lax.fori_loop(0, max_len - 1, step, (tokens, cache_k, cache_v))
+    tokens, _, _, _ = jax.lax.fori_loop(
+        0, max_len - 1, step, (tokens, cache_k, cache_v, finished)
+    )
     return tokens
 
 
-@partial(jax.jit, static_argnames=("arch", "max_len"))
+@partial(jax.jit, static_argnames=("arch", "max_len", "forced_ids"))
 def greedy_decode(
     params: dict,
     mel: jax.Array,
     arch: WhisperArch,
     max_len: int = 32,
     encoder_hidden: jax.Array | None = None,
+    forced_ids: tuple[int, ...] | None = None,
 ) -> jax.Array:
     """Greedy token decoding (no KV cache — O(L) full decoder passes on a
     fixed-length buffer, fine for analysis-scale use; the reference never
     decodes at all, its decoder only ever sees one BOS token).
 
-    Returns [B, max_len] token ids starting with the BOS token.
+    Returns [B, max_len] token ids starting with the BOS token.  Same
+    EOS-freeze and forced-prompt semantics as :func:`greedy_decode_cached`.
     """
     if encoder_hidden is None:
         encoder_hidden, _ = encoder_forward(params, mel, arch)
     b = encoder_hidden.shape[0]
     tokens = jnp.full((b, max_len), arch.decoder_start_token_id, jnp.int32)
+    finished = jnp.zeros((b,), jnp.bool_)
+    forced_buf = _forced_buffer(forced_ids, max_len)
+    eos = jnp.int32(arch.eos_token_id)
 
-    def step(t, tokens):
+    def step(t, state):
+        tokens, finished = state
         hidden, _ = decoder_forward(params, tokens, encoder_hidden, arch)
         logits = decoder_logits(params, hidden[:, t, :])
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return tokens.at[:, t + 1].set(nxt)
+        nxt = jnp.where(forced_buf[t + 1] >= 0, forced_buf[t + 1], nxt)
+        nxt = jnp.where(finished, eos, nxt)
+        finished = finished | (nxt == eos)
+        return tokens.at[:, t + 1].set(nxt), finished
 
-    return jax.lax.fori_loop(0, max_len - 1, step, tokens)
+    tokens, _ = jax.lax.fori_loop(0, max_len - 1, step, (tokens, finished))
+    return tokens
 
 
 # ---------------------------------------------------------------------------
@@ -548,6 +584,7 @@ def from_hf_torch(model) -> tuple[dict, WhisperArch]:
         max_target_positions=cfg.max_target_positions,
         vocab_size=cfg.vocab_size,
         decoder_start_token_id=cfg.decoder_start_token_id,
+        eos_token_id=cfg.eos_token_id,
     )
     sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
     prefix = "model." if any(k.startswith("model.") for k in sd) else ""
@@ -632,6 +669,7 @@ def transcribe(
     audio,
     tokenizer=None,
     max_len: int = 224,
+    forced_ids: tuple[int, ...] | None = None,
 ):
     """Audio -> token ids (and text when a tokenizer is given).
 
@@ -640,11 +678,23 @@ def transcribe(
     (e.g. HF WhisperTokenizer); without one, raw token ids are returned.
     (The reference never decodes at all — its decoder only ever sees a
     BOS token, hooks.py:184-195.)
+
+    Decoding freezes to EOS per sequence; pass ``forced_ids`` (e.g. the
+    language/task/notimestamps ids from
+    ``tokenizer.get_decoder_prompt_ids``) to match standard Whisper
+    inference prompting.
     """
     from ..data.mel import log_mel_spectrogram
 
     mel = log_mel_spectrogram(audio)
-    tokens = greedy_decode_cached(params, mel, arch, max_len=max_len)
+    if forced_ids is None and tokenizer is not None:
+        get_prompt = getattr(tokenizer, "get_decoder_prompt_ids", None)
+        if get_prompt is not None:
+            # [(position, token_id), ...] -> position-ordered ids
+            forced_ids = tuple(tok for _, tok in sorted(get_prompt()))
+    tokens = greedy_decode_cached(
+        params, mel, arch, max_len=max_len, forced_ids=forced_ids
+    )
     if tokenizer is None:
         return tokens
     return tokenizer.batch_decode(np.asarray(tokens), skip_special_tokens=True)

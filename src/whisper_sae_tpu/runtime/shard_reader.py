@@ -18,12 +18,43 @@ from pathlib import Path
 import numpy as np
 
 _LIB_PATH = Path(__file__).parent / "libwstio.so"
+_SRC_PATH = Path(__file__).parent / "wstio.cpp"
 _lib = None
+
+
+def _stale() -> bool:
+    """True when wstio.cpp is newer than the built .so (loading the old
+    binary would silently ignore source edits)."""
+    return (
+        _LIB_PATH.exists()
+        and _SRC_PATH.exists()
+        and _SRC_PATH.stat().st_mtime > _LIB_PATH.stat().st_mtime
+    )
+
+
+def _make(quiet: bool = True) -> None:
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["make", "-C", str(Path(__file__).parent)],
+            check=True,
+            capture_output=quiet,
+        )
+    except Exception:
+        pass
 
 
 def _load_lib():
     global _lib
-    if _lib is None and _LIB_PATH.exists():
+    if _lib is None:
+        # build on first use; rebuild when the source is newer than the
+        # binary (the .so is NOT in version control — a committed binary
+        # would shadow source edits and be unauditable)
+        if not _LIB_PATH.exists() or _stale():
+            _make()
+        if not _LIB_PATH.exists() or _stale():
+            return None  # no toolchain / failed rebuild: numpy fallback
         lib = ctypes.CDLL(str(_LIB_PATH))
         lib.wstio_open.restype = ctypes.c_void_p
         lib.wstio_open.argtypes = [
@@ -54,18 +85,9 @@ def native_available() -> bool:
 
 def build_native(quiet: bool = True) -> bool:
     """Try to build libwstio.so with make; returns availability."""
-    import subprocess
-
     if native_available():
         return True
-    try:
-        subprocess.run(
-            ["make", "-C", str(Path(__file__).parent)],
-            check=True,
-            capture_output=quiet,
-        )
-    except Exception:
-        return False
+    _make(quiet=quiet)
     return native_available()
 
 

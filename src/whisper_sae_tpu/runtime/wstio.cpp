@@ -36,6 +36,18 @@ struct Reader {
   int64_t total_rows = 0;
 };
 
+// Unmap every mapped shard and free the Reader (shared by wstio_close and
+// the partial-open failure paths, which previously leaked the mappings of
+// already-opened shards for the process lifetime).
+void destroy_reader(Reader* r) {
+  for (auto& s : r->shards) {
+    if (s.base && s.base != MAP_FAILED) {
+      munmap(s.base, s.map_size);
+    }
+  }
+  delete r;
+}
+
 }  // namespace
 
 extern "C" {
@@ -51,13 +63,13 @@ void* wstio_open(const char** paths, int n_shards, const int64_t* data_offsets,
   for (int i = 0; i < n_shards; ++i) {
     int fd = ::open(paths[i], O_RDONLY);
     if (fd < 0) {
-      delete r;
+      destroy_reader(r);
       return nullptr;
     }
     struct stat st;
     if (fstat(fd, &st) != 0) {
       ::close(fd);
-      delete r;
+      destroy_reader(r);
       return nullptr;
     }
     Shard s;
@@ -66,7 +78,7 @@ void* wstio_open(const char** paths, int n_shards, const int64_t* data_offsets,
         mmap(nullptr, s.map_size, PROT_READ, MAP_PRIVATE, fd, 0));
     ::close(fd);
     if (s.base == MAP_FAILED) {
-      delete r;
+      destroy_reader(r);
       return nullptr;
     }
     madvise(s.base, s.map_size, MADV_WILLNEED);
@@ -109,13 +121,7 @@ void wstio_gather(void* handle, const int64_t* indices, int64_t n,
 }
 
 void wstio_close(void* handle) {
-  Reader* r = static_cast<Reader*>(handle);
-  for (auto& s : r->shards) {
-    if (s.base && s.base != MAP_FAILED) {
-      munmap(s.base, s.map_size);
-    }
-  }
-  delete r;
+  destroy_reader(static_cast<Reader*>(handle));
 }
 
 }  // extern "C"

@@ -26,7 +26,7 @@ from whisper_sae_tpu.models.whisper import (
 ARCH = WhisperArch(
     d_model=64, encoder_layers=2, decoder_layers=2, num_heads=2, ffn_dim=128,
     max_source_positions=75, max_target_positions=24, vocab_size=200,
-    decoder_start_token_id=42,
+    decoder_start_token_id=42, eos_token_id=3,
 )
 
 
@@ -92,6 +92,28 @@ class TestGreedyDecode:
         got = np.asarray(greedy_decode_cached(params, mel, ARCH, max_len=10))
         np.testing.assert_array_equal(got, want)
 
+    def test_forced_decoder_ids(self, params, mel):
+        from whisper_sae_tpu.models.whisper import greedy_decode_cached
+
+        forced = (7, 11, 13)
+        for fn in (greedy_decode, greedy_decode_cached):
+            tokens = np.asarray(
+                fn(params, mel, ARCH, max_len=10, forced_ids=forced)
+            )
+            assert (tokens[:, 1:4] == np.asarray(forced)).all()
+
+    def test_eos_freezes_sequence(self, params, mel):
+        """Once EOS is emitted every later position must stay EOS (no
+        post-EOS garbage for batch_decode to concatenate)."""
+        from whisper_sae_tpu.models.whisper import greedy_decode_cached
+
+        # force EOS at position 1; everything after must be EOS too
+        for fn in (greedy_decode, greedy_decode_cached):
+            tokens = np.asarray(
+                fn(params, mel, ARCH, max_len=8, forced_ids=(ARCH.eos_token_id,))
+            )
+            assert (tokens[:, 1:] == ARCH.eos_token_id).all()
+
 
 class TestSAEInterventions:
     def _good_sae(self, params, mel, apply_ln=True):
@@ -150,6 +172,20 @@ class TestSAEInterventions:
         a = patched_logits(params, mel, ARCH, 0, patch_none)
         b = patched_logits(params, mel, ARCH, 0, patch_abl)
         assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-4
+
+    def test_substitution_does_not_leak_tracers_into_state(self, params, mel):
+        """Regression: the patch used to call the stateful training-mode
+        facade inside the traced forward, leaving DynamicJaxprTracer in
+        sae.state and breaking any later state read."""
+        sae = TopKSAE(input_dim=64, hidden_dim=512, k=48, seed=0)
+        assert sae.training  # the leak only happened in training mode
+        before = sae.state
+        substitution_effect(params, mel, ARCH, sae, layer_idx=0, max_len=4)
+        assert int(sae.state.step_count) == 0  # concrete, unchanged
+        np.testing.assert_array_equal(
+            np.asarray(sae.state.feature_last_activated),
+            np.asarray(before.feature_last_activated),
+        )
 
     def test_metrics(self):
         t1 = jnp.asarray([[1, 2, 3, 4]])
