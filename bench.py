@@ -70,7 +70,7 @@ def bench_tpu(batch: int, steps: int, warmup_steps: int = 8) -> float:
     return best
 
 
-def bench_extraction(batch: int = 16, steps: int = 8) -> dict:
+def bench_extraction(batch: int = 16, steps: int = 8, dtype_name: str = "bf16") -> dict:
     """Extraction throughput: whisper-tiny forward with all-layer capture
     (clips/sec and activation-tokens/sec/layer), random weights + random
     mel — the compute path is identical to a pretrained run."""
@@ -80,13 +80,14 @@ def bench_extraction(batch: int = 16, steps: int = 8) -> dict:
     from whisper_sae_tpu.models.whisper import WhisperArch, extract_activations, init_whisper
 
     arch = WhisperArch()
+    compute_dtype = jnp.bfloat16 if dtype_name == "bf16" else None
     params = init_whisper(jax.random.PRNGKey(0), arch)
     mels = jax.random.normal(jax.random.PRNGKey(1), (steps, batch, 80, 3000), jnp.float32)
 
     def run(mels):
         def body(c, mel):
             acts = extract_activations(
-                params, mel, arch, with_decoder=True, compute_dtype=jnp.bfloat16
+                params, mel, arch, with_decoder=True, compute_dtype=compute_dtype
             )
             return c, (jnp.sum(acts["encoder"][:, :, 0, 0]), jnp.sum(acts["decoder"]))
         _, out = jax.lax.scan(body, 0, mels)
@@ -152,12 +153,17 @@ def bench_torch_reference(batch: int = 128, steps: int = 10) -> float:
 
 def main() -> None:
     parser = argparse.ArgumentParser()
+    # 32k-token batches measured fastest in the trainer's fused-epoch path
+    # (5.30M vs 4.94M act/s at 128k in an A/B/A; a standalone scan that
+    # re-feeds ONE batch shows the opposite ordering — do not tune batch
+    # size from synthetic single-batch loops)
     parser.add_argument("--batch", type=int, default=32768)
     parser.add_argument("--steps", type=int, default=64)
     parser.add_argument("--baseline-steps", type=int, default=8)
     parser.add_argument("--skip-baseline", action="store_true")
+    parser.add_argument("--skip-extraction", action="store_true")
     parser.add_argument("--extraction", action="store_true",
-                        help="Benchmark activation extraction instead of SAE training")
+                        help="Benchmark activation extraction only")
     args = parser.parse_args()
 
     if args.extraction:
@@ -190,6 +196,20 @@ def main() -> None:
     }
     if baseline:
         result["baseline_torch_same_host"] = round(baseline, 1)
+    if not args.skip_extraction:
+        # SURVEY §6 demands the harness record extraction throughput too;
+        # carried as extra fields so the driver still sees ONE JSON line
+        try:
+            for mode in ("bf16", "f32"):
+                ext = bench_extraction(dtype_name=mode)
+                result[f"extraction_clips_per_sec_{mode}"] = round(
+                    ext["clips_per_sec"], 2
+                )
+                result[f"extraction_tokens_per_sec_per_layer_{mode}"] = round(
+                    ext["activation_tokens_per_sec_per_layer"], 1
+                )
+        except Exception as e:  # pragma: no cover
+            print(f"extraction bench failed: {e}", file=sys.stderr)
     print(json.dumps(result))
 
 

@@ -29,11 +29,41 @@ from ..utils.wavio import resample
 from .mel import SAMPLE_RATE, log_mel_spectrogram
 
 
+class _ShardedMels:
+    """Lazy row access over a list of .npy mel shards (memmap per shard)."""
+
+    def __init__(self, paths: list[Path]):
+        self.paths = paths
+        self._maps: list[np.ndarray | None] = [None] * len(paths)
+        rows = []
+        for p in paths:
+            with open(p, "rb") as f:
+                version = np.lib.format.read_magic(f)
+                shape, _, _ = np.lib.format._read_array_header(f, version)
+            rows.append(shape[0])
+        self._cum = np.cumsum([0] + rows)
+
+    def __len__(self) -> int:
+        return int(self._cum[-1])
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        s = int(np.searchsorted(self._cum, i, side="right")) - 1
+        if self._maps[s] is None:
+            self._maps[s] = np.load(self.paths[s], mmap_mode="r")
+        return self._maps[s][i - self._cum[s]]
+
+
 class LibriSpeechDataset:
     """Streaming LibriSpeech dataset with on-disk feature cache.
 
     Each item: ``{"input_features": [80, 3000] float32, "id": str,
     "text": str, "speaker_id": int, "chapter_id": int}``.
+
+    The mel cache is written as bounded ``.npy`` shards during streaming
+    (atomic per-shard tmp->rename; ~240 MB peak RSS at any corpus size),
+    replacing the reference's buffer-everything-then-save
+    (librispeech.py:51-65, which needs ~96 GB at the 100k-sample config).
+    Legacy single-file caches from older runs still load.
     """
 
     def __init__(self, config: DataConfig, processor: Any | None = None):
@@ -45,15 +75,29 @@ class LibriSpeechDataset:
             f"librispeech_{config.dataset_subset}_{config.dataset_split}_"
             f"{config.max_samples}"
         )
+        self._stem = stem
         self._feat_path = self.cache_dir / f"{stem}.npy"
         self._meta_path = self.cache_dir / f"{stem}_meta.json"
-        self._features: np.ndarray | None = None
+        self._features: np.ndarray | _ShardedMels | None = None
         self._meta: list[dict] | None = None
-        if self._feat_path.exists() and self._meta_path.exists():
-            self._features = np.load(self._feat_path, mmap_mode="r")
+        if self._meta_path.exists():
             self._meta = json.loads(self._meta_path.read_text())
+            if isinstance(self._meta, dict):  # sharded cache layout
+                shard_paths = [self.cache_dir / s for s in self._meta["shards"]]
+                self._features = _ShardedMels(shard_paths)
+                self._meta = self._meta["items"]
+            elif self._feat_path.exists():  # legacy single-file layout
+                self._features = np.load(self._feat_path, mmap_mode="r")
+            else:
+                self._load_streaming()
         else:
             self._load_streaming()
+
+    # one [80, 3000] f32 mel is ~0.92 MB; 256 per shard keeps RSS during
+    # streaming bounded at ~240 MB regardless of max_samples (the
+    # reference — and round 1 — buffered ALL mels before one save: ~96 GB
+    # RSS at the 100k-sample config)
+    SHARD_MELS = 256
 
     def _load_streaming(self) -> None:
         try:
@@ -70,8 +114,26 @@ class LibriSpeechDataset:
             streaming=self.config.streaming,
         )
         ds = ds.cast_column("audio", Audio(decode=False))
-        feats, meta = [], []
-        for i, sample in enumerate(ds):
+        self._ingest(iter(ds))
+
+    def _ingest(self, samples) -> None:
+        """Featurize a sample stream into bounded .npy shards (atomic
+        tmp->rename per shard) + one metadata json listing them."""
+        buf: list[np.ndarray] = []
+        meta: list[dict] = []
+        shard_names: list[str] = []
+
+        def flush():
+            if not buf:
+                return
+            name = f"{self._stem}_shard{len(shard_names):05d}.npy"
+            tmp = self.cache_dir / (name + ".tmp.npy")
+            np.save(tmp, np.stack(buf).astype(np.float32))
+            tmp.rename(self.cache_dir / name)
+            shard_names.append(name)
+            buf.clear()
+
+        for i, sample in enumerate(samples):
             if i >= self.config.max_samples:
                 break
             try:
@@ -79,7 +141,7 @@ class LibriSpeechDataset:
                 audio = resample(audio, rate, SAMPLE_RATE)
                 if audio.ndim > 1:
                     audio = audio.mean(axis=1)
-                feats.append(self._featurize(audio))
+                buf.append(self._featurize(audio))
                 meta.append(
                     {
                         "id": sample.get("id", str(i)),
@@ -91,10 +153,14 @@ class LibriSpeechDataset:
             except Exception:
                 # per-sample resilience, reference librispeech.py:149-151
                 continue
-        self._features = np.stack(feats).astype(np.float32)
+            if len(buf) >= self.SHARD_MELS:
+                flush()
+        flush()
+        tmp = self._meta_path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps({"shards": shard_names, "items": meta}))
+        tmp.rename(self._meta_path)
+        self._features = _ShardedMels([self.cache_dir / s for s in shard_names])
         self._meta = meta
-        np.save(self._feat_path, self._features)
-        self._meta_path.write_text(json.dumps(meta))
 
     @staticmethod
     def _decode(audio_field: dict) -> tuple[np.ndarray, int]:
@@ -195,17 +261,24 @@ class AudioBatchLoader:
     """Batches ``input_features`` from a dataset (replaces the torch
     DataLoader in the reference extraction path, scripts/train.py:311-317)."""
 
-    def __init__(self, dataset, batch_size: int = 16):
+    def __init__(self, dataset, batch_size: int = 16, shuffle: bool = False,
+                 seed: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
+        self.shuffle = shuffle
+        self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
         return -(-len(self.dataset) // self.batch_size)
 
     def __iter__(self) -> Iterator[np.ndarray]:
         n = len(self.dataset)
+        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
         for start in range(0, n, self.batch_size):
-            items = [self.dataset[i] for i in range(start, min(start + self.batch_size, n))]
+            items = [
+                self.dataset[int(i)]
+                for i in order[start:start + self.batch_size]
+            ]
             if isinstance(items[0], dict):
                 yield np.stack([it["input_features"] for it in items])
             else:
@@ -213,8 +286,29 @@ class AudioBatchLoader:
 
 
 def create_librispeech_dataloader(
-    config: DataConfig, batch_size: int = 16, processor: Any | None = None
+    processor: Any = None,
+    config: DataConfig | None = None,
+    batch_size: int = 16,
+    num_workers: int = 4,
+    shuffle: bool = True,
+    pin_memory: bool = True,
 ) -> AudioBatchLoader:
-    """Reference librispeech.py:190-218 equivalent."""
+    """DataLoader factory with the reference's exact argument surface
+    (reference librispeech.py:189-218: processor, config, batch_size,
+    num_workers, shuffle).  ``num_workers`` / ``pin_memory`` are accepted
+    for drop-in compatibility and ignored — batch assembly is a memmap
+    gather, and there is no host->CUDA pinning on TPU.
+
+    Also callable keyword-style as ``create_librispeech_dataloader(
+    config=..., batch_size=..., processor=...)``; the first positional may
+    be either the processor (reference order) or a DataConfig.
+    """
+    if config is None and isinstance(processor, DataConfig):
+        processor, config = None, processor
+    if config is None:
+        raise TypeError("create_librispeech_dataloader requires a DataConfig")
+    del num_workers, pin_memory  # API parity only
     ds = LibriSpeechDataset(config, processor=processor)
-    return AudioBatchLoader(LibriSpeechFeaturesOnly(ds), batch_size=batch_size)
+    return AudioBatchLoader(
+        LibriSpeechFeaturesOnly(ds), batch_size=batch_size, shuffle=shuffle
+    )

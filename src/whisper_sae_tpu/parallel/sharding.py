@@ -56,21 +56,15 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 def shard_train_step(step: Callable, mesh: Mesh) -> Callable:
     """Wrap a (params, opt_state, dstate, batch) -> (...) step for the mesh.
 
-    Inputs are placed by shape rule on first call; thereafter donation
-    keeps everything resident.  XLA's SPMD partitioner inserts the
-    gradient psum over the ``data`` axis automatically.
+    State placement is the trainer's responsibility (SAETrainer.
+    _place_on_mesh — a trainer-level latch so host-side resampling can
+    invalidate and re-place); this wrapper only shards the incoming batch.
+    XLA's SPMD partitioner inserts the gradient psum over ``data``.
     """
     jitted = jax.jit(step, donate_argnums=(0, 1, 2))
     bsharding = batch_sharding(mesh)
-    placed = {"done": False}
 
     def wrapped(params, opt_state, dstate, batch):
-        if not placed["done"]:
-            d, h = _axis_sizes(params)
-            params = place_tree(mesh, params, d, h)
-            opt_state = place_tree(mesh, opt_state, d, h)
-            dstate = place_tree(mesh, dstate, d, h)
-            placed["done"] = True
         batch = jax.device_put(batch, bsharding)
         return jitted(params, opt_state, dstate, batch)
 

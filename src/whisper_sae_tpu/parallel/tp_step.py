@@ -82,26 +82,19 @@ def _distributed_clip(grads: dict, clip: float):
     return jax.tree_util.tree_map(lambda g: g * scale, grads)
 
 
-def build_tp_train_step(
+def _make_local_step(
     optimizer: optax.GradientTransformation,
     k: int,
     compute_dtype,
-    mesh: Mesh,
+    n_data: int,
+    n_model: int,
     dead_feature_threshold: int,
-    example_params: dict,
-    example_opt_state,
-    renorm: bool = True,
-    gradient_clip: float | None = None,
+    renorm: bool,
+    gradient_clip: float | None,
 ) -> Callable:
-    """Jitted shard_map step: (params, opt_state, dstate, batch [B, D]) ->
-    (params, opt_state, dstate, metrics dict of replicated scalars).
-
-    ``optimizer`` may include an optax clip_by_global_norm: after the
-    distributed clip here the local norms are <= the threshold, so the
-    inner clip becomes a no-op and the optimizer state layout matches the
-    single-device trainer's (checkpoints interchange)."""
-    n_data = mesh.shape[DATA_AXIS]
-    n_model = mesh.shape[MODEL_AXIS]
+    """The per-shard step body shared by the per-step and fused-epoch
+    shard_map programs: (params, opt_state, dstate, batch_local) ->
+    (params, opt_state, dstate, metrics of replicated scalars)."""
 
     def local_step(params, opt_state, dstate, batch):
         def loss_fn(p):
@@ -183,25 +176,109 @@ def build_tp_train_step(
         }
         return params, opt_state, dstate, metrics
 
+    return local_step
+
+
+def _opt_specs(example_params: dict, example_opt_state):
     d, h = example_params["w_enc"].shape
-    opt_specs = jax.tree_util.tree_map(
+    return jax.tree_util.tree_map(
         lambda leaf: leaf_pspec(jnp.shape(leaf), d, h), example_opt_state
     )
-    metric_specs = {
-        key: P()
-        for key in (
-            "loss", "reconstruction_loss", "sparsity_loss", "l0",
-            "dead_feature_ratio",
-        )
-    }
+
+
+_METRIC_SPECS = {
+    key: P()
+    for key in (
+        "loss", "reconstruction_loss", "sparsity_loss", "l0",
+        "dead_feature_ratio",
+    )
+}
+
+
+def build_tp_train_step(
+    optimizer: optax.GradientTransformation,
+    k: int,
+    compute_dtype,
+    mesh: Mesh,
+    dead_feature_threshold: int,
+    example_params: dict,
+    example_opt_state,
+    renorm: bool = True,
+    gradient_clip: float | None = None,
+) -> Callable:
+    """Jitted shard_map step: (params, opt_state, dstate, batch [B, D]) ->
+    (params, opt_state, dstate, metrics dict of replicated scalars).
+
+    ``optimizer`` may include an optax clip_by_global_norm: after the
+    distributed clip here the local norms are <= the threshold, so the
+    inner clip becomes a no-op and the optimizer state layout matches the
+    single-device trainer's (checkpoints interchange)."""
+    local_step = _make_local_step(
+        optimizer, k, compute_dtype,
+        mesh.shape[DATA_AXIS], mesh.shape[MODEL_AXIS],
+        dead_feature_threshold, renorm, gradient_clip,
+    )
+    opt_specs = _opt_specs(example_params, example_opt_state)
     step = jax.shard_map(
         local_step,
         mesh=mesh,
         in_specs=(PARAM_SPECS, opt_specs, DSTATE_SPECS, P(DATA_AXIS, None)),
-        out_specs=(PARAM_SPECS, opt_specs, DSTATE_SPECS, metric_specs),
+        out_specs=(PARAM_SPECS, opt_specs, DSTATE_SPECS, _METRIC_SPECS),
         check_vma=False,
     )
     return jax.jit(step, donate_argnums=(0, 1, 2))
+
+
+def build_tp_epoch_fn(
+    optimizer: optax.GradientTransformation,
+    k: int,
+    compute_dtype,
+    mesh: Mesh,
+    dead_feature_threshold: int,
+    example_params: dict,
+    example_opt_state,
+    metric_keys: tuple[str, ...],
+    renorm: bool = True,
+    gradient_clip: float | None = None,
+) -> Callable:
+    """Fused-epoch shard_map program: lax.scan of the dp x tp local step
+    over [S, B, D] pre-staged batches — ONE dispatch per epoch instead of
+    one per step (the per-dispatch tunnel latency otherwise caps a dp run
+    below single-chip fused throughput).
+
+    Returns a jitted (params, opt_state, dstate, batches) ->
+    (params, opt_state, dstate, stacked [S, len(metric_keys)] metrics)
+    with donated state; batches enter sharded P(None, data, None).
+    """
+    local_step = _make_local_step(
+        optimizer, k, compute_dtype,
+        mesh.shape[DATA_AXIS], mesh.shape[MODEL_AXIS],
+        dead_feature_threshold, renorm, gradient_clip,
+    )
+
+    def local_epoch(params, opt_state, dstate, batches):
+        def body(carry, batch):
+            params, opt_state, dstate = carry
+            params, opt_state, dstate, metrics = local_step(
+                params, opt_state, dstate, batch
+            )
+            return (params, opt_state, dstate), metrics
+
+        (params, opt_state, dstate), metrics = jax.lax.scan(
+            body, (params, opt_state, dstate), batches
+        )
+        stacked = jnp.stack([metrics[key] for key in metric_keys], axis=1)
+        return params, opt_state, dstate, stacked
+
+    opt_specs = _opt_specs(example_params, example_opt_state)
+    epoch = jax.shard_map(
+        local_epoch,
+        mesh=mesh,
+        in_specs=(PARAM_SPECS, opt_specs, DSTATE_SPECS, P(None, DATA_AXIS, None)),
+        out_specs=(PARAM_SPECS, opt_specs, DSTATE_SPECS, P(None, None)),
+        check_vma=False,
+    )
+    return jax.jit(epoch, donate_argnums=(0, 1, 2))
 
 
 def place_for_tp(mesh: Mesh, params: dict, opt_state, dstate: DeadFeatureState):

@@ -99,6 +99,9 @@ class SAETrainer:
         self.opt_state = self._optimizer.init(self.model.params)
         self._step_fn = None  # built lazily (after scheduler setup)
         self._epoch_fn = None
+        self._remainder_step_fn = None
+        self._mesh_placed = False  # trainer-level latch: resampling and
+        # checkpoint loads replace state with host arrays and must re-place
 
         self.global_step = 0
         self.epoch = 0
@@ -141,6 +144,7 @@ class SAETrainer:
         # same optimizer.)
         self._step_fn = None
         self._epoch_fn = None
+        self._remainder_step_fn = None
 
     def learning_rate_at(self, step: int) -> float:
         return float(np.asarray(self._schedule(step)))
@@ -190,7 +194,48 @@ class SAETrainer:
     def _should_renorm(self) -> bool:
         return getattr(self.model, "normalize_decoder", True)
 
-    def _build_step(self):
+    def _is_tp(self) -> bool:
+        if self.mesh is None:
+            return False
+        from ..parallel.mesh import MODEL_AXIS
+
+        return self.mesh.shape.get(MODEL_AXIS, 1) > 1 and isinstance(
+            self.model, TopKSAE
+        )
+
+    def _place_on_mesh(self) -> None:
+        """Place params/opt_state/dead-state on the mesh per the layout
+        rules.  Idempotent via ``_mesh_placed``; host-side mutations
+        (resampling, checkpoint load) reset the latch to force re-placement
+        before the next sharded step."""
+        if self.mesh is None or self._mesh_placed:
+            return
+        dstate = self._dead_state
+        if self._is_tp():
+            from ..parallel.tp_step import place_for_tp
+
+            params, opt_state, dstate = place_for_tp(
+                self.mesh, self.model.params, self.opt_state, dstate
+            )
+        else:
+            from ..parallel.sharding import place_tree
+
+            w_enc = self.model.params.get("w_enc")
+            if w_enc is not None and w_enc.ndim == 2:
+                d, h = w_enc.shape
+            else:  # no shape rule applies: replicate everything
+                d = h = -1
+            params = place_tree(self.mesh, self.model.params, d, h)
+            opt_state = place_tree(self.mesh, self.opt_state, d, h)
+            dstate = place_tree(self.mesh, dstate, d, h)
+        self.model.params = params
+        self.opt_state = opt_state
+        if hasattr(self.model, "state"):
+            self.model.state = dstate
+        self._mesh_placed = True
+
+    def _plain_step(self):
+        """The single-program step body (also GSPMD-partitionable)."""
         loss_fn = self._loss_fn()
         opt = self._optimizer
         renorm = self._should_renorm()
@@ -218,13 +263,12 @@ class SAETrainer:
             }
             return params, opt_state, dstate, metrics
 
-        if self.mesh is not None:
-            from ..parallel.mesh import MODEL_AXIS
+        return step
 
-            if (
-                self.mesh.shape.get(MODEL_AXIS, 1) > 1
-                and isinstance(self.model, TopKSAE)
-            ):
+    def _build_step(self):
+        step = self._plain_step()
+        if self.mesh is not None:
+            if self._is_tp():
                 return self._build_tp_step()
             from ..parallel.sharding import shard_train_step
 
@@ -236,7 +280,7 @@ class SAETrainer:
         feature dim is sharded over ``model`` with the distributed
         bisection top-k; the generic GSPMD path stays for dp-only."""
         from ..parallel.sharding import batch_sharding
-        from ..parallel.tp_step import build_tp_train_step, place_for_tp
+        from ..parallel.tp_step import build_tp_train_step
 
         step = build_tp_train_step(
             self._optimizer,
@@ -250,18 +294,33 @@ class SAETrainer:
             gradient_clip=self.config.gradient_clip,
         )
         bshard = batch_sharding(self.mesh)
-        placed = {"done": False}
 
         def wrapped(params, opt_state, dstate, batch):
-            if not placed["done"]:
-                params, opt_state, dstate = place_for_tp(
-                    self.mesh, params, opt_state, dstate
-                )
-                placed["done"] = True
             batch = jax.device_put(batch, bshard)
             return step(params, opt_state, dstate, batch)
 
         return wrapped
+
+    def _ensure_remainder_step(self):
+        """GSPMD-jitted plain step for batches not divisible by the data
+        axis: the batch enters replicated and XLA partitions the math over
+        the already-sharded params — exact single-device semantics at any
+        batch size (used for the drop_last=False remainder)."""
+        if self._remainder_step_fn is None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            jitted = jax.jit(self._plain_step())
+            rshard = NamedSharding(self.mesh, P())
+
+            def wrapped(params, opt_state, dstate, batch):
+                out = jitted(params, opt_state, dstate, jax.device_put(batch, rshard))
+                # jit without explicit out_shardings may re-lay-out the
+                # state; force re-placement before the next sharded step
+                self._mesh_placed = False
+                return out
+
+            self._remainder_step_fn = wrapped
+        return self._remainder_step_fn
 
     def _ensure_step(self):
         if self._step_fn is None:
@@ -300,6 +359,9 @@ class SAETrainer:
             # reference keeps stale moments — model.py:243-255 touches only
             # weights; this is a deliberate, documented improvement.)
             self._reset_moments_for_current_params()
+            # resampling rewrote params/opt_state with host arrays: the
+            # next sharded step must re-place them on the mesh
+            self._mesh_placed = False
             self.num_resampled_total += num
             if self.wandb_run is not None:
                 self.wandb_run.log(
@@ -331,6 +393,13 @@ class SAETrainer:
         """One optimizer step (reference training.py:161-217)."""
         batch = self._prepare_batch(batch)
         step_fn = self._ensure_step()
+        if self.mesh is not None:
+            self._place_on_mesh()
+            from ..parallel.mesh import DATA_AXIS
+
+            rows = jax.tree_util.tree_leaves(batch)[0].shape[0]
+            if rows % self.mesh.shape[DATA_AXIS] != 0:
+                step_fn = self._ensure_remainder_step()
 
         lr = self.learning_rate_at(self.global_step)
         params, self.opt_state, dstate, metrics = step_fn(
@@ -405,6 +474,53 @@ class SAETrainer:
 
         return jax.jit(epoch, donate_argnums=(0, 1, 2))
 
+    def _ensure_epoch_fn(self):
+        """Pick the fused-epoch program for the environment: single-device
+        scan, GSPMD-partitioned scan (dp mesh), or the explicit shard_map
+        dp x tp epoch — each is ONE dispatch per epoch, which is what makes
+        multi-chip training survive the per-dispatch tunnel latency."""
+        if self._epoch_fn is None:
+            if self._is_tp():
+                from ..parallel.tp_step import build_tp_epoch_fn
+
+                self._epoch_fn = build_tp_epoch_fn(
+                    self._optimizer,
+                    self.model.k,
+                    self.compute_dtype,
+                    self.mesh,
+                    getattr(self.model, "dead_feature_threshold", 10_000),
+                    self.model.params,
+                    self.opt_state,
+                    metric_keys=_METRIC_KEYS,
+                    renorm=self._should_renorm(),
+                    gradient_clip=self.config.gradient_clip,
+                )
+            else:
+                self._epoch_fn = self._build_epoch_fn()
+        return self._epoch_fn
+
+    def _stage_batches(self, batches):
+        """Place pre-shuffled [S, B, ...] batch stacks on the mesh, sharded
+        over ``data`` on the batch dim (replicated when no mesh)."""
+        if self.mesh is None:
+            return batches
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        n_data = self.mesh.shape[DATA_AXIS]
+
+        def put(a):
+            if a.shape[1] % n_data:
+                raise ValueError(
+                    f"fused mesh epochs need batch_size % data axis == 0 "
+                    f"(got {a.shape[1]} % {n_data})"
+                )
+            spec = P(None, DATA_AXIS, *([None] * (a.ndim - 2)))
+            return jax.device_put(a, NamedSharding(self.mesh, spec))
+
+        return jax.tree_util.tree_map(put, batches)
+
     def train_epoch_fused(self, data, shuffle: bool = True, seed: int | None = None
                           ) -> list[TrainingMetrics]:
         """One epoch as a single XLA program over device-resident data.
@@ -428,13 +544,15 @@ class SAETrainer:
         epoch_metrics: list[TrainingMetrics] = []
 
         if steps > 0:
-            if self._epoch_fn is None:
-                self._epoch_fn = self._build_epoch_fn()
+            epoch_fn = self._ensure_epoch_fn()
             batches = jax.tree_util.tree_map(
                 lambda a: a[: steps * b].reshape(steps, b, *a.shape[1:]), data
             )
+            if self.mesh is not None:
+                self._place_on_mesh()
+                batches = self._stage_batches(batches)
             start_step = self.global_step
-            params, self.opt_state, dstate, metrics = self._epoch_fn(
+            params, self.opt_state, dstate, metrics = epoch_fn(
                 self.model.params, self.opt_state, self._dead_state, batches
             )
             self.model.params = params
@@ -535,20 +653,20 @@ class SAETrainer:
         """Full loop (reference training.py:261-316).
 
         ``fused=None`` auto-selects: when the dataloader exposes its
-        backing array (ActivationLoader) and no mesh is attached, each
-        epoch runs as one fused lax.scan program; otherwise the per-step
-        path is used.  (The mesh path stays per-step for now — the fused
-        program would need sharded batch staging.)
+        backing array (ActivationLoader) or shard reader, each epoch runs
+        as one fused lax.scan program — single-device, GSPMD dp, or
+        shard_map dp x tp alike (mesh epochs stage the pre-shuffled batch
+        stack sharded over ``data``, so a multi-chip epoch costs one
+        dispatch instead of one per step).
         """
         epochs = epochs or self.config.epochs
         checkpoint_every = checkpoint_every or self.config.checkpoint_every
         total_steps = len(dataloader) * epochs
         self.setup_scheduler(total_steps)
-        single_device = self.mesh is None or self.mesh.size == 1
         if fused is None:
-            fused = hasattr(dataloader, "data") and single_device
+            fused = hasattr(dataloader, "data")
 
-        if hasattr(dataloader, "reader") and single_device and fused is not False:
+        if hasattr(dataloader, "reader") and fused is not False:
             # disk-resident cache: chunked fused epochs through the native
             # shard reader
             for ep in range(epochs):
@@ -684,6 +802,7 @@ class SAETrainer:
                 self.setup_scheduler(int(meta["total_steps"]))
         self._step_fn = None
         self._epoch_fn = None
+        self._mesh_placed = False
 
     def save_final(self, filename_stem: str = "sae_final") -> None:
         """Write ``sae_final.npz`` (native) and ``sae_final.pt``

@@ -117,6 +117,91 @@ class TestSyntheticDataset:
         assert batches[0].shape == (2, 80, 3000)
         assert batches[2].shape == (1, 80, 3000)
 
+    def test_batch_loader_shuffle_covers_all(self):
+        ds = LibriSpeechFeaturesOnly(SyntheticSpeechDataset(num_samples=6))
+        ordered = np.concatenate(list(AudioBatchLoader(ds, batch_size=3)))
+        shuffled = np.concatenate(
+            list(AudioBatchLoader(ds, batch_size=3, shuffle=True, seed=1))
+        )
+        assert not np.array_equal(ordered, shuffled)
+        np.testing.assert_array_equal(
+            np.sort(ordered.reshape(6, -1), axis=0),
+            np.sort(shuffled.reshape(6, -1), axis=0),
+        )
+
+
+class TestShardedMelCache:
+    """The streaming mel cache must stream to bounded .npy shards, never
+    buffering the whole corpus in RAM (round-1 weak #5)."""
+
+    def _samples(self, tmp_path, n):
+        from whisper_sae_tpu.utils.wavio import write_wav
+
+        rng = np.random.default_rng(0)
+        for i in range(n):
+            p = tmp_path / f"clip{i}.wav"
+            write_wav(p, rng.standard_normal(1600).astype(np.float32) * 0.1)
+            yield {
+                "audio": {"path": str(p), "bytes": None},
+                "id": f"clip-{i}",
+                "text": f"utterance {i}",
+                "speaker_id": i,
+                "chapter_id": 0,
+            }
+
+    def _dataset(self, tmp_path, monkeypatch, n=10, shard=4):
+        from whisper_sae_tpu.config import DataConfig
+        from whisper_sae_tpu.data.librispeech import LibriSpeechDataset
+
+        monkeypatch.setattr(LibriSpeechDataset, "SHARD_MELS", shard)
+        monkeypatch.setattr(
+            LibriSpeechDataset,
+            "_load_streaming",
+            lambda self: self._ingest(self._samples_iter),
+        )
+        cfg = DataConfig(cache_dir=str(tmp_path / "cache"), max_samples=n)
+        ds = object.__new__(LibriSpeechDataset)
+        ds._samples_iter = self._samples(tmp_path, n)
+        LibriSpeechDataset.__init__(ds, cfg)
+        return ds, cfg
+
+    def test_ingest_writes_bounded_shards_and_reloads(self, tmp_path, monkeypatch):
+        ds, cfg = self._dataset(tmp_path, monkeypatch, n=10, shard=4)
+        cache_dir = tmp_path / "cache"
+        shards = sorted(cache_dir.glob("*_shard*.npy"))
+        assert len(shards) == 3  # 4 + 4 + 2
+        assert not list(cache_dir.glob("*.tmp.npy"))  # atomic renames only
+        assert len(ds) == 10
+        first = ds[0]["input_features"].copy()
+        assert first.shape == (80, 3000)
+        assert ds[9]["id"] == "clip-9"
+
+        # a fresh instance must load purely from the shard cache (no
+        # streaming): _load_streaming would raise on the fresh object
+        from whisper_sae_tpu.data.librispeech import LibriSpeechDataset
+
+        ds2 = LibriSpeechDataset(cfg)
+        assert len(ds2) == 10
+        np.testing.assert_array_equal(ds2[0]["input_features"], first)
+        np.testing.assert_array_equal(
+            ds2[7]["input_features"], ds[7]["input_features"]
+        )
+
+    def test_reference_dataloader_facade(self, tmp_path, monkeypatch):
+        from whisper_sae_tpu.config import DataConfig
+        from whisper_sae_tpu.data.librispeech import create_librispeech_dataloader
+
+        ds, cfg = self._dataset(tmp_path, monkeypatch, n=4, shard=4)
+        # reference argument order: (processor, config, batch_size,
+        # num_workers, shuffle) — torch-only kwargs accepted and ignored
+        loader = create_librispeech_dataloader(None, cfg, 2, num_workers=4,
+                                               shuffle=False)
+        batches = list(loader)
+        assert len(batches) == 2 and batches[0].shape == (2, 80, 3000)
+        # keyword/config-first style also works
+        loader2 = create_librispeech_dataloader(cfg, batch_size=4, shuffle=False)
+        assert next(iter(loader2)).shape == (4, 80, 3000)
+
 
 class TestActivationLoader:
     def test_reshuffles_each_epoch(self, rng):

@@ -130,6 +130,137 @@ class TestDistributedTraining:
         np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
 
 
+class TestFusedMeshEpochs:
+    """The fused lax.scan epoch under a mesh (one dispatch per epoch) must
+    reproduce the per-step mesh path exactly."""
+
+    @pytest.fixture
+    def data(self, rng):
+        return rng.standard_normal((4 * B, D)).astype(np.float32)
+
+    def _trainer(self, mesh):
+        model = TopKSAE(input_dim=D, hidden_dim=H, k=K, seed=0)
+        cfg = TrainingConfig(
+            batch_size=B, learning_rate=1e-3, epochs=1, warmup_steps=0,
+            use_amp=False,
+        )
+        return SAETrainer(model, cfg, run_dir=None, mesh=mesh)
+
+    @pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4)])
+    def test_fused_epoch_matches_per_step_mesh_path(self, data, shape):
+        mesh = make_mesh(data=shape[0], model=shape[1])
+        t_step = self._trainer(mesh)
+        batches = data.reshape(4, B, D)
+        ms_step = [t_step.train_step(batches[i]) for i in range(4)]
+
+        t_fused = self._trainer(make_mesh(data=shape[0], model=shape[1]))
+        ms_fused = t_fused.train_epoch_fused(data, shuffle=False)
+
+        assert len(ms_fused) == 4
+        for a, b in zip(ms_step, ms_fused):
+            assert a.loss == pytest.approx(b.loss, rel=1e-6)
+            assert a.l0 == pytest.approx(b.l0, abs=1e-3)
+        for name in t_step.model.params:
+            np.testing.assert_allclose(
+                np.asarray(t_step.model.params[name]),
+                np.asarray(t_fused.model.params[name]),
+                atol=1e-6,
+                err_msg=name,
+            )
+        np.testing.assert_array_equal(
+            np.asarray(t_step.model.state.feature_last_activated),
+            np.asarray(t_fused.model.state.feature_last_activated),
+        )
+
+    def test_fused_mesh_epoch_matches_single_device_fused(self, data):
+        t_single = self._trainer(None)
+        ms_single = t_single.train_epoch_fused(data, shuffle=True)
+        t_mesh = self._trainer(make_mesh(data=4, model=2))
+        ms_mesh = t_mesh.train_epoch_fused(data, shuffle=True)
+        # identical shuffle (same seed/epoch fold) -> same trajectory
+        for a, b in zip(ms_single, ms_mesh):
+            assert a.loss == pytest.approx(b.loss, rel=1e-4)
+        for name in t_single.model.params:
+            np.testing.assert_allclose(
+                np.asarray(t_single.model.params[name]),
+                np.asarray(t_mesh.model.params[name]),
+                atol=1e-5,
+                err_msg=name,
+            )
+
+    def test_fused_mesh_epoch_with_remainder(self, rng):
+        # N % B != 0: the remainder rides the replicated GSPMD step and
+        # every token is still seen (drop_last=False semantics)
+        n = 2 * B + 24
+        data = rng.standard_normal((n, D)).astype(np.float32)
+        t = self._trainer(make_mesh(data=4, model=2))
+        ms = t.train_epoch_fused(data, shuffle=False)
+        assert len(ms) == 3  # 2 full batches + remainder
+        assert t.global_step == 3
+        assert all(np.isfinite(m.loss) for m in ms)
+
+    def test_train_auto_selects_fused_under_mesh(self, data, tmp_path):
+        class Loader:
+            def __init__(self, arr):
+                self.data = arr
+                self.shuffle = False
+
+            def __len__(self):
+                return len(self.data) // B
+
+        t = self._trainer(make_mesh(data=4, model=2))
+        t.run_dir = tmp_path
+        t.train(Loader(data), epochs=2, checkpoint_every=10)
+        assert t.global_step == 8
+        assert (tmp_path / "final.npz").exists()
+
+
+class TestResamplingUnderMesh:
+    """Dead-feature resampling rewrites params/opt-state with host arrays;
+    the trainer must re-place them on the mesh before the next sharded
+    step (VERDICT round-1 weak #4)."""
+
+    def _run(self, mesh, data, resample_data):
+        model = TopKSAE(
+            input_dim=D, hidden_dim=H, k=K, seed=0, dead_feature_threshold=2
+        )
+        cfg = TrainingConfig(
+            batch_size=B, learning_rate=1e-3, epochs=1, warmup_steps=0,
+            use_amp=False,
+        )
+        t = SAETrainer(
+            model, cfg, run_dir=None, mesh=mesh,
+            resample_dead_every=3, resample_batch_size=128,
+        )
+        t.set_resample_dataset(resample_data)
+        # 7 steps: resampling fires after steps 3 and 6, so steps 4-7
+        # exercise re-placement and the final step leaves sharded params
+        ms = [t.train_step(data[i % len(data)]) for i in range(7)]
+        return t, ms
+
+    @pytest.mark.parametrize("shape", [(8, 1), (4, 2)])
+    def test_resample_trajectory_matches_single_device(self, rng, shape):
+        data = rng.standard_normal((4, B, D)).astype(np.float32)
+        resample_data = rng.standard_normal((256, D)).astype(np.float32)
+        t_ref, ms_ref = self._run(None, data, resample_data)
+        assert t_ref.num_resampled_total > 0  # resampling actually fired
+        mesh = make_mesh(data=shape[0], model=shape[1])
+        t_mesh, ms_mesh = self._run(mesh, data, resample_data)
+        assert t_mesh.num_resampled_total == t_ref.num_resampled_total
+        for a, b in zip(ms_ref, ms_mesh):
+            assert a.loss == pytest.approx(b.loss, rel=1e-4)
+        for name in t_ref.model.params:
+            np.testing.assert_allclose(
+                np.asarray(t_ref.model.params[name]),
+                np.asarray(t_mesh.model.params[name]),
+                atol=1e-5,
+                err_msg=name,
+            )
+        # post-resample steps ran sharded again (state re-placed, not
+        # silently left on one device)
+        assert len(t_mesh.model.params["w_enc"].sharding.device_set) == mesh.size
+
+
 class TestDistributedTopK:
     def test_sharded_threshold_matches_dense(self, rng):
         from jax.sharding import PartitionSpec as P
