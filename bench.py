@@ -70,6 +70,37 @@ def bench_tpu(batch: int, steps: int, warmup_steps: int = 8) -> float:
     return best
 
 
+def bench_tpu_large(batch: int = 8192, steps: int = 6) -> float:
+    """Whisper-large 32x geometry (D=1280, H=40960, 52M SAE params):
+    full training semantics through the blocked fused encode kernel
+    (w_enc streamed through VMEM per row block; SURVEY §2.9 TP row is the
+    multi-chip continuation)."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_sae_tpu.config import TrainingConfig
+    from whisper_sae_tpu.models.sae import TopKSAE
+    from whisper_sae_tpu.training.trainer import SAETrainer
+
+    model = TopKSAE(input_dim=1280, hidden_dim=40960, k=K, seed=0)
+    cfg = TrainingConfig(
+        batch_size=batch, learning_rate=1e-4, epochs=1, warmup_steps=1000,
+        use_amp=True,
+    )
+    trainer = SAETrainer(model, cfg, run_dir=Path("/tmp/wst_bench_large"))
+    trainer.setup_scheduler(total_steps=steps * 10)
+    data = jax.random.normal(jax.random.PRNGKey(0), (steps * batch, 1280), jnp.float32)
+    trainer.train_epoch_fused(data, shuffle=False)
+    jax.block_until_ready(trainer.model.params["w_enc"])
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        trainer.train_epoch_fused(data, shuffle=False)
+        jax.block_until_ready(trainer.model.params["w_enc"])
+        best = max(best, steps * batch / (time.perf_counter() - t0))
+    return best
+
+
 def bench_extraction(batch: int = 16, steps: int = 8, dtype_name: str = "bf16") -> dict:
     """Extraction throughput: whisper-tiny forward with all-layer capture
     (clips/sec and activation-tokens/sec/layer), random weights + random
@@ -162,6 +193,7 @@ def main() -> None:
     parser.add_argument("--baseline-steps", type=int, default=8)
     parser.add_argument("--skip-baseline", action="store_true")
     parser.add_argument("--skip-extraction", action="store_true")
+    parser.add_argument("--skip-large", action="store_true")
     parser.add_argument("--extraction", action="store_true",
                         help="Benchmark activation extraction only")
     args = parser.parse_args()
@@ -196,6 +228,11 @@ def main() -> None:
     }
     if baseline:
         result["baseline_torch_same_host"] = round(baseline, 1)
+    if not args.skip_large:
+        try:
+            result["large_geometry_act_per_sec"] = round(bench_tpu_large(), 1)
+        except Exception as e:  # pragma: no cover
+            print(f"large-geometry bench failed: {e}", file=sys.stderr)
     if not args.skip_extraction:
         # SURVEY §6 demands the harness record extraction throughput too;
         # carried as extra fields so the driver still sees ONE JSON line

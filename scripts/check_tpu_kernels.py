@@ -88,6 +88,30 @@ def main() -> None:
         assert d / scale < tol, f"grad {key} rel diff {d/scale}"
     print(f"2. fused encode kernel: fwd diff {fwd_diff:.1e}, grads match")
 
+    # 2b. blocked large-H encode (w_enc streamed through VMEM in tiles;
+    # whisper-large 32x geometry) — selection must stay bit-identical
+    from whisper_sae_tpu.ops.pallas_sae import pick_block_rows, uses_blocked
+
+    Bl, Dl, Hl = 512, 1280, 40960
+    assert uses_blocked((Bl, Dl), Hl)
+    pl_ = init_topk_sae(jax.random.PRNGKey(5), Dl, Hl)
+    xl = jax.random.normal(jax.random.PRNGKey(6), (Bl, Dl), jnp.float32)
+    got = np.asarray(
+        jax.jit(
+            lambda p, x: fused_topk_encode(
+                x, p["w_enc"], p["b_enc"], p["b_pre"], K,
+                pick_block_rows(Bl, Hl, Dl), jnp.float32,
+            )
+        )(pl_, xl)
+    )
+    want = np.asarray(jax.jit(xla_encode)(pl_, xl))
+    # different MXU tilings associate the f32 accumulation differently, so
+    # values may differ by ~1 ulp; the SELECTION must agree exactly
+    assert np.array_equal(got > 0, want > 0), "blocked encode selection mismatch"
+    d = np.abs(got - want).max()
+    assert d < 1e-5, f"blocked encode value diff {d}"
+    print(f"2b. blocked large-H encode (H=40960): selection exact, values {d:.1e}")
+
     # 3. flash attention vs XLA attention (bf16)
     arch = W.WhisperArch(
         d_model=384, encoder_layers=2, decoder_layers=1, num_heads=6,

@@ -152,7 +152,9 @@ def topk_hidden_dense(
             params["b_enc"],
             params["b_pre"],
             k,
-            pallas_sae.pick_block_rows(x.shape[0], params["w_enc"].shape[1]),
+            pallas_sae.pick_block_rows(
+                x.shape[0], params["w_enc"].shape[1], params["w_enc"].shape[0]
+            ),
             compute_dtype,
         )
     xc = x - params["b_pre"]

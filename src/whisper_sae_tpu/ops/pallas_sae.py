@@ -59,6 +59,10 @@ def _encode_kernel(x_ref, w_ref, benc_ref, bpre_ref, out_ref, *, k: int):
 def _encode_forward(x, w_enc_bf, b_enc, b_pre, k, block_rows, out_dtype):
     b, d = x.shape
     h = w_enc_bf.shape[1]
+    if uses_blocked(x.shape, h):
+        return _encode_forward_blocked(
+            x, w_enc_bf, b_enc, b_pre, k, block_rows, out_dtype
+        )
     grid = pl.cdiv(b, block_rows)
     return pl.pallas_call(
         functools.partial(_encode_kernel, k=k),
@@ -131,9 +135,125 @@ def _bwd(k, block_rows, out_dtype, res, g):
 fused_topk_encode.defvjp(_fwd, _bwd)
 
 
-# the kernel holds all of w_enc (bf16) in VMEM; above this it must fall
-# back to the XLA bisection path (whisper-large 32x: 1280*40960*2 = 105 MB)
+# ---------------------------------------------------------------------------
+# blocked variant for large H (whisper-large 32x: w_enc bf16 = 105 MB,
+# far beyond VMEM).  The XLA fallback it replaces re-reads the [B, H] f32
+# pre-activation from HBM on every one of the 32 bisection passes
+# (~43 GB per 8k-row step at H=40960 -> ~120k act/s).  Here the grid is
+# (row_blocks, h_blocks): per row block, w_enc streams through VMEM once
+# in [D, h_blk] tiles, pre tiles accumulate in a [n_h, rows, h_blk] f32
+# scratch, and at the last h step the bisection runs entirely in VMEM
+# (counts summed over the statically-unrolled chunks) and the masked
+# latent is written once.  w_enc is re-streamed B/rows times per step —
+# the remaining HBM term, removed by sharding H over ``model`` (TP).
+# ---------------------------------------------------------------------------
+
+
+def _encode_kernel_blocked(
+    x_ref, w_ref, benc_ref, bpre_ref, out_ref, xi_ref, *, k: int, n_h: int
+):
+    j = pl.program_id(1)
+    xc = (x_ref[:] - bpre_ref[:]).astype(jnp.bfloat16)
+    pre = (
+        jnp.dot(xc, w_ref[:], preferred_element_type=jnp.float32)
+        + benc_ref[:]
+    )
+    # scratch holds the monotone-int transform (computed once; the f32
+    # value is recovered exactly by the inverse at write time — paying
+    # the transform inside the 32-pass loop costs ~2 extra ops/elem/pass)
+    bits = pltpu.bitcast(pre, jnp.int32)
+    xi_ref[j] = jnp.where(bits < 0, _INT_MIN - bits - 1, bits)
+
+    @pl.when(j == n_h - 1)
+    def _bisect_and_write():
+        rows = out_ref.shape[0]
+        h_blk = out_ref.shape[1] // n_h
+        lo = jnp.full((rows, 1), jnp.int32(-2147483647))
+        hi = jnp.full((rows, 1), jnp.int32(2147483647))
+
+        def body(_, lohi):
+            lo, hi = lohi
+            mid = (
+                jnp.right_shift(lo, 1) + jnp.right_shift(hi, 1) + (lo & hi & 1)
+            )
+            cnt = jnp.zeros((rows, 1), jnp.int32)
+            for c in range(n_h):  # static unroll over VMEM chunks
+                cnt = cnt + jnp.sum(
+                    (xi_ref[c] >= mid).astype(jnp.int32), axis=1, keepdims=True
+                )
+            take = cnt >= k
+            return jnp.where(take, mid, lo), jnp.where(take, hi, mid)
+
+        lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
+        for c in range(n_h):
+            xi = xi_ref[c]
+            pre = pltpu.bitcast(
+                jnp.where(xi < 0, _INT_MIN - xi - 1, xi), jnp.float32
+            )
+            hidden = jnp.where(xi >= lo, jnp.maximum(pre, 0.0), 0.0)
+            out_ref[:, c * h_blk:(c + 1) * h_blk] = hidden.astype(out_ref.dtype)
+
+
+def _encode_forward_blocked(x, w_enc_bf, b_enc, b_pre, k, block_rows, out_dtype):
+    b, d = x.shape
+    h = w_enc_bf.shape[1]
+    h_blk = _pick_h_block(h)
+    n_h = h // h_blk
+    # rows are chosen here (the caller's block_rows is sized for the
+    # single-block kernel): per-row VMEM = int32 scratch + the out tile
+    # (which Pallas double-buffers), and every halving of rows doubles how
+    # often w_enc re-streams from HBM
+    per_row = h * (4 + 2 * jnp.dtype(out_dtype).itemsize)
+    budget = 88 * 1024 * 1024
+    block_rows = min(b, 8)
+    for candidate in (512, 256, 128, 64, 32, 16, 8):
+        if b % candidate == 0 and candidate * per_row <= budget:
+            block_rows = candidate
+            break
+    grid = (pl.cdiv(b, block_rows), n_h)
+    return pl.pallas_call(
+        functools.partial(_encode_kernel_blocked, k=k, n_h=n_h),
+        out_shape=jax.ShapeDtypeStruct((b, h), out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, h_blk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_blk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_rows, h), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((n_h, block_rows, h_blk), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * d * h + 33 * b * h,
+            bytes_accessed=b * d * 4
+            + d * h * 2 * pl.cdiv(b, block_rows)
+            + b * h * 2,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(x, w_enc_bf, b_enc.reshape(1, h), b_pre.reshape(1, d))
+
+
+def _pick_h_block(h: int) -> int:
+    for candidate in (2048, 1024, 512, 256, 128):
+        if h % candidate == 0:
+            return candidate
+    return h
+
+
+# single-block kernel limit: all of w_enc (bf16) resident in VMEM
 _MAX_W_VMEM_BYTES = 48 * 1024 * 1024
+# blocked kernel limit: one 8-row pre scratch must fit
+_MAX_H = 1 << 20
+
+
+def uses_blocked(x_shape, hidden_dim: int) -> bool:
+    return x_shape[1] * hidden_dim * 2 > _MAX_W_VMEM_BYTES
 
 
 def supported(x_shape, hidden_dim: int) -> bool:
@@ -146,14 +266,17 @@ def supported(x_shape, hidden_dim: int) -> bool:
         and len(x_shape) == 2
         and hidden_dim % 128 == 0
         and x_shape[1] % 128 == 0
-        and x_shape[1] * hidden_dim * 2 <= _MAX_W_VMEM_BYTES
+        and hidden_dim <= _MAX_H
     )
 
 
-def pick_block_rows(b: int, h: int | None = None) -> int:
+def pick_block_rows(b: int, h: int | None = None, d: int | None = None) -> int:
     # 512-row blocks measured fastest at whisper-tiny geometry (the
     # bisection loop amortizes better over bigger tiles); shrink so the
     # f32 pre + int32 tile stays within ~24 MB of VMEM at larger H.
+    # (The blocked large-H kernel sizes its own row blocks — see
+    # _encode_forward_blocked; this value is ignored there.)
+    del d
     budget = 24 * 1024 * 1024
     for candidate in (512, 256, 128, 64, 32, 16, 8):
         if b % candidate == 0 and (h is None or candidate * h * 8 <= budget):
