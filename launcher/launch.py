@@ -119,6 +119,17 @@ def extract_features(
     return log
 
 
+def _latest_checkpoint(run_dir: Path) -> Path | None:
+    import re
+
+    ckpts = []
+    for p in run_dir.glob("checkpoint_epoch*.npz"):
+        m = re.search(r"epoch(\d+)", p.name)
+        if m:
+            ckpts.append((int(m.group(1)), p))
+    return max(ckpts)[1] if ckpts else None
+
+
 def train_sae(
     component: str = "encoder",
     layer_idx: int = 0,
@@ -134,10 +145,19 @@ def train_sae(
     output_dir: str | Path = OUTPUT_DIR,
     experiment_name: str = "launch",
     seed: int = 42,
+    checkpoint_every: int | None = None,
+    auto_resume: bool = True,
 ) -> dict:
     """Per-layer training job (reference modal_app/train.py:50-424
     surface): loads the cached layer, trains, writes atomic checkpoints,
-    sae_final with embedded config, metrics.json, training_config.json."""
+    sae_final with embedded config, metrics.json, training_config.json.
+
+    Elastic: with ``auto_resume`` (default), a crashed/preempted run
+    restarted with the same command picks up from the latest atomic
+    checkpoint in the run dir — global step, epoch, optimizer state, and
+    the LR-schedule position all restore, so the resumed trajectory
+    matches an uninterrupted run.  (The reference's Modal jobs just time
+    out and restart from scratch, modal_app/train.py:45.)"""
     from whisper_sae_tpu.config import DataConfig, SAEConfig, TrainingConfig, WhisperConfig
     from whisper_sae_tpu.data.feature_cache import FeatureCache
     from whisper_sae_tpu.models.sae import create_sae
@@ -163,6 +183,14 @@ def train_sae(
     run_dir.mkdir(parents=True, exist_ok=True)
 
     trainer = SAETrainer(sae, train_cfg, run_dir=run_dir)
+    resumed_from = None
+    if auto_resume:
+        ckpt = _latest_checkpoint(run_dir)
+        if ckpt is not None:
+            trainer.load_checkpoint(ckpt)
+            resumed_from = ckpt.name
+            print(f"resuming from {ckpt} (epoch {trainer.epoch}, "
+                  f"step {trainer.global_step})", file=sys.stderr)
     loader = cache.get_dataloader(component, layer_idx, batch_size=batch_size, seed=seed)
     if hasattr(loader, "reader"):  # out-of-core: bounded resample subsample
         import numpy as np
@@ -173,7 +201,7 @@ def train_sae(
         trainer.set_resample_dataset(loader.reader.gather(np.sort(idx)))
     else:
         trainer.set_resample_dataset(loader.data)
-    trainer.train(loader, epochs=epochs)
+    trainer.train(loader, epochs=epochs, checkpoint_every=checkpoint_every)
     trainer.save_final()
     trainer.save_metrics()
 
@@ -184,6 +212,7 @@ def train_sae(
         "final_loss": trainer.metrics_history[-1].loss if trainer.metrics_history else None,
         "elapsed_s": round(time.time() - t0, 1),
         "run_dir": str(run_dir),
+        "resumed_from": resumed_from,
     }
     (run_dir / "training_config.json").write_text(
         json.dumps(
@@ -248,6 +277,9 @@ def main() -> None:
     pt.add_argument("--cache-dir", default=str(CACHE_DIR))
     pt.add_argument("--output-dir", default=str(OUTPUT_DIR))
     pt.add_argument("--experiment-name", default="launch")
+    pt.add_argument("--checkpoint-every", type=int, default=None)
+    pt.add_argument("--no-resume", action="store_true",
+                    help="start fresh even if checkpoints exist")
 
     args = p.parse_args()
     if args.cmd == "extract":
@@ -272,6 +304,8 @@ def main() -> None:
             cache_dir=args.cache_dir,
             output_dir=args.output_dir,
             experiment_name=args.experiment_name,
+            checkpoint_every=args.checkpoint_every,
+            auto_resume=not args.no_resume,
         )
         if args.all_layers:
             out = train_all_layers(

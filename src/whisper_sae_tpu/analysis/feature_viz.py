@@ -181,18 +181,49 @@ class TopKTracker:
         }
 
     def save(self, path: Path | str) -> None:
-        """JSON state dump (same schema as reference feature_viz.py:208-229)."""
+        """JSON state dump (same schema as reference feature_viz.py:208-229).
+
+        Single bulk pass: one device->host transfer, one vectorized
+        per-row sort, plain-dict construction (no per-example dataclass
+        round-trip), one buffered write — at whisper-large's 40960
+        features the per-feature get_top_examples() loop took minutes;
+        this takes seconds (tests/test_analysis.py time-bounds it).
+        """
+        vals = np.asarray(self._values)
+        order = np.argsort(-vals, axis=1, kind="stable")
+        rows = np.arange(vals.shape[0])[:, None]
+        vals = vals[rows, order]
+        samps = np.asarray(self._samples)[rows, order]
+        poss = np.asarray(self._positions)[rows, order]
+        finite = np.isfinite(vals)
+        meta = self._sample_meta
+        features = {}
+        for i in np.nonzero(finite.any(axis=1))[0]:
+            row = []
+            for j in np.nonzero(finite[i])[0]:
+                si = int(samps[i, j])
+                transcription, md = meta.get(si, (None, {}))
+                row.append(
+                    {
+                        "feature_idx": int(i),
+                        "activation_value": float(vals[i, j]),
+                        "sample_idx": si,
+                        "position_idx": int(poss[i, j]),
+                        "timestamp_ms": float(poss[i, j]) * MS_PER_FRAME,
+                        "transcription": transcription,
+                        "transcription_context": None,
+                        "audio_path": None,
+                        "metadata": md,
+                    }
+                )
+            features[str(int(i))] = row
         data = {
             "num_features": self.num_features,
             "k": self.k,
             "total_activations": self.total_activations,
             "samples_processed": self.samples_processed,
-            "features": {},
+            "features": features,
         }
-        for i in range(self.num_features):
-            examples = self.get_top_examples(i)
-            if examples:
-                data["features"][str(i)] = [e.to_dict() for e in examples]
         with open(path, "w") as f:
             json.dump(data, f, indent=2)
 
@@ -253,9 +284,17 @@ class FeatureReport:
         self.output_dir.mkdir(parents=True, exist_ok=True)
         self.interpretations: dict[int, FeatureInterpretation] = {}
 
-    def generate_feature_report(self, feature_idx: int, include_audio_paths: bool = True) -> dict:
+    def generate_feature_report(
+        self,
+        feature_idx: int,
+        include_audio_paths: bool = True,
+        stats: dict | None = None,
+    ) -> dict:
         examples = self.tracker.get_top_examples(feature_idx)
-        stats = self.tracker.get_feature_stats()[feature_idx]
+        # callers writing many reports pass the precomputed all-feature
+        # stats once (get_feature_stats builds F dicts — per-call at
+        # F=40960 that was the quadratic term in save_reports)
+        stats = (stats or self.tracker.get_feature_stats())[feature_idx]
         report = {"feature_idx": feature_idx, "stats": stats, "top_examples": []}
         for ex in examples:
             ex_data = {
@@ -272,8 +311,8 @@ class FeatureReport:
             report["interpretation"] = self.interpretations[feature_idx].to_dict()
         return report
 
-    def generate_summary_report(self, top_n: int = 100) -> dict:
-        stats = self.tracker.get_feature_stats()
+    def generate_summary_report(self, top_n: int = 100, stats: dict | None = None) -> dict:
+        stats = stats or self.tracker.get_feature_stats()
         sorted_features = sorted(
             stats.items(), key=lambda x: x[1]["max_activation"], reverse=True
         )[:top_n]
@@ -287,7 +326,8 @@ class FeatureReport:
         }
 
     def save_reports(self, top_n: int = 100) -> None:
-        summary = self.generate_summary_report(top_n=top_n)
+        stats = self.tracker.get_feature_stats()  # computed ONCE
+        summary = self.generate_summary_report(top_n=top_n, stats=stats)
         with open(self.output_dir / "summary.json", "w") as f:
             json.dump(summary, f, indent=2)
         features_dir = self.output_dir / "features"
@@ -295,7 +335,7 @@ class FeatureReport:
         for feat in summary["top_features"]:
             fi = feat["feature_idx"]
             with open(features_dir / f"feature_{fi:05d}.json", "w") as f:
-                json.dump(self.generate_feature_report(fi), f, indent=2)
+                json.dump(self.generate_feature_report(fi, stats=stats), f, indent=2)
         self.tracker.save(self.output_dir / "tracker_state.json")
 
     def add_interpretation(

@@ -214,6 +214,7 @@ def extract_and_cache_features(
     apply_layer_norm: bool = True,
     progress: bool = True,
     compute_dtype=None,
+    mesh=None,
 ) -> None:
     """Extraction loop (reference feature_cache.py:200-306, hook-free).
 
@@ -221,11 +222,17 @@ def extract_and_cache_features(
     requested layers are flattened to [B*T, D] and streamed to shards.
     ``compute_dtype=jnp.bfloat16`` selects fast extraction (flash
     attention + bf16 matmuls); activations are stored f32 either way.
+    With ``mesh``, the batch is sharded over the ``data`` axis and GSPMD
+    partitions the capture forward across chips (parallel/extraction.py).
     """
     writers_e = {l: cache.writer("encoder", l) for l in encoder_layers}
     writers_d = {l: cache.writer("decoder", l) for l in decoder_layers}
     num_samples = 0
     target = max_samples if max_samples is not None else float("inf")
+    if mesh is not None:
+        from ..parallel.extraction import place_mel, replicate_params
+
+        whisper_params = replicate_params(mesh, whisper_params)
 
     for batch in audio_dataloader:
         if num_samples >= target:
@@ -233,6 +240,8 @@ def extract_and_cache_features(
         if isinstance(batch, (tuple, list)):
             batch = batch[0]
         mel = jnp.asarray(batch)
+        if mesh is not None:
+            mel = place_mel(mesh, mel)
         acts = extract_activations(
             whisper_params, mel, arch,
             apply_layer_norm=apply_layer_norm,

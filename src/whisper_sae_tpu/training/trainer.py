@@ -658,18 +658,24 @@ class SAETrainer:
         shard_map dp x tp alike (mesh epochs stage the pre-shuffled batch
         stack sharded over ``data``, so a multi-chip epoch costs one
         dispatch instead of one per step).
+
+        Resumable: after ``load_checkpoint``, epochs already recorded in
+        ``self.epoch`` are skipped while the LR schedule still spans the
+        FULL ``epochs`` (global_step carries the position) — a resumed run
+        follows the same trajectory as an uninterrupted one.
         """
         epochs = epochs or self.config.epochs
         checkpoint_every = checkpoint_every or self.config.checkpoint_every
         total_steps = len(dataloader) * epochs
         self.setup_scheduler(total_steps)
+        start_epoch = self.epoch
         if fused is None:
             fused = hasattr(dataloader, "data")
 
         if hasattr(dataloader, "reader") and fused is not False:
             # disk-resident cache: chunked fused epochs through the native
             # shard reader
-            for ep in range(epochs):
+            for ep in range(start_epoch, epochs):
                 self.throughput.start()
                 epoch_metrics = self.train_epoch_out_of_core(dataloader.reader)
                 self.throughput.add_tokens(dataloader.reader.num_rows)
@@ -687,7 +693,7 @@ class SAETrainer:
         if fused:
             data = jnp.asarray(dataloader.data)
             shuffle = getattr(dataloader, "shuffle", True)
-            for ep in range(epochs):
+            for ep in range(start_epoch, epochs):
                 self.throughput.start()
                 epoch_metrics = self.train_epoch_fused(data, shuffle=shuffle)
                 self.throughput.add_tokens(data.shape[0])
@@ -729,7 +735,7 @@ class SAETrainer:
                 if progress
                 else None
             )
-            for ep in range(epochs):
+            for ep in range(start_epoch, epochs):
                 step_task = (
                     progress.add_task(
                         f"[green]Epoch {ep + 1}/{epochs}", total=len(dataloader)

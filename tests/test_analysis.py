@@ -165,6 +165,37 @@ class TestFeatureReport:
         assert rep["stats"]["max_activation"] == 5.0
         assert rep["top_examples"][0]["transcription"] == "a"
 
+    def test_tracker_save_roundtrip_bulk_path(self, tmp_path):
+        """The vectorized bulk save must produce the exact schema the
+        loader (and the reference) expects."""
+        tracker = self._tracker()
+        tracker.save(tmp_path / "state.json")
+        loaded = TopKTracker.load(tmp_path / "state.json")
+        for fi in (0, 1):
+            want = [e.to_dict() for e in tracker.get_top_examples(fi)]
+            got = [e.to_dict() for e in loaded.get_top_examples(fi)]
+            assert got == want
+
+    def test_save_reports_at_whisper_large_scale(self, tmp_path):
+        """40960 features (whisper-large 32x): the full report write must
+        finish in seconds, not minutes (round-1 weak #7 — per-feature
+        Python loops were quadratic-ish at this width)."""
+        import time
+
+        F_large = 40960
+        rng = np.random.default_rng(0)
+        tracker = TopKTracker(num_features=F_large, k=20)
+        acts = rng.standard_normal((64, F_large)).astype(np.float32)
+        tracker.update(acts, sample_indices=list(range(64)))
+        report = FeatureReport(tracker, tmp_path / "reports")
+        t0 = time.time()
+        report.save_reports(top_n=100)
+        elapsed = time.time() - t0
+        assert elapsed < 60, f"save_reports took {elapsed:.1f}s at F=40960"
+        assert (tmp_path / "reports" / "tracker_state.json").exists()
+        files = list((tmp_path / "reports" / "features").glob("*.json"))
+        assert len(files) == 100
+
 
 @pytest.fixture
 def mock_audio_loader():

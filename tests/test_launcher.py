@@ -1,0 +1,110 @@
+"""Launcher elasticity: kill-and-resume must complete the run with the
+same final state and metrics.json schema as an uninterrupted run
+(round-1 VERDICT item 9; the reference's Modal jobs restart from scratch
+on timeout, modal_app/train.py:45)."""
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "launcher"))
+
+from launch import _latest_checkpoint, train_sae  # noqa: E402
+
+from whisper_sae_tpu.config import DataConfig, WhisperConfig  # noqa: E402
+from whisper_sae_tpu.data.feature_cache import FeatureCache  # noqa: E402
+from whisper_sae_tpu.training.trainer import SAETrainer  # noqa: E402
+
+_METRIC_KEYS = {
+    "step", "loss", "reconstruction_loss", "sparsity_loss", "l0",
+    "dead_feature_ratio", "learning_rate",
+}
+
+
+@pytest.fixture
+def cache_dir(tmp_path, rng):
+    cache = FeatureCache(
+        tmp_path / "cache" / "features", WhisperConfig(), DataConfig()
+    )
+    feats = rng.standard_normal((4096, 64)).astype(np.float32)
+    cache.save(feats, "encoder", 0, num_samples=4)
+    return tmp_path / "cache"
+
+
+def _run(cache_dir, out_dir, **kw):
+    return train_sae(
+        component="encoder",
+        layer_idx=0,
+        batch_size=512,
+        learning_rate=1e-3,
+        epochs=4,
+        warmup_steps=0,
+        use_amp=False,
+        cache_dir=cache_dir,
+        output_dir=out_dir,
+        checkpoint_every=1,
+        **kw,
+    )
+
+
+class TestLatestCheckpoint:
+    def test_picks_numerically_largest(self, tmp_path):
+        for n in (1, 2, 10):
+            (tmp_path / f"checkpoint_epoch{n}.npz").touch()
+        assert _latest_checkpoint(tmp_path).name == "checkpoint_epoch10.npz"
+
+    def test_none_when_empty(self, tmp_path):
+        assert _latest_checkpoint(tmp_path) is None
+
+
+class TestKillAndResume:
+    def test_resume_matches_uninterrupted(self, cache_dir, tmp_path, monkeypatch):
+        # --- reference: uninterrupted 4-epoch run ---
+        res_a = _run(cache_dir, tmp_path / "outA")
+        run_a = Path(res_a["run_dir"])
+        assert res_a["resumed_from"] is None
+
+        # --- crash during epoch 3 (checkpoint write raises) ---
+        orig = SAETrainer.save_checkpoint
+
+        def crashing(self, filename):
+            if filename == "checkpoint_epoch3.npz":
+                raise RuntimeError("simulated preemption")
+            return orig(self, filename)
+
+        monkeypatch.setattr(SAETrainer, "save_checkpoint", crashing)
+        with pytest.raises(RuntimeError, match="simulated preemption"):
+            _run(cache_dir, tmp_path / "outB")
+        monkeypatch.setattr(SAETrainer, "save_checkpoint", orig)
+
+        run_b = Path(tmp_path / "outB" / "launch_encoder_layer0")
+        assert _latest_checkpoint(run_b).name == "checkpoint_epoch2.npz"
+        assert not (run_b / "final.npz").exists()
+
+        # --- restart the same command: must resume, not retrain ---
+        res_b = _run(cache_dir, tmp_path / "outB")
+        assert res_b["resumed_from"] == "checkpoint_epoch2.npz"
+
+        # identical final parameters to the uninterrupted run (the LR
+        # schedule spans the full 4 epochs in both; epoch-keyed shuffles
+        # replay identically after the restore)
+        a = np.load(run_a / "sae_final.npz")
+        b = np.load(run_b / "sae_final.npz")
+        assert set(a.files) == set(b.files)
+        for key in a.files:
+            np.testing.assert_allclose(a[key], b[key], atol=1e-6, err_msg=key)
+
+        # metrics.json: same schema; resumed file holds epochs 3-4 only
+        ma = json.loads((run_a / "metrics.json").read_text())
+        mb = json.loads((run_b / "metrics.json").read_text())
+        assert set(ma[0]) == set(mb[0]) == _METRIC_KEYS
+        assert mb[-1]["step"] == ma[-1]["step"]  # both end at the same step
+
+    def test_no_resume_flag_starts_fresh(self, cache_dir, tmp_path):
+        _run(cache_dir, tmp_path / "out")
+        res = _run(cache_dir, tmp_path / "out", auto_resume=False)
+        assert res["resumed_from"] is None

@@ -285,6 +285,77 @@ class TestDistributedTopK:
         assert ((got > 0).sum(axis=1) <= 8).all()
 
 
+class TestShardedExtraction:
+    """Capture under the mesh must equal single-device capture (the
+    forward is batch-parallel GSPMD; no collectives)."""
+
+    def test_capture_matches_single_device(self, rng):
+        import jax.numpy as jnp
+
+        from whisper_sae_tpu.models.whisper import (
+            WhisperArch,
+            extract_activations,
+            init_whisper,
+        )
+        from whisper_sae_tpu.parallel.extraction import (
+            extract_activations_sharded,
+            replicate_params,
+        )
+
+        arch = WhisperArch(
+            d_model=64, encoder_layers=2, decoder_layers=2, num_heads=2,
+            ffn_dim=128, max_source_positions=75, max_target_positions=16,
+            vocab_size=100, decoder_start_token_id=3,
+        )
+        params = init_whisper(jax.random.PRNGKey(0), arch)
+        mel = jnp.asarray(rng.standard_normal((8, 80, 150)), jnp.float32)
+        want = extract_activations(params, mel, arch)
+        mesh = make_mesh(data=4, model=2)
+        got = extract_activations_sharded(
+            replicate_params(mesh, params), mel, arch, mesh
+        )
+        for key in ("encoder", "decoder", "encoder_last"):
+            np.testing.assert_allclose(
+                np.asarray(got[key]), np.asarray(want[key]), atol=1e-5,
+                err_msg=key,
+            )
+        # outputs really live on the mesh (batch dim sharded over data)
+        assert len(got["encoder"].sharding.device_set) == mesh.size
+
+    def test_extract_and_cache_under_mesh(self, rng, tmp_path):
+        from whisper_sae_tpu.config import DataConfig, WhisperConfig
+        from whisper_sae_tpu.data.feature_cache import (
+            FeatureCache,
+            extract_and_cache_features,
+        )
+        from whisper_sae_tpu.models.whisper import WhisperArch, init_whisper
+
+        arch = WhisperArch(
+            d_model=64, encoder_layers=2, decoder_layers=2, num_heads=2,
+            ffn_dim=128, max_source_positions=75, max_target_positions=16,
+            vocab_size=100, decoder_start_token_id=3,
+        )
+        params = init_whisper(jax.random.PRNGKey(0), arch)
+        batches = [rng.standard_normal((8, 80, 150)).astype(np.float32)
+                   for _ in range(2)]
+
+        def run(mesh, sub):
+            cache = FeatureCache(
+                tmp_path / sub, WhisperConfig(), DataConfig()
+            )
+            extract_and_cache_features(
+                params, arch, list(batches), cache,
+                encoder_layers=[0], decoder_layers=[0],
+                progress=False, mesh=mesh,
+            )
+            return cache.load("encoder", 0)[0], cache.load("decoder", 0)[0]
+
+        enc_ref, dec_ref = run(None, "single")
+        enc_mesh, dec_mesh = run(make_mesh(data=8, model=1), "mesh")
+        np.testing.assert_allclose(enc_mesh, enc_ref, atol=1e-5)
+        np.testing.assert_allclose(dec_mesh, dec_ref, atol=1e-5)
+
+
 class TestGraftEntry:
     def test_dryrun_multichip(self):
         import sys
