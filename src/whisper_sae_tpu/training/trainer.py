@@ -586,6 +586,22 @@ class SAETrainer:
             epoch_metrics.append(self.train_step(rem))
 
         self.metrics_history.extend(epoch_metrics)
+        if self.wandb_run is not None:
+            # same every-100-steps cadence as the per-step path
+            # (reference training.py:246-256), replayed from the stacked
+            # metrics after the fused dispatch returns
+            for m in epoch_metrics:
+                if m.step % 100 == 0:
+                    self.wandb_run.log(
+                        {
+                            "train/loss": m.loss,
+                            "train/reconstruction_loss": m.reconstruction_loss,
+                            "train/l0": m.l0,
+                            "train/dead_ratio": m.dead_feature_ratio,
+                            "train/lr": m.learning_rate,
+                        },
+                        step=m.step,
+                    )
         self.epoch += 1
         return epoch_metrics
 

@@ -215,6 +215,41 @@ class TestFusedMeshEpochs:
         assert (tmp_path / "final.npz").exists()
 
 
+class TestCoderTrainersUnderMesh:
+    """Transcoder training (tuple batches) through the GSPMD dp fused
+    epoch must match single-device exactly."""
+
+    def test_transcoder_fused_epoch_dp(self, rng, tmp_path):
+        from whisper_sae_tpu.models.transcoder import TopKTranscoder
+        from whisper_sae_tpu.training.coder_trainers import TranscoderTrainer
+
+        x = rng.standard_normal((4 * B, 16)).astype(np.float32)
+        y = (x @ rng.standard_normal((16, 24)).astype(np.float32) * 0.3)
+
+        def run(mesh):
+            model = TopKTranscoder(16, 24, 128, k=4, seed=0)
+            cfg = TrainingConfig(
+                batch_size=B, learning_rate=1e-3, epochs=1, warmup_steps=0,
+                use_amp=False,
+            )
+            t = TranscoderTrainer(model, cfg, run_dir=tmp_path, mesh=mesh)
+            ms = t.train_epoch_fused((x, y), shuffle=False)
+            return t, ms
+
+        t_ref, ms_ref = run(None)
+        t_mesh, ms_mesh = run(make_mesh(data=8, model=1))
+        assert len(ms_mesh) == 4
+        for a, b in zip(ms_ref, ms_mesh):
+            assert a.loss == pytest.approx(b.loss, rel=1e-5)
+        for name in t_ref.model.params:
+            np.testing.assert_allclose(
+                np.asarray(t_ref.model.params[name]),
+                np.asarray(t_mesh.model.params[name]),
+                atol=1e-5,
+                err_msg=name,
+            )
+
+
 class TestResamplingUnderMesh:
     """Dead-feature resampling rewrites params/opt-state with host arrays;
     the trainer must re-place them on the mesh before the next sharded

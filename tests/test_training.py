@@ -153,6 +153,32 @@ class TestEpochs:
         assert len(metrics) == 3
 
 
+class TestWandbLogging:
+    def test_fused_epoch_logs_every_100_steps(self, rng, tmp_path):
+        """Reference cadence (training.py:246-256) must survive the fused
+        path, where metrics come back stacked after the dispatch."""
+        model = TopKSAE(input_dim=16, hidden_dim=64, k=4, seed=0)
+        cfg = TrainingConfig(batch_size=8, learning_rate=1e-3, epochs=1,
+                             warmup_steps=0, use_amp=False)
+        t = SAETrainer(model, cfg, run_dir=tmp_path)
+
+        logged = []
+
+        class FakeRun:
+            def log(self, payload, step=None):
+                logged.append((step, payload))
+
+        t.wandb_run = FakeRun()
+        data = rng.standard_normal((8 * 250, 16)).astype(np.float32)
+        t.train_epoch_fused(data, shuffle=False)
+        steps = [s for s, _ in logged]
+        assert steps == [100, 200]
+        assert set(logged[0][1]) == {
+            "train/loss", "train/reconstruction_loss", "train/l0",
+            "train/dead_ratio", "train/lr",
+        }
+
+
 class TestCheckpointing:
     def test_round_trip_restores_everything(self, tmp_path, data):
         t = make_trainer(tmp_path)
