@@ -88,6 +88,40 @@ def main() -> None:
         assert d / scale < tol, f"grad {key} rel diff {d/scale}"
     print(f"2. fused encode kernel: fwd diff {fwd_diff:.1e}, grads match")
 
+    # 2c. fused loss kernel (encode + decode + loss/l0/active in one pass)
+    from whisper_sae_tpu.models.sae import topk_sae_apply
+    from whisper_sae_tpu.ops.pallas_sae import fused_loss_supported, fused_sae_loss
+
+    assert fused_loss_supported(x.shape, H)
+
+    def fused_loss(p, x):
+        return fused_sae_loss(
+            x, p["w_enc"], p["b_enc"], p["b_pre"], p["w_dec"], p["b_dec"], K, 512
+        )
+
+    def xla_loss(p, x):
+        out, active = topk_sae_apply(p, x, K, bf)
+        return out.loss, out.l0, active
+
+    lf, l0f, actf = jax.jit(fused_loss)(params, x)
+    lx, l0x, actx = jax.jit(xla_loss)(params, x)
+    assert abs(float(lf) - float(lx)) / abs(float(lx)) < 1e-5, (lf, lx)
+    assert float(l0f) == float(l0x), (l0f, l0x)
+    assert bool(jnp.all(actf == actx)), "active mask mismatch"
+    gf = jax.jit(jax.grad(lambda p, x: fused_loss(p, x)[0]))(params, x)
+    gx = jax.jit(jax.grad(lambda p, x: xla_loss(p, x)[0]))(params, x)
+    for key, tol in (
+        ("w_enc", 1e-3), ("b_enc", 1e-3), ("w_dec", 1e-3),
+        ("b_dec", 1e-3), ("b_pre", 1e-2),
+    ):
+        dd = np.abs(np.asarray(gf[key]) - np.asarray(gx[key])).max()
+        scale = np.abs(np.asarray(gx[key])).max() + 1e-12
+        assert dd / scale < tol, f"fused-loss grad {key} rel diff {dd/scale}"
+    print(
+        f"2c. fused loss kernel: loss rel "
+        f"{abs(float(lf)-float(lx))/abs(float(lx)):.1e}, l0/active exact, grads match"
+    )
+
     # 2b. blocked large-H encode (w_enc streamed through VMEM in tiles;
     # whisper-large 32x geometry) — selection must stay bit-identical
     from whisper_sae_tpu.ops.pallas_sae import pick_block_rows, uses_blocked

@@ -215,7 +215,33 @@ def topk_sae_loss(
     """Hot-path loss (dense-mask top-k, all-matmul decode).
 
     Returns (loss, aux) with aux = {l0, active_mask} for metrics/state.
+
+    On TPU under AMP the whole forward (encode matmul + bisection + mask +
+    decode + loss/l0/active stats) runs as ONE fused Pallas kernel
+    (ops/pallas_sae.py:fused_sae_loss): the latent decodes out of VMEM
+    instead of round-tripping HBM, and the metric reductions accumulate
+    in-kernel.  Elsewhere (CPU tests, f32-parity mode, large-H blocked
+    geometry) the composed path below is used; both compute the reference
+    loss semantics (reference model.py:131-166).
     """
+    from ..ops import pallas_sae
+
+    if compute_dtype == jnp.bfloat16 and pallas_sae.fused_loss_supported(
+        x.shape, params["w_enc"].shape[1]
+    ):
+        loss, l0, active = pallas_sae.fused_sae_loss(
+            x,
+            params["w_enc"],
+            params["b_enc"],
+            params["b_pre"],
+            params["w_dec"],
+            params["b_dec"],
+            k,
+            pallas_sae.pick_block_rows(
+                x.shape[0], params["w_enc"].shape[1], params["w_enc"].shape[0]
+            ),
+        )
+        return loss, {"l0": l0, "active": active}
     out, active = topk_sae_apply(params, x, k, compute_dtype)
     return out.loss, {"l0": out.l0, "active": active}
 

@@ -472,6 +472,31 @@ class SAETrainer:
             )
             return params, opt_state, dstate, stacked
 
+        return jax.jit(epoch, donate_argnums=(0, 1, 2)), epoch
+
+    def _build_epoch_flat_fn(self):
+        """Single-device fused epoch taking FLAT [N, ...] data plus an
+        optional device permutation; the shuffle gather, batch slice, and
+        [S, B, ...] reshape all happen inside the one jitted program.
+
+        Doing this prep eagerly costs 2-3 extra host dispatches per epoch
+        (~15-20 ms each through the axon tunnel) plus an on-device copy —
+        measured ~55 ms/epoch, which at 64-step epochs masked ~10% of
+        training throughput."""
+        _, epoch_core = self._build_epoch_fn()
+        b = self.config.batch_size
+
+        def epoch(params, opt_state, dstate, data, perm):
+            def prep(a):
+                steps = a.shape[0] // b
+                sel = a if perm is None else jnp.take(
+                    a, perm[: steps * b], axis=0
+                )
+                return sel[: steps * b].reshape(steps, b, *a.shape[1:])
+
+            batches = jax.tree_util.tree_map(prep, data)
+            return epoch_core(params, opt_state, dstate, batches)
+
         return jax.jit(epoch, donate_argnums=(0, 1, 2))
 
     def _ensure_epoch_fn(self):
@@ -495,8 +520,10 @@ class SAETrainer:
                     renorm=self._should_renorm(),
                     gradient_clip=self.config.gradient_clip,
                 )
+            elif self.mesh is not None:
+                self._epoch_fn = self._build_epoch_fn()[0]
             else:
-                self._epoch_fn = self._build_epoch_fn()
+                self._epoch_fn = self._build_epoch_flat_fn()
         return self._epoch_fn
 
     def _stage_batches(self, batches):
@@ -536,25 +563,37 @@ class SAETrainer:
         data = jax.tree_util.tree_map(jnp.asarray, data)
         n = jax.tree_util.tree_leaves(data)[0].shape[0]
         steps = n // b
+        perm = None
         if shuffle:
             key = jax.random.PRNGKey(self.config.seed if seed is None else seed)
             key = jax.random.fold_in(key, self.epoch)
             perm = jax.random.permutation(key, n)
-            data = jax.tree_util.tree_map(lambda a: a[perm], data)
+            if self.mesh is not None:
+                # mesh epochs stage an explicit [S, B, ...] stack, so the
+                # shuffle gather happens eagerly before staging
+                data = jax.tree_util.tree_map(lambda a: a[perm], data)
         epoch_metrics: list[TrainingMetrics] = []
 
         if steps > 0:
             epoch_fn = self._ensure_epoch_fn()
-            batches = jax.tree_util.tree_map(
-                lambda a: a[: steps * b].reshape(steps, b, *a.shape[1:]), data
-            )
+            start_step = self.global_step
             if self.mesh is not None:
+                batches = jax.tree_util.tree_map(
+                    lambda a: a[: steps * b].reshape(steps, b, *a.shape[1:]),
+                    data,
+                )
                 self._place_on_mesh()
                 batches = self._stage_batches(batches)
-            start_step = self.global_step
-            params, self.opt_state, dstate, metrics = epoch_fn(
-                self.model.params, self.opt_state, self._dead_state, batches
-            )
+                params, self.opt_state, dstate, metrics = epoch_fn(
+                    self.model.params, self.opt_state, self._dead_state, batches
+                )
+            else:
+                # flat path: shuffle gather + batch reshape run INSIDE the
+                # jitted program (no extra per-epoch host dispatches)
+                params, self.opt_state, dstate, metrics = epoch_fn(
+                    self.model.params, self.opt_state, self._dead_state,
+                    data, perm,
+                )
             self.model.params = params
             if hasattr(self.model, "state"):
                 self.model.state = dstate
@@ -582,7 +621,12 @@ class SAETrainer:
                 self._force_resample()
 
         if n % b:
-            rem = jax.tree_util.tree_map(lambda a: a[steps * b :], data)
+            if perm is not None and self.mesh is None:
+                # flat path left ``data`` unshuffled; pick the shuffled tail
+                tail = perm[steps * b :]
+                rem = jax.tree_util.tree_map(lambda a: a[tail], data)
+            else:
+                rem = jax.tree_util.tree_map(lambda a: a[steps * b :], data)
             epoch_metrics.append(self.train_step(rem))
 
         self.metrics_history.extend(epoch_metrics)
@@ -603,6 +647,87 @@ class SAETrainer:
                         step=m.step,
                     )
         self.epoch += 1
+        return epoch_metrics
+
+    def train_epochs_fused(
+        self, data, epochs: int, shuffle: bool = True, seed: int | None = None
+    ) -> list[TrainingMetrics]:
+        """Multiple fused epochs with PIPELINED dispatch.
+
+        Each epoch is still one XLA program, but successive epochs are
+        enqueued asynchronously (epoch e+1's inputs are epoch e's donated
+        outputs, so the device chains them back-to-back) and the stacked
+        metrics are fetched once at the end.  This removes the per-epoch
+        host round-trip (~30-60 ms through the axon tunnel) that a
+        sequential ``train_epoch_fused`` loop pays to synchronize on each
+        epoch's metrics.  Falls back to the sequential path when the
+        per-epoch boundary needs host work (mesh staging, remainder batch,
+        dead-feature resampling).
+        """
+        b = self.config.batch_size
+        data = jax.tree_util.tree_map(jnp.asarray, data)
+        n = jax.tree_util.tree_leaves(data)[0].shape[0]
+        if (
+            self.mesh is not None
+            or n % b
+            or n < b
+            or self._resample_dataset is not None
+        ):
+            out: list[TrainingMetrics] = []
+            for _ in range(epochs):
+                out.extend(self.train_epoch_fused(data, shuffle=shuffle, seed=seed))
+            return out
+
+        steps = n // b
+        epoch_fn = self._ensure_epoch_fn()
+        base_seed = self.config.seed if seed is None else seed
+        pending: list[tuple[int, Any]] = []
+        for _ in range(epochs):
+            perm = None
+            if shuffle:
+                key = jax.random.fold_in(jax.random.PRNGKey(base_seed), self.epoch)
+                perm = jax.random.permutation(key, n)
+            params, self.opt_state, dstate, metrics = epoch_fn(
+                self.model.params, self.opt_state, self._dead_state, data, perm
+            )
+            self.model.params = params
+            if hasattr(self.model, "state"):
+                self.model.state = dstate
+            pending.append((self.global_step, metrics))
+            self.global_step += steps
+            self.epoch += 1
+
+        epoch_metrics: list[TrainingMetrics] = []
+        for start_step, metrics in pending:
+            host = np.asarray(metrics)
+            lrs = self.learning_rates_at(start_step, steps)
+            for i in range(steps):
+                row = dict(zip(_METRIC_KEYS, host[i]))
+                epoch_metrics.append(
+                    TrainingMetrics(
+                        loss=float(row["loss"]),
+                        reconstruction_loss=float(row["reconstruction_loss"]),
+                        sparsity_loss=float(row["sparsity_loss"]),
+                        l0=float(row["l0"]),
+                        dead_feature_ratio=float(row["dead_feature_ratio"]),
+                        learning_rate=float(lrs[i]),
+                        step=start_step + i + 1,
+                    )
+                )
+        self.metrics_history.extend(epoch_metrics)
+        if self.wandb_run is not None:
+            for m in epoch_metrics:
+                if m.step % 100 == 0:
+                    self.wandb_run.log(
+                        {
+                            "train/loss": m.loss,
+                            "train/reconstruction_loss": m.reconstruction_loss,
+                            "train/l0": m.l0,
+                            "train/dead_ratio": m.dead_feature_ratio,
+                            "train/lr": m.learning_rate,
+                        },
+                        step=m.step,
+                    )
         return epoch_metrics
 
     def train_epoch_out_of_core(

@@ -286,6 +286,82 @@ class TestFusedEpoch:
         assert t.global_step == 3
         assert len(t.metrics_history) == 3
 
+    def test_in_jit_shuffle_matches_eager_shuffle(self, tmp_path, data):
+        """The flat epoch path shuffles inside the jitted program; it must
+        visit the same batches (same key derivation) as shuffling the data
+        eagerly and running the per-step path."""
+        import jax
+
+        t1 = make_trainer(tmp_path)
+        m_fused = t1.train_epoch_fused(data, shuffle=True, seed=7)
+
+        key = jax.random.fold_in(jax.random.PRNGKey(7), 0)
+        perm = np.asarray(jax.random.permutation(key, len(data)))
+        t2 = make_trainer(tmp_path)
+        loader = ActivationLoader(data[perm], batch_size=16, shuffle=False)
+        m_step = t2.train_epoch(loader)
+
+        assert len(m_step) == len(m_fused) == 8
+        for a, b in zip(m_step, m_fused):
+            assert a.loss == pytest.approx(b.loss, rel=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(t1.model.params["w_enc"]),
+            np.asarray(t2.model.params["w_enc"]),
+            atol=1e-5,
+        )
+
+    def test_shuffled_remainder_trains_on_tail(self, tmp_path, rng):
+        """With N % batch != 0 and shuffle on, the remainder step must see
+        exactly the shuffled tail rows (flat path leaves data unshuffled)."""
+        import jax
+
+        uneven = rng.standard_normal((40, D)).astype(np.float32)
+        t1 = make_trainer(tmp_path)
+        m_fused = t1.train_epoch_fused(uneven, shuffle=True, seed=3)
+
+        key = jax.random.fold_in(jax.random.PRNGKey(3), 0)
+        perm = np.asarray(jax.random.permutation(key, 40))
+        t2 = make_trainer(tmp_path)
+        loader = ActivationLoader(uneven[perm], batch_size=16, shuffle=False)
+        m_step = t2.train_epoch(loader)
+
+        assert len(m_fused) == len(m_step) == 3
+        assert m_fused[-1].loss == pytest.approx(m_step[-1].loss, rel=1e-5)
+
+    def test_train_epochs_fused_matches_sequential(self, tmp_path, data):
+        """Pipelined multi-epoch dispatch must reproduce the sequential
+        per-epoch trajectory exactly (same shuffle keys, same metrics,
+        same counters)."""
+        t1 = make_trainer(tmp_path)
+        m_pipe = t1.train_epochs_fused(data, epochs=3, shuffle=True, seed=11)
+
+        t2 = make_trainer(tmp_path)
+        m_seq = []
+        for _ in range(3):
+            m_seq.extend(t2.train_epoch_fused(data, shuffle=True, seed=11))
+
+        assert len(m_pipe) == len(m_seq) == 24
+        assert t1.global_step == t2.global_step == 24
+        assert t1.epoch == t2.epoch == 3
+        assert len(t1.metrics_history) == 24
+        for a, b in zip(m_pipe, m_seq):
+            assert a.step == b.step
+            assert a.loss == pytest.approx(b.loss, rel=1e-6)
+            assert a.learning_rate == pytest.approx(b.learning_rate, rel=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(t1.model.params["w_enc"]),
+            np.asarray(t2.model.params["w_enc"]),
+            atol=1e-6,
+        )
+
+    def test_train_epochs_fused_remainder_falls_back(self, tmp_path, rng):
+        uneven = rng.standard_normal((40, D)).astype(np.float32)
+        t = make_trainer(tmp_path)
+        metrics = t.train_epochs_fused(uneven, epochs=2, shuffle=False)
+        assert len(metrics) == 6  # (2 full + 1 remainder) x 2 epochs
+        assert t.global_step == 6
+        assert t.epoch == 2
+
     def test_fused_resample_fires_at_epoch_boundary(self, tmp_path, data):
         cfg = TrainingConfig(
             batch_size=16, learning_rate=1e-3, epochs=1, warmup_steps=0, use_amp=False
