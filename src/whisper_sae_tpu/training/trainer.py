@@ -834,21 +834,35 @@ class SAETrainer:
         if fused:
             data = jnp.asarray(dataloader.data)
             shuffle = getattr(dataloader, "shuffle", True)
-            for ep in range(start_epoch, epochs):
+            ep = start_epoch
+            while ep < epochs:
+                # pipeline dispatch up to the next checkpoint boundary:
+                # between checkpoints no host work is needed, so the
+                # epochs in a group chain on-device with one metrics
+                # fetch (train_epochs_fused falls back to sequential
+                # when resampling / remainder batches need the host)
+                boundary = checkpoint_every - (ep % checkpoint_every)
+                group = min(boundary, epochs - ep)
                 self.throughput.start()
-                epoch_metrics = self.train_epoch_fused(data, shuffle=shuffle)
-                self.throughput.add_tokens(data.shape[0])
-                rate = self.throughput.stop()
-                avg_loss = sum(m.loss for m in epoch_metrics) / max(len(epoch_metrics), 1)
-                avg_l0 = sum(m.l0 for m in epoch_metrics) / max(len(epoch_metrics), 1)
-                dead = epoch_metrics[-1].dead_feature_ratio if epoch_metrics else 0.0
-                print(
-                    f"Epoch {ep + 1}: loss={avg_loss:.4f}, L0={avg_l0:.1f}, "
-                    f"dead={dead:.1%}, "
-                    f"{rate['activations_per_sec_per_chip']:,.0f} act/s/chip"
+                group_metrics = self.train_epochs_fused(
+                    data, epochs=group, shuffle=shuffle
                 )
-                if (ep + 1) % checkpoint_every == 0:
-                    self.save_checkpoint(f"checkpoint_epoch{ep + 1}.npz")
+                self.throughput.add_tokens(data.shape[0] * group)
+                rate = self.throughput.stop()
+                per_epoch = max(len(group_metrics) // group, 1)
+                for g in range(group):
+                    epoch_metrics = group_metrics[g * per_epoch:(g + 1) * per_epoch]
+                    avg_loss = sum(m.loss for m in epoch_metrics) / max(len(epoch_metrics), 1)
+                    avg_l0 = sum(m.l0 for m in epoch_metrics) / max(len(epoch_metrics), 1)
+                    dead = epoch_metrics[-1].dead_feature_ratio if epoch_metrics else 0.0
+                    print(
+                        f"Epoch {ep + g + 1}: loss={avg_loss:.4f}, L0={avg_l0:.1f}, "
+                        f"dead={dead:.1%}, "
+                        f"{rate['activations_per_sec_per_chip']:,.0f} act/s/chip"
+                    )
+                ep += group
+                if ep % checkpoint_every == 0:
+                    self.save_checkpoint(f"checkpoint_epoch{ep}.npz")
             self.save_checkpoint("final.npz")
             return
 

@@ -300,3 +300,29 @@ class TestFactory:
         cfg = SAEConfig(activation="topk", dead_feature_threshold=77)
         sae = create_sae(cfg, input_dim=D)
         assert sae.dead_feature_threshold == 77
+
+
+class TestKernelDispatch:
+    def test_tp_shards_clear_single_block_threshold(self):
+        """DESIGN/SURVEY §2.9: at whisper-large 32x (D=1280, H=40960) a
+        single chip must stream the 105 MB w_enc per row block (blocked
+        kernel), but at TP>=4 the per-shard H_local=10240 gives a 26 MB
+        w_enc shard that fits VMEM — the fast single-block fused kernel
+        applies and the re-stream disappears."""
+        from whisper_sae_tpu.ops.pallas_sae import uses_blocked
+
+        assert uses_blocked((8192, 1280), 40960)          # 1 chip
+        assert uses_blocked((8192, 1280), 40960 // 2)     # TP=2: still 52 MB
+        assert not uses_blocked((8192, 1280), 40960 // 4) # TP=4: 26 MB
+        assert not uses_blocked((8192, 1280), 40960 // 8)
+
+    def test_fused_loss_gating(self, monkeypatch):
+        from whisper_sae_tpu.ops import pallas_sae as ps
+
+        # CPU backend: the kernel path must be off entirely
+        assert not ps.fused_loss_supported((256, 128), 512)
+        # with the backend gate forced open, the geometry rules apply
+        monkeypatch.setattr(ps, "supported", lambda *a: True)
+        assert ps.fused_loss_supported((256, 128), 512)
+        assert not ps.fused_loss_supported((8192, 1280), 40960)  # blocked w_enc
+        assert not ps.fused_loss_supported((9, 128), 512)  # rows not divisible
