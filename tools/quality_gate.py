@@ -36,6 +36,10 @@ def main() -> None:
     parser.add_argument("--k", type=int, default=32)
     parser.add_argument("--expansion", type=int, default=8)
     parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--amp", action="store_true",
+                        help="train THIS framework in bf16 AMP (engages the "
+                             "fused Pallas forward on TPU); the reference "
+                             "oracle stays f32")
     args = parser.parse_args()
 
     import numpy as np
@@ -102,7 +106,7 @@ def main() -> None:
     model = TopKSAE(input_dim=d, hidden_dim=h, k=args.k, params=jparams)
     cfg = TrainingConfig(
         batch_size=args.batch_size, learning_rate=args.lr, epochs=args.epochs,
-        warmup_steps=100, use_amp=False,
+        warmup_steps=100, use_amp=args.amp,
     )
     with tempfile.TemporaryDirectory() as td:
         trainer = SAETrainer(model, cfg, run_dir=Path(td))
