@@ -40,7 +40,9 @@ def extract_features(
     layers_encoder: str = "0,1,2,3",
     layers_decoder: str = "0,1,2,3",
     max_samples: int = 1000,
-    batch_size: int = 16,
+    batch_size: int = 64,  # extraction batch; 16 in the reference
+    # (modal extract_features.py:16-batch loop) — 64 measured 1.38x faster
+    # on one v5e with identical outputs
     dataset: str = "librispeech_asr",
     cache_dir: str | Path = CACHE_DIR,
     random_whisper: bool = False,

@@ -122,6 +122,109 @@ def main() -> None:
         f"{abs(float(lf)-float(lx))/abs(float(lx)):.1e}, l0/active exact, grads match"
     )
 
+    # 2d. fused transcoder loss kernel (TopK and Skip variants) vs the
+    # composed XLA path at the same bf16 compute dtype
+    from whisper_sae_tpu.models.transcoder import (
+        init_skip_transcoder,
+        init_topk_transcoder,
+        transcoder_loss,
+    )
+    from whisper_sae_tpu.ops.pallas_sae import fused_coder_supported
+
+    y = jax.random.normal(jax.random.PRNGKey(7), (B, D), jnp.float32)
+    for use_skip, init in ((False, init_topk_transcoder), (True, init_skip_transcoder)):
+        tp = init(jax.random.PRNGKey(8), D, D, H)
+        if use_skip:
+            # zero-init decoder/skip makes the loss constant; randomize so
+            # gradients exercise every path
+            tp = {
+                key: jax.random.normal(jax.random.PRNGKey(9 + i), v.shape) * 0.05
+                for i, (key, v) in enumerate(tp.items())
+            }
+        assert fused_coder_supported(x.shape, D, H, with_skip=use_skip)
+
+        def tl(p, x, y):
+            return transcoder_loss(p, x, y, K, bf, use_skip=use_skip)
+
+        def tl_xla(p, x, y):
+            # force the composed path by pretending the kernel is absent
+            prev = (
+                jnp.dot(x.astype(bf), p["w_enc"].astype(bf),
+                        preferred_element_type=jnp.float32) + p["b_enc"]
+            )
+            hidden = xla_mask(prev)
+            pred = (
+                jnp.dot(hidden.astype(bf), p["w_dec"].astype(bf),
+                        preferred_element_type=jnp.float32) + p["b_dec"]
+            )
+            if use_skip:
+                pred = pred + (
+                    jnp.dot(x.astype(bf), p["w_skip"].astype(bf),
+                            preferred_element_type=jnp.float32) + p["b_skip"]
+                )
+            loss = jnp.mean(jnp.square(pred - y))
+            l0 = jnp.mean(jnp.sum(hidden > 0, axis=-1).astype(jnp.float32))
+            return loss, {"l0": l0, "active": jnp.any(hidden > 0, axis=0)}
+
+        (lf, auxf) = jax.jit(tl)(tp, x, y)
+        (lx, auxx) = jax.jit(tl_xla)(tp, x, y)
+        assert abs(float(lf) - float(lx)) / (abs(float(lx)) + 1e-12) < 1e-4, (lf, lx)
+        assert float(auxf["l0"]) == float(auxx["l0"])
+        assert bool(jnp.all(auxf["active"] == auxx["active"]))
+        gf = jax.jit(jax.grad(lambda p, x, y: tl(p, x, y)[0]))(tp, x, y)
+        gx = jax.jit(jax.grad(lambda p, x, y: tl_xla(p, x, y)[0]))(tp, x, y)
+        for key in gx:
+            dd = np.abs(np.asarray(gf[key]) - np.asarray(gx[key])).max()
+            scale = np.abs(np.asarray(gx[key])).max() + 1e-12
+            assert dd / scale < 3e-3, f"transcoder grad {key} rel {dd/scale} (skip={use_skip})"
+        print(
+            f"2d. fused transcoder loss (skip={use_skip}): loss rel "
+            f"{abs(float(lf)-float(lx))/abs(float(lx)):.1e}, l0/active exact, grads match"
+        )
+
+    # 2e. crosscoder AMP fused encode (flattened [B, L*D] view through the
+    # fused kernel) vs the composed XLA bf16 path
+    from whisper_sae_tpu.models.crosscoder import (
+        crosscoder_decode,
+        crosscoder_encode_pre,
+        crosscoder_loss,
+        init_crosscoder,
+    )
+
+    L, S = 4, H
+    cp = init_crosscoder(jax.random.PRNGKey(10), D, L, S)
+    cacts = jax.random.normal(jax.random.PRNGKey(11), (L, 1024, D), jnp.float32)
+
+    def cc(p, a):
+        return crosscoder_loss(p, a, k=K, compute_dtype=bf)
+
+    def cc_xla(p, a):
+        prev = crosscoder_encode_pre(p, a, bf)
+        hidden = xla_mask(prev)
+        recon = crosscoder_decode(p, hidden.astype(bf), bf)
+        per_layer = jnp.mean(jnp.square(recon - a), axis=(1, 2))
+        loss = jnp.sum(per_layer)
+        return loss, {
+            "l0": jnp.mean(jnp.sum(hidden > 0, axis=-1).astype(jnp.float32)),
+            "active": jnp.any(hidden > 0, axis=0),
+        }
+
+    lf, auxf = jax.jit(cc)(cp, cacts)
+    lx, auxx = jax.jit(cc_xla)(cp, cacts)
+    assert abs(float(lf) - float(lx)) / (abs(float(lx)) + 1e-12) < 1e-4, (lf, lx)
+    assert float(auxf["l0"]) == float(auxx["l0"])
+    assert bool(jnp.all(auxf["active"] == auxx["active"]))
+    gf = jax.jit(jax.grad(lambda p, a: cc(p, a)[0]))(cp, cacts)
+    gx = jax.jit(jax.grad(lambda p, a: cc_xla(p, a)[0]))(cp, cacts)
+    for key in ("w_enc", "b_enc", "w_dec", "b_dec"):
+        dd = np.abs(np.asarray(gf[key]) - np.asarray(gx[key])).max()
+        scale = np.abs(np.asarray(gx[key])).max() + 1e-12
+        assert dd / scale < 3e-3, f"crosscoder grad {key} rel {dd/scale}"
+    print(
+        f"2e. crosscoder AMP fused encode: loss rel "
+        f"{abs(float(lf)-float(lx))/abs(float(lx)):.1e}, l0/active exact, grads match"
+    )
+
     # 2b. blocked large-H encode (w_enc streamed through VMEM in tiles;
     # whisper-large 32x geometry) — selection must stay bit-identical
     from whisper_sae_tpu.ops.pallas_sae import pick_block_rows, uses_blocked

@@ -64,21 +64,36 @@ def init_crosscoder(
     }
 
 
-def crosscoder_encode_pre(params: dict, acts: jax.Array) -> jax.Array:
+def crosscoder_encode_pre(
+    params: dict, acts: jax.Array, compute_dtype: jnp.dtype = jnp.float32
+) -> jax.Array:
     """Summed per-layer encoder contributions (crosscoder.py:138-161).
 
-    acts: [L, B, D] -> pre-activation [B, S].
+    acts: [L, B, D] -> pre-activation [B, S].  The einsum contracts over
+    (layer, d_model) at once — one [B, L*D] @ [L*D, S] MXU matmul, not a
+    Python loop over layers; ``compute_dtype=bfloat16`` is the AMP path
+    (f32 accumulation either way).
     """
     return (
-        jnp.einsum("lbd,lds->bs", acts, params["w_enc"], preferred_element_type=jnp.float32)
+        jnp.einsum(
+            "lbd,lds->bs",
+            acts.astype(compute_dtype),
+            params["w_enc"].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
         + params["b_enc"]
     )
 
 
-def crosscoder_decode(params: dict, hidden: jax.Array) -> jax.Array:
+def crosscoder_decode(
+    params: dict, hidden: jax.Array, compute_dtype: jnp.dtype = jnp.float32
+) -> jax.Array:
     """[B, S] -> per-layer reconstructions [L, B, D] (crosscoder.py:171-188)."""
     recon = jnp.einsum(
-        "bs,sld->lbd", hidden, params["w_dec"], preferred_element_type=jnp.float32
+        "bs,sld->lbd",
+        hidden.astype(compute_dtype),
+        params["w_dec"].astype(compute_dtype),
+        preferred_element_type=jnp.float32,
     )
     return recon + params["b_dec"][:, None, :]
 
@@ -94,19 +109,45 @@ def crosscoder_apply(
     *,
     k: int | None = None,
     sparsity_weight: float = 0.01,
+    compute_dtype: jnp.dtype = jnp.float32,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Pure forward on stacked activations [L, B, D].
 
     Returns (recon [L,B,D], hidden [B,S], loss, recon_loss, sparsity_loss,
     l0) — per-layer losses derivable from recon.  ``k=None`` selects the
     ReLU+weighted-L1 variant; an integer selects TopK.
+
+    Under AMP (``compute_dtype=bfloat16``) on TPU, the TopK encode runs as
+    the fused Pallas matmul+bisection kernel over the flattened [B, L*D]
+    view (the summed per-layer einsum IS one matmul), so the [B, S]
+    pre-activation never round-trips HBM; everything else is XLA.
     """
-    pre = crosscoder_encode_pre(params, acts)
-    if k is None:
-        hidden = jax.nn.relu(pre)
-    else:
-        hidden = topk_mask_dense(pre, k)
-    recon = crosscoder_decode(params, hidden)
+    hidden = None
+    if k is not None and compute_dtype == jnp.bfloat16:
+        from ..ops import pallas_sae
+
+        l, b, d = acts.shape
+        s = params["b_enc"].shape[0]
+        if pallas_sae.supported((b, l * d), s) and not pallas_sae.uses_blocked(
+            (b, l * d), s
+        ):
+            x2d = acts.transpose(1, 0, 2).reshape(b, l * d)
+            hidden = pallas_sae.fused_topk_encode(
+                x2d,
+                params["w_enc"].reshape(l * d, s),
+                params["b_enc"],
+                jnp.zeros((l * d,), jnp.float32),
+                k,
+                pallas_sae.pick_block_rows(b, s, l * d),
+                jnp.bfloat16,
+            )
+    if hidden is None:
+        pre = crosscoder_encode_pre(params, acts, compute_dtype)
+        if k is None:
+            hidden = jax.nn.relu(pre)
+        else:
+            hidden = topk_mask_dense(pre, k)
+    recon = crosscoder_decode(params, hidden, compute_dtype)
     per_layer = jnp.mean(jnp.square(recon - acts), axis=(1, 2))  # [L]
     recon_loss = jnp.sum(per_layer)
     if k is None:
@@ -120,10 +161,16 @@ def crosscoder_apply(
 
 
 def crosscoder_loss(
-    params: dict, acts: jax.Array, *, k: int | None = None, sparsity_weight: float = 0.01
+    params: dict,
+    acts: jax.Array,
+    *,
+    k: int | None = None,
+    sparsity_weight: float = 0.01,
+    compute_dtype: jnp.dtype = jnp.float32,
 ) -> tuple[jax.Array, dict]:
     recon, hidden, loss, recon_loss, sparsity, l0 = crosscoder_apply(
-        params, acts, k=k, sparsity_weight=sparsity_weight
+        params, acts, k=k, sparsity_weight=sparsity_weight,
+        compute_dtype=compute_dtype,
     )
     return loss, {
         "reconstruction_loss": recon_loss,

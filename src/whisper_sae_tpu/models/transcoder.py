@@ -78,9 +78,39 @@ def transcoder_loss(
     compute_dtype: jnp.dtype = jnp.float32,
     use_skip: bool | None = None,
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
-    """Hot-path loss (sparse decode; dense latent never materialized)."""
+    """Hot-path loss (sparse decode; dense latent never materialized).
+
+    On TPU under AMP the whole forward (encode matmul + bisection + mask +
+    decode + optional skip + loss/l0/active stats) runs as ONE fused
+    Pallas kernel (ops/pallas_sae.py:fused_transcoder_loss), mirroring
+    the SAE fused path; elsewhere the composed path below is used.  Both
+    compute the reference loss semantics (transcoder.py:139-175).
+    """
+    from ..ops import pallas_sae
+
     if use_skip is None:
         use_skip = "w_skip" in params
+    if compute_dtype == jnp.bfloat16 and pallas_sae.fused_coder_supported(
+        x.shape, y.shape[1], params["w_enc"].shape[1], with_skip=use_skip
+    ):
+        h_dim = params["w_enc"].shape[1]
+        loss, l0, active, resid, hid = pallas_sae.fused_transcoder_loss(
+            x, y, params["w_enc"], params["b_enc"],
+            params["w_dec"], params["b_dec"],
+            params.get("w_skip", jnp.zeros((), jnp.float32)),
+            params.get("b_skip", jnp.zeros((), jnp.float32)),
+            k,
+            pallas_sae.pick_block_rows(x.shape[0], h_dim, x.shape[1]),
+            use_skip,
+        )
+        # predicted/hidden are derived without recomputation and are
+        # dead-code-eliminated when the caller (the trainer) drops them
+        return loss, {
+            "l0": l0,
+            "active": active,
+            "predicted": resid + y,
+            "hidden": hid.astype(jnp.float32),
+        }
     pre = (
         jnp.dot(
             x.astype(compute_dtype),

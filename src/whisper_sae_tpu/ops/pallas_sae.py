@@ -327,6 +327,222 @@ def fused_loss_supported(x_shape, hidden_dim: int) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# fused transcoder training forward.  Same structure as fused_sae_loss but
+# with the transcoder semantics (reference transcoder.py:139-175 / :355-390):
+# no pre-encoder bias, the reconstruction target is a SEPARATE array y
+# (the MLP output), and the Skip variant adds an affine path
+# x @ w_skip + b_skip whose bias folds into b_out = b_dec + b_skip.  One
+# kernel computes encode + bisection + mask + decode (+ skip) + residual +
+# loss/l0/active; the [B, H] pre-activation and latent never round-trip HBM.
+# ---------------------------------------------------------------------------
+
+
+def _fused_coder_kernel(*refs, k: int, use_skip: bool):
+    if use_skip:
+        (x_ref, y_ref, we_ref, benc_ref, wd_ref, bout_ref, ws_ref,
+         hid_ref, resid_ref, sq_ref, l0_ref, act_ref) = refs
+    else:
+        (x_ref, y_ref, we_ref, benc_ref, wd_ref, bout_ref,
+         hid_ref, resid_ref, sq_ref, l0_ref, act_ref) = refs
+    i = pl.program_id(0)
+    xc = x_ref[:].astype(jnp.bfloat16)
+    pre = (
+        jnp.dot(xc, we_ref[:], preferred_element_type=jnp.float32)
+        + benc_ref[:]
+    )
+
+    xi = pltpu.bitcast(pre, jnp.int32)
+    xi = jnp.where(xi < 0, _INT_MIN - xi - 1, xi)
+    rows = pre.shape[0]
+    lo = jnp.full((rows, 1), jnp.int32(-2147483647))
+    hi = jnp.full((rows, 1), jnp.int32(2147483647))
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = jnp.right_shift(lo, 1) + jnp.right_shift(hi, 1) + (lo & hi & 1)
+        cnt = jnp.sum((xi >= mid).astype(jnp.int32), axis=1, keepdims=True)
+        take = cnt >= k
+        return jnp.where(take, mid, lo), jnp.where(take, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
+    hidden = jnp.where(xi >= lo, jnp.maximum(pre, 0.0), 0.0)
+    hid_bf = hidden.astype(jnp.bfloat16)
+    hid_ref[:] = hid_bf
+
+    pred = (
+        jnp.dot(hid_bf, wd_ref[:], preferred_element_type=jnp.float32)
+        + bout_ref[:]
+    )
+    if use_skip:
+        pred = pred + jnp.dot(xc, ws_ref[:], preferred_element_type=jnp.float32)
+    resid = pred - y_ref[:]
+    resid_ref[:] = resid
+
+    pos = (hidden > 0.0).astype(jnp.float32)
+    sq_part = jnp.sum(resid * resid).reshape(1, 1)
+    l0_part = jnp.sum(pos).reshape(1, 1)
+    act_part = jnp.max(pos, axis=0, keepdims=True).astype(jnp.int32)
+
+    @pl.when(i == 0)
+    def _init():
+        sq_ref[:] = sq_part
+        l0_ref[:] = l0_part
+        act_ref[:] = act_part
+
+    @pl.when(i > 0)
+    def _acc():
+        sq_ref[:] = sq_ref[:] + sq_part
+        l0_ref[:] = l0_ref[:] + l0_part
+        act_ref[:] = jnp.maximum(act_ref[:], act_part)
+
+
+def _fused_coder_forward(x, y, we_bf, b_enc, wd_bf, b_out, ws_bf,
+                         k, block_rows, use_skip):
+    b, d = x.shape
+    dout = y.shape[1]
+    h = we_bf.shape[1]
+    in_specs = [
+        pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_rows, dout), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, dout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, dout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x, y, we_bf, b_enc.reshape(1, h), wd_bf, b_out.reshape(1, dout)]
+    if use_skip:
+        in_specs.append(
+            pl.BlockSpec((d, dout), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(ws_bf)
+    return pl.pallas_call(
+        functools.partial(_fused_coder_kernel, k=k, use_skip=use_skip),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h), jnp.bfloat16),     # latent (for bwd)
+            jax.ShapeDtypeStruct((b, dout), jnp.float32),   # pred - y
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),      # sum of sq error
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),      # total active count
+            jax.ShapeDtypeStruct((1, h), jnp.int32),        # any-active per feat
+        ),
+        grid=(b // block_rows,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((block_rows, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, dout), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(4 + 2 * use_skip) * b * d * h + 33 * b * h,
+            bytes_accessed=b * (d + dout) * 4 + 2 * d * h * 2 + b * h * 2,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def fused_transcoder_loss(x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip,
+                          k, block_rows, use_skip):
+    """(loss, l0, active, resid, hidden_bf16) of a TopK/Skip transcoder in
+    one fused kernel (AMP/bf16).
+
+    loss = mean((topk_mask(relu(x @ w_enc + b_enc), k) @ w_dec + b_dec
+                 [+ x @ w_skip + b_skip] - y)^2) — the transcoder forward
+    (reference transcoder.py:139-175, :355-390).  ``resid = pred - y`` and
+    the bf16 latent are returned so callers can expose predicted/hidden
+    without recomputation (dead-code-eliminated when unused).  When
+    ``use_skip`` is False, w_skip/b_skip are untouched placeholders.
+    Gradients match the unfused AMP path (bf16 matmuls, f32 accumulation).
+    """
+    loss, l0, active, resid, hid, _ = _fused_coder_impl(
+        x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip, k, block_rows, use_skip
+    )
+    return loss, l0, active, resid, hid
+
+
+def _fused_coder_impl(x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip,
+                      k, block_rows, use_skip):
+    we_bf = w_enc.astype(jnp.bfloat16)
+    wd_bf = w_dec.astype(jnp.bfloat16)
+    ws_bf = w_skip.astype(jnp.bfloat16) if use_skip else None
+    b_out = b_dec + b_skip if use_skip else b_dec
+    hid, resid, sq, l0s, act = _fused_coder_forward(
+        x, y, we_bf, b_enc, wd_bf, b_out, ws_bf, k, block_rows, use_skip
+    )
+    b, dout = y.shape
+    loss = sq[0, 0] / (b * dout)
+    l0 = l0s[0, 0] / b
+    active = act[0] > 0
+    return loss, l0, active, resid, hid, (we_bf, wd_bf, ws_bf)
+
+
+def _fused_coder_vjp_fwd(x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip,
+                         k, block_rows, use_skip):
+    loss, l0, active, resid, hid, (we_bf, wd_bf, ws_bf) = _fused_coder_impl(
+        x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip, k, block_rows, use_skip
+    )
+    return (loss, l0, active, resid, hid), (
+        x, w_skip, b_skip, we_bf, wd_bf, ws_bf, hid, resid
+    )
+
+
+def _fused_coder_vjp_bwd(k, block_rows, use_skip, res, g):
+    gl = g[0]  # l0/active/resid/hid outputs are metrics/exports: cotangents
+    # are symbolic zeros in training (the loss alone is differentiated)
+    x, w_skip, b_skip, we_bf, wd_bf, ws_bf, hid, resid = res
+    b, dout = resid.shape
+    d_pred = resid * (2.0 * gl / (b * dout))
+    dp_bf = d_pred.astype(jnp.bfloat16)
+    dhidden = jnp.dot(dp_bf, wd_bf.T, preferred_element_type=jnp.float32)
+    dpre = jnp.where(hid > 0, dhidden, 0.0)
+    dpre_bf = dpre.astype(jnp.bfloat16)
+    x_bf = x.astype(jnp.bfloat16)
+    dw_enc = jnp.einsum(
+        "bd,bh->dh", x_bf, dpre_bf, preferred_element_type=jnp.float32
+    )
+    db_enc = jnp.sum(dpre, axis=0)  # f32 accumulation (bf16 loses ~1e-3)
+    dw_dec = jnp.einsum(
+        "bh,bd->hd", hid, dp_bf, preferred_element_type=jnp.float32
+    )
+    db_dec = jnp.sum(d_pred, axis=0)
+    # dx/dy are dead in training (the batch is not differentiated); XLA DCEs
+    dx = jnp.dot(dpre_bf, we_bf.T, preferred_element_type=jnp.float32)
+    if use_skip:
+        dw_skip = jnp.einsum(
+            "bd,bo->do", x_bf, dp_bf, preferred_element_type=jnp.float32
+        )
+        db_skip = db_dec  # b_dec and b_skip enter the prediction identically
+        dx = dx + jnp.dot(dp_bf, ws_bf.T, preferred_element_type=jnp.float32)
+    else:
+        dw_skip = jnp.zeros_like(w_skip)
+        db_skip = jnp.zeros_like(b_skip)
+    dy = -d_pred
+    return dx, dy, dw_enc, db_enc, dw_dec, db_dec, dw_skip, db_skip
+
+
+fused_transcoder_loss.defvjp(_fused_coder_vjp_fwd, _fused_coder_vjp_bwd)
+
+
+def fused_coder_supported(x_shape, out_dim: int, hidden_dim: int,
+                          with_skip: bool = False) -> bool:
+    """Transcoder fused-loss geometry: all weights VMEM-resident, lane-
+    aligned dims, and a row count the block size divides."""
+    if not supported(x_shape, hidden_dim) or out_dim % 128 != 0:
+        return False
+    d = x_shape[1]
+    w_bytes = (d * hidden_dim + hidden_dim * out_dim) * 2
+    if with_skip:
+        w_bytes += d * out_dim * 2
+    if w_bytes > _MAX_W_VMEM_BYTES:
+        return False
+    return x_shape[0] % pick_block_rows(x_shape[0], hidden_dim, d) == 0
+
+
+# ---------------------------------------------------------------------------
 # blocked variant for large H (whisper-large 32x: w_enc bf16 = 105 MB,
 # far beyond VMEM).  The XLA fallback it replaces re-reads the [B, H] f32
 # pre-activation from HBM on every one of the 32 bisection passes

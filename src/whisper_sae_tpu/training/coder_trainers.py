@@ -84,10 +84,13 @@ class CrosscoderTrainer(SAETrainer):
     def _loss_fn(self):
         k = self.model._k  # None selects the ReLU + weighted-L1 variant
         sw = self.model.sparsity_weight
+        dtype = self.compute_dtype
 
         def loss_fn(params, batch):
             acts = jnp.transpose(batch, (1, 0, 2))  # [L, B, D]
-            return crosscoder_loss(params, acts, k=k, sparsity_weight=sw)
+            return crosscoder_loss(
+                params, acts, k=k, sparsity_weight=sw, compute_dtype=dtype
+            )
 
         return loss_fn
 
