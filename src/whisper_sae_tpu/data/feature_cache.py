@@ -224,6 +224,16 @@ def extract_and_cache_features(
     attention + bf16 matmuls); activations are stored f32 either way.
     With ``mesh``, the batch is sharded over the ``data`` axis and GSPMD
     partitions the capture forward across chips (parallel/extraction.py).
+
+    Host-transfer discipline (vs the reference's per-layer ``.cpu()`` in
+    every hook, hooks.py:78-93):
+    - only the REQUESTED layers leave the device (sliced from the stacked
+      [L, B, T, D] capture before the D2H);
+    - in bf16 fast mode the transfer itself is bf16 (half the bytes; the
+      values already carry bf16 compute precision) and is widened to f32
+      on the host, so the cache format is unchanged;
+    - the device->host pull of batch i happens AFTER batch i+1's forward
+      is dispatched, so the copy overlaps the next batch's compute.
     """
     writers_e = {l: cache.writer("encoder", l) for l in encoder_layers}
     writers_d = {l: cache.writer("decoder", l) for l in decoder_layers}
@@ -234,6 +244,23 @@ def extract_and_cache_features(
 
         whisper_params = replicate_params(mesh, whisper_params)
 
+    def select(stack, layers):
+        # slice the requested layers on-device before the transfer
+        if len(layers) < stack.shape[0]:
+            stack = jnp.take(stack, jnp.asarray(sorted(layers)), axis=0)
+        if compute_dtype is not None:
+            stack = stack.astype(jnp.bfloat16)
+        return stack
+
+    def drain(pulled):
+        for stack, layers, writers in pulled:
+            host = np.asarray(stack)  # one D2H per component per batch
+            if host.dtype != np.float32:
+                host = host.astype(np.float32)
+            for j, l in enumerate(sorted(layers)):
+                writers[l].append(host[j].reshape(-1, host.shape[-1]))
+
+    pending = None
     for batch in audio_dataloader:
         if num_samples >= target:
             break
@@ -247,17 +274,20 @@ def extract_and_cache_features(
             apply_layer_norm=apply_layer_norm,
             with_decoder=bool(decoder_layers),
             compute_dtype=compute_dtype,
-        )
-        enc = np.asarray(acts["encoder"])  # [L, B, T, D] one D2H per batch
-        for l, w in writers_e.items():
-            w.append(enc[l].reshape(-1, enc.shape[-1]))
+        )  # async dispatch: the device starts while the host drains batch i-1
+        pulled = []
+        if encoder_layers:
+            pulled.append((select(acts["encoder"], encoder_layers), encoder_layers, writers_e))
         if decoder_layers:
-            dec = np.asarray(acts["decoder"])
-            for l, w in writers_d.items():
-                w.append(dec[l].reshape(-1, dec.shape[-1]))
+            pulled.append((select(acts["decoder"], decoder_layers), decoder_layers, writers_d))
+        if pending is not None:
+            drain(pending)
+        pending = pulled
         num_samples += mel.shape[0]
         if progress and num_samples % (mel.shape[0] * 8) == 0:
             print(f"extracted {num_samples} samples", flush=True)
+    if pending is not None:
+        drain(pending)
 
     for w in list(writers_e.values()) + list(writers_d.values()):
         w.finalize(num_samples)

@@ -208,13 +208,29 @@ class SyntheticSpeechDataset:
     unit tests and air-gapped benches.
     """
 
+    # mels are featurized in chunks of 64 — ONE batched log-mel dispatch
+    # instead of 64 per-sample device round-trips — with a 2-chunk LRU
+    # (sequential extraction touches each chunk exactly once)
+    MEL_CHUNK = 64
+
     def __init__(self, num_samples: int = 16, duration_s: float = 2.0, seed: int = 0):
         self.num_samples = num_samples
         self.duration_s = duration_s
         self.seed = seed
+        self._mel_chunks: dict[int, np.ndarray] = {}
 
     def __len__(self) -> int:
         return self.num_samples
+
+    def _mel_chunk(self, c: int) -> np.ndarray:
+        if c not in self._mel_chunks:
+            lo = c * self.MEL_CHUNK
+            hi = min(lo + self.MEL_CHUNK, self.num_samples)
+            waves = np.stack([self._waveform(i) for i in range(lo, hi)])
+            self._mel_chunks[c] = np.asarray(log_mel_spectrogram(waves))
+            while len(self._mel_chunks) > 2:
+                self._mel_chunks.pop(next(iter(self._mel_chunks)))
+        return self._mel_chunks[c]
 
     def _waveform(self, i: int) -> np.ndarray:
         rng = np.random.default_rng(self.seed * 100_003 + i)
@@ -231,8 +247,9 @@ class SyntheticSpeechDataset:
         return (0.5 * audio / np.abs(audio).max()).astype(np.float32)
 
     def __getitem__(self, i: int) -> dict:
+        chunk = self._mel_chunk(i // self.MEL_CHUNK)
         return {
-            "input_features": np.asarray(log_mel_spectrogram(self._waveform(i)))[0],
+            "input_features": chunk[i % self.MEL_CHUNK],
             "id": f"synthetic-{i}",
             "text": f"synthetic utterance {i}",
             "speaker_id": i % 7,
