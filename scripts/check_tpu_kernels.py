@@ -182,6 +182,43 @@ def main() -> None:
             f"{abs(float(lf)-float(lx))/abs(float(lx)):.1e}, l0/active exact, grads match"
         )
 
+    # 2f. fused ReLU+L1 SAE loss kernel vs composed XLA bf16 path
+    from whisper_sae_tpu.models.sae import init_relu_sae, relu_sae_apply, relu_sae_loss
+
+    rp = init_relu_sae(jax.random.PRNGKey(12), D, H)
+    SW = 0.01
+
+    def rl(p, x):
+        return relu_sae_loss(p, x, SW, bf)
+
+    def rl_xla(p, x):
+        out, active = relu_sae_apply(p, x, SW, bf)
+        return out.loss, {
+            "reconstruction_loss": out.reconstruction_loss,
+            "sparsity_loss": out.sparsity_loss,
+            "l0": out.l0, "active": active,
+        }
+
+    lf, auxf = jax.jit(rl)(rp, x)
+    lx, auxx = jax.jit(rl_xla)(rp, x)
+    assert abs(float(lf) - float(lx)) / abs(float(lx)) < 1e-4, (lf, lx)
+    for key in ("reconstruction_loss", "sparsity_loss"):
+        assert abs(float(auxf[key]) - float(auxx[key])) / (
+            abs(float(auxx[key])) + 1e-12
+        ) < 1e-4, key
+    assert float(auxf["l0"]) == float(auxx["l0"])
+    assert bool(jnp.all(auxf["active"] == auxx["active"]))
+    gf = jax.jit(jax.grad(lambda p, x: rl(p, x)[0]))(rp, x)
+    gx = jax.jit(jax.grad(lambda p, x: rl_xla(p, x)[0]))(rp, x)
+    for key in gx:
+        dd = np.abs(np.asarray(gf[key]) - np.asarray(gx[key])).max()
+        scale = np.abs(np.asarray(gx[key])).max() + 1e-12
+        assert dd / scale < 3e-3, f"relu-sae grad {key} rel {dd/scale}"
+    print(
+        f"2f. fused ReLU+L1 SAE loss: loss rel "
+        f"{abs(float(lf)-float(lx))/abs(float(lx)):.1e}, l0/active exact, grads match"
+    )
+
     # 2e. crosscoder AMP fused encode (flattened [B, L*D] view through the
     # fused kernel) vs the composed XLA bf16 path
     from whisper_sae_tpu.models.crosscoder import (

@@ -252,7 +252,30 @@ def relu_sae_loss(
     sparsity_weight: float,
     compute_dtype: jnp.dtype = jnp.float32,
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
-    """Hot-path ReLU-SAE loss with metric aux (mirrors relu_sae_apply)."""
+    """Hot-path ReLU-SAE loss with metric aux (mirrors relu_sae_apply).
+
+    On TPU under AMP the whole forward runs as ONE fused Pallas kernel
+    (ops/pallas_sae.py:fused_relu_sae_loss — the ReLU mode of the coder
+    kernel, with the L1/L0/active reductions accumulated in-kernel);
+    elsewhere the composed path below is used."""
+    from ..ops import pallas_sae
+
+    if compute_dtype == jnp.bfloat16 and pallas_sae.fused_coder_supported(
+        x.shape, x.shape[1], params["w_enc"].shape[1]
+    ):
+        loss, recon_loss, sparsity, l0, active = pallas_sae.fused_relu_sae_loss(
+            x, params["w_enc"], params["b_enc"], params["w_dec"], params["b_dec"],
+            float(sparsity_weight),
+            pallas_sae.pick_block_rows(
+                x.shape[0], params["w_enc"].shape[1], x.shape[1]
+            ),
+        )
+        return loss, {
+            "reconstruction_loss": recon_loss,
+            "sparsity_loss": sparsity,
+            "l0": l0,
+            "active": active,
+        }
     out, active = relu_sae_apply(params, x, sparsity_weight, compute_dtype)
     return out.loss, {
         "reconstruction_loss": out.reconstruction_loss,

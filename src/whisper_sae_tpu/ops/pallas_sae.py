@@ -337,7 +337,9 @@ def fused_loss_supported(x_shape, hidden_dim: int) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _fused_coder_kernel(*refs, k: int, use_skip: bool):
+def _fused_coder_kernel(*refs, k: int | None, use_skip: bool):
+    refs = list(refs)
+    l1_ref = refs.pop() if k is None else None  # ReLU mode adds an L1 sum
     if use_skip:
         (x_ref, y_ref, we_ref, benc_ref, wd_ref, bout_ref, ws_ref,
          hid_ref, resid_ref, sq_ref, l0_ref, act_ref) = refs
@@ -351,21 +353,24 @@ def _fused_coder_kernel(*refs, k: int, use_skip: bool):
         + benc_ref[:]
     )
 
-    xi = pltpu.bitcast(pre, jnp.int32)
-    xi = jnp.where(xi < 0, _INT_MIN - xi - 1, xi)
-    rows = pre.shape[0]
-    lo = jnp.full((rows, 1), jnp.int32(-2147483647))
-    hi = jnp.full((rows, 1), jnp.int32(2147483647))
+    if k is None:
+        hidden = jnp.maximum(pre, 0.0)
+    else:
+        xi = pltpu.bitcast(pre, jnp.int32)
+        xi = jnp.where(xi < 0, _INT_MIN - xi - 1, xi)
+        rows = pre.shape[0]
+        lo = jnp.full((rows, 1), jnp.int32(-2147483647))
+        hi = jnp.full((rows, 1), jnp.int32(2147483647))
 
-    def body(_, lohi):
-        lo, hi = lohi
-        mid = jnp.right_shift(lo, 1) + jnp.right_shift(hi, 1) + (lo & hi & 1)
-        cnt = jnp.sum((xi >= mid).astype(jnp.int32), axis=1, keepdims=True)
-        take = cnt >= k
-        return jnp.where(take, mid, lo), jnp.where(take, hi, mid)
+        def body(_, lohi):
+            lo, hi = lohi
+            mid = jnp.right_shift(lo, 1) + jnp.right_shift(hi, 1) + (lo & hi & 1)
+            cnt = jnp.sum((xi >= mid).astype(jnp.int32), axis=1, keepdims=True)
+            take = cnt >= k
+            return jnp.where(take, mid, lo), jnp.where(take, hi, mid)
 
-    lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
-    hidden = jnp.where(xi >= lo, jnp.maximum(pre, 0.0), 0.0)
+        lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
+        hidden = jnp.where(xi >= lo, jnp.maximum(pre, 0.0), 0.0)
     hid_bf = hidden.astype(jnp.bfloat16)
     hid_ref[:] = hid_bf
 
@@ -382,18 +387,23 @@ def _fused_coder_kernel(*refs, k: int, use_skip: bool):
     sq_part = jnp.sum(resid * resid).reshape(1, 1)
     l0_part = jnp.sum(pos).reshape(1, 1)
     act_part = jnp.max(pos, axis=0, keepdims=True).astype(jnp.int32)
+    l1_part = jnp.sum(hidden).reshape(1, 1) if k is None else None
 
     @pl.when(i == 0)
     def _init():
         sq_ref[:] = sq_part
         l0_ref[:] = l0_part
         act_ref[:] = act_part
+        if k is None:
+            l1_ref[:] = l1_part
 
     @pl.when(i > 0)
     def _acc():
         sq_ref[:] = sq_ref[:] + sq_part
         l0_ref[:] = l0_ref[:] + l0_part
         act_ref[:] = jnp.maximum(act_ref[:], act_part)
+        if k is None:
+            l1_ref[:] = l1_ref[:] + l1_part
 
 
 def _fused_coder_forward(x, y, we_bf, b_enc, wd_bf, b_out, ws_bf,
@@ -415,26 +425,34 @@ def _fused_coder_forward(x, y, we_bf, b_enc, wd_bf, b_out, ws_bf,
             pl.BlockSpec((d, dout), lambda i: (0, 0), memory_space=pltpu.VMEM)
         )
         args.append(ws_bf)
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h), jnp.bfloat16),     # latent (for bwd)
+        jax.ShapeDtypeStruct((b, dout), jnp.float32),   # pred - y
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),      # sum of sq error
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),      # total active count
+        jax.ShapeDtypeStruct((1, h), jnp.int32),        # any-active per feat
+    ]
+    out_specs = [
+        pl.BlockSpec((block_rows, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_rows, dout), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if k is None:  # ReLU mode: L1 (sum of hidden) accumulator
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
     return pl.pallas_call(
         functools.partial(_fused_coder_kernel, k=k, use_skip=use_skip),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, h), jnp.bfloat16),     # latent (for bwd)
-            jax.ShapeDtypeStruct((b, dout), jnp.float32),   # pred - y
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),      # sum of sq error
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),      # total active count
-            jax.ShapeDtypeStruct((1, h), jnp.int32),        # any-active per feat
-        ),
+        out_shape=tuple(out_shape),
         grid=(b // block_rows,),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((block_rows, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, dout), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ),
+        out_specs=tuple(out_specs),
         cost_estimate=pl.CostEstimate(
-            flops=(4 + 2 * use_skip) * b * d * h + 33 * b * h,
+            flops=(4 + 2 * use_skip) * b * d * h
+            + (33 if k is not None else 1) * b * h,
             bytes_accessed=b * (d + dout) * 4 + 2 * d * h * 2 + b * h * 2,
             transcendentals=0,
         ),
@@ -458,7 +476,7 @@ def fused_transcoder_loss(x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip,
     ``use_skip`` is False, w_skip/b_skip are untouched placeholders.
     Gradients match the unfused AMP path (bf16 matmuls, f32 accumulation).
     """
-    loss, l0, active, resid, hid, _ = _fused_coder_impl(
+    loss, l0, active, resid, hid, _, _ = _fused_coder_impl(
         x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip, k, block_rows, use_skip
     )
     return loss, l0, active, resid, hid
@@ -470,19 +488,20 @@ def _fused_coder_impl(x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip,
     wd_bf = w_dec.astype(jnp.bfloat16)
     ws_bf = w_skip.astype(jnp.bfloat16) if use_skip else None
     b_out = b_dec + b_skip if use_skip else b_dec
-    hid, resid, sq, l0s, act = _fused_coder_forward(
+    hid, resid, sq, l0s, act, *l1s = _fused_coder_forward(
         x, y, we_bf, b_enc, wd_bf, b_out, ws_bf, k, block_rows, use_skip
     )
     b, dout = y.shape
     loss = sq[0, 0] / (b * dout)
     l0 = l0s[0, 0] / b
     active = act[0] > 0
-    return loss, l0, active, resid, hid, (we_bf, wd_bf, ws_bf)
+    l1 = l1s[0][0, 0] if l1s else None
+    return loss, l0, active, resid, hid, l1, (we_bf, wd_bf, ws_bf)
 
 
 def _fused_coder_vjp_fwd(x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip,
                          k, block_rows, use_skip):
-    loss, l0, active, resid, hid, (we_bf, wd_bf, ws_bf) = _fused_coder_impl(
+    loss, l0, active, resid, hid, _, (we_bf, wd_bf, ws_bf) = _fused_coder_impl(
         x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip, k, block_rows, use_skip
     )
     return (loss, l0, active, resid, hid), (
@@ -525,6 +544,72 @@ def _fused_coder_vjp_bwd(k, block_rows, use_skip, res, g):
 
 
 fused_transcoder_loss.defvjp(_fused_coder_vjp_fwd, _fused_coder_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_relu_sae_loss(x, w_enc, b_enc, w_dec, b_dec, sparsity_weight,
+                        block_rows):
+    """(loss, recon_loss, sparsity_loss, l0, active) of a ReLU+L1 SAE in
+    one fused kernel (AMP/bf16).
+
+    ReLU-SAE semantics (reference model.py:260-322: no pre-encoder bias):
+    recon = relu(x @ w_enc + b_enc) @ w_dec + b_dec;
+    loss = mean((recon - x)^2) + sparsity_weight * mean(|hidden|).
+    The encode/decode matmuls, the L1/L0/active reductions, and the
+    residual all happen in one VMEM pass (ReLU mode of the coder kernel).
+    """
+    out = _fused_coder_impl(
+        x, x, w_enc, b_enc, w_dec, b_dec,
+        jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+        None, block_rows, False,
+    )
+    recon_loss, l0, active, _, hid, l1, _ = out
+    b, h = hid.shape
+    sparsity = l1 / (b * h)
+    return recon_loss + sparsity_weight * sparsity, recon_loss, sparsity, l0, active
+
+
+def _fused_relu_vjp_fwd(x, w_enc, b_enc, w_dec, b_dec, sparsity_weight,
+                        block_rows):
+    recon_loss, l0, active, resid, hid, l1, (we_bf, wd_bf, _) = _fused_coder_impl(
+        x, x, w_enc, b_enc, w_dec, b_dec,
+        jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+        None, block_rows, False,
+    )
+    b, h = hid.shape
+    sparsity = l1 / (b * h)
+    loss = recon_loss + sparsity_weight * sparsity
+    return (loss, recon_loss, sparsity, l0, active), (x, we_bf, wd_bf, hid, resid)
+
+
+def _fused_relu_vjp_bwd(sparsity_weight, block_rows, res, g):
+    gl = g[0]  # the component losses/metrics are auxiliaries
+    x, we_bf, wd_bf, hid, resid = res
+    b, d = x.shape
+    h = hid.shape[1]
+    d_recon = resid * (2.0 * gl / (b * d))
+    drec_bf = d_recon.astype(jnp.bfloat16)
+    dhidden = jnp.dot(drec_bf, wd_bf.T, preferred_element_type=jnp.float32)
+    # d/dh of sw*mean(h) adds a constant on active entries (hidden >= 0,
+    # so |h| == h); relu backward zeroes inactive entries either way
+    dpre = jnp.where(hid > 0, dhidden + gl * sparsity_weight / (b * h), 0.0)
+    dpre_bf = dpre.astype(jnp.bfloat16)
+    x_bf = x.astype(jnp.bfloat16)
+    dw_enc = jnp.einsum(
+        "bd,bh->dh", x_bf, dpre_bf, preferred_element_type=jnp.float32
+    )
+    db_enc = jnp.sum(dpre, axis=0)
+    dw_dec = jnp.einsum(
+        "bh,bd->hd", hid, drec_bf, preferred_element_type=jnp.float32
+    )
+    db_dec = jnp.sum(d_recon, axis=0)
+    dx = (
+        jnp.dot(dpre_bf, we_bf.T, preferred_element_type=jnp.float32) - d_recon
+    )  # dead in training; XLA DCEs
+    return dx, dw_enc, db_enc, dw_dec, db_dec
+
+
+fused_relu_sae_loss.defvjp(_fused_relu_vjp_fwd, _fused_relu_vjp_bwd)
 
 
 def fused_coder_supported(x_shape, out_dim: int, hidden_dim: int,
