@@ -219,8 +219,9 @@ def main() -> None:
         f"{abs(float(lf)-float(lx))/abs(float(lx)):.1e}, l0/active exact, grads match"
     )
 
-    # 2e. crosscoder AMP fused encode (flattened [B, L*D] view through the
-    # fused kernel) vs the composed XLA bf16 path
+    # 2e. crosscoder AMP fully-fused loss (the flattened [B, L*D] view is
+    # exactly a transcoder with y = x; loss = L x flat MSE) vs the
+    # composed XLA bf16 path
     from whisper_sae_tpu.models.crosscoder import (
         crosscoder_decode,
         crosscoder_encode_pre,
@@ -258,7 +259,7 @@ def main() -> None:
         scale = np.abs(np.asarray(gx[key])).max() + 1e-12
         assert dd / scale < 3e-3, f"crosscoder grad {key} rel {dd/scale}"
     print(
-        f"2e. crosscoder AMP fused encode: loss rel "
+        f"2e. crosscoder AMP fully-fused loss: loss rel "
         f"{abs(float(lf)-float(lx))/abs(float(lx)):.1e}, l0/active exact, grads match"
     )
 
