@@ -1,0 +1,153 @@
+"""CPU guard for the fused Pallas kernels via interpret mode.
+
+The real kernels are TPU-gated (``pallas_sae.supported`` rejects CPU), so
+the unit suite never exercises them; ``scripts/check_tpu_kernels.py``
+verifies them on-chip.  These tests run the SAME kernel bodies through
+``pltpu.force_tpu_interpret_mode`` against the composed bf16 XLA paths,
+so kernel-body regressions are caught in CI without a chip.  Small
+shapes: interpret mode executes the grid serially on host.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from whisper_sae_tpu.ops import pallas_sae as ps
+from whisper_sae_tpu.ops.topk import topk_threshold
+
+B, D, H, K = 32, 128, 256, 8
+BLOCK = 8
+BF = jnp.bfloat16
+
+
+@pytest.fixture
+def data():
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, D), jnp.float32)
+    y = jax.random.normal(jax.random.PRNGKey(1), (B, D), jnp.float32)
+    return x, y
+
+
+def _params(seed: int, with_skip: bool = False, b_pre: bool = False):
+    keys = jax.random.split(jax.random.PRNGKey(seed), 6)
+    p = {
+        "w_enc": jax.random.normal(keys[0], (D, H)) * 0.2,
+        "b_enc": jax.random.normal(keys[1], (H,)) * 0.05,
+        "w_dec": jax.random.normal(keys[2], (H, D)) * 0.2,
+        "b_dec": jax.random.normal(keys[3], (D,)) * 0.05,
+    }
+    if with_skip:
+        p["w_skip"] = jax.random.normal(keys[4], (D, D)) * 0.1
+        p["b_skip"] = jax.random.normal(keys[5], (D,)) * 0.05
+    if b_pre:
+        p["b_pre"] = jax.random.normal(keys[4], (D,)) * 0.05
+    return p
+
+
+def _xla_mask(pre, k):
+    xi, th = topk_threshold(pre, k)
+    return jnp.where(xi >= th, jax.nn.relu(pre), 0.0)
+
+
+def _bf_dot(a, b):
+    return jnp.dot(a.astype(BF), b.astype(BF), preferred_element_type=jnp.float32)
+
+
+class TestFusedSAELoss:
+    def test_matches_composed_amp_path(self, data):
+        x, _ = data
+        p = _params(1, b_pre=True)
+
+        with pltpu.force_tpu_interpret_mode():
+            loss, l0, active = ps.fused_sae_loss(
+                x, p["w_enc"], p["b_enc"], p["b_pre"], p["w_dec"], p["b_dec"],
+                K, BLOCK,
+            )
+
+        pre = _bf_dot(x - p["b_pre"], p["w_enc"]) + p["b_enc"]
+        hidden = _xla_mask(pre, K).astype(BF)
+        recon = _bf_dot(hidden, p["w_dec"]) + p["b_dec"] + p["b_pre"]
+        want = jnp.mean(jnp.square(recon - x))
+        np.testing.assert_allclose(float(loss), float(want), rtol=1e-5)
+        assert float(l0) == float(jnp.mean(jnp.sum(hidden > 0, axis=-1)))
+        np.testing.assert_array_equal(
+            np.asarray(active), np.asarray(jnp.any(hidden > 0, axis=0))
+        )
+
+
+class TestFusedTranscoderLoss:
+    @pytest.mark.parametrize("use_skip", [False, True])
+    def test_matches_composed_amp_path(self, data, use_skip):
+        x, y = data
+        p = _params(2, with_skip=use_skip)
+        zero = jnp.zeros((), jnp.float32)
+
+        with pltpu.force_tpu_interpret_mode():
+            loss, l0, active, resid, hid = ps.fused_transcoder_loss(
+                x, y, p["w_enc"], p["b_enc"], p["w_dec"], p["b_dec"],
+                p.get("w_skip", zero), p.get("b_skip", zero), K, BLOCK, use_skip,
+            )
+
+        pre = _bf_dot(x, p["w_enc"]) + p["b_enc"]
+        hidden = _xla_mask(pre, K).astype(BF)
+        pred = _bf_dot(hidden, p["w_dec"]) + p["b_dec"]
+        if use_skip:
+            pred = pred + _bf_dot(x, p["w_skip"]) + p["b_skip"]
+        want = jnp.mean(jnp.square(pred - y))
+        np.testing.assert_allclose(float(loss), float(want), rtol=1e-5)
+        assert float(l0) == float(jnp.mean(jnp.sum(hidden > 0, axis=-1)))
+        np.testing.assert_allclose(
+            np.asarray(resid), np.asarray(pred - y), atol=1e-5
+        )
+
+    def test_gradients_match_composed_path(self, data):
+        x, y = data
+        p = _params(3)
+        zero = jnp.zeros((), jnp.float32)
+
+        def loss_fused(p):
+            with pltpu.force_tpu_interpret_mode():
+                return ps.fused_transcoder_loss(
+                    x, y, p["w_enc"], p["b_enc"], p["w_dec"], p["b_dec"],
+                    zero, zero, K, BLOCK, False,
+                )[0]
+
+        def loss_xla(p):
+            pre = _bf_dot(x, p["w_enc"]) + p["b_enc"]
+            hidden = _xla_mask(pre, K)
+            pred = _bf_dot(hidden, p["w_dec"]) + p["b_dec"]
+            return jnp.mean(jnp.square(pred - y))
+
+        gf = jax.grad(loss_fused)(p)
+        gx = jax.grad(loss_xla)(p)
+        for key in gx:
+            f, w = np.asarray(gf[key]), np.asarray(gx[key])
+            scale = np.abs(w).max() + 1e-12
+            np.testing.assert_allclose(f / scale, w / scale, atol=5e-3)
+
+
+class TestFusedReluSAELoss:
+    def test_matches_composed_amp_path(self, data):
+        x, _ = data
+        p = _params(4)
+        sw = 0.01
+
+        with pltpu.force_tpu_interpret_mode():
+            loss, recon_loss, sparsity, l0, active = ps.fused_relu_sae_loss(
+                x, p["w_enc"], p["b_enc"], p["w_dec"], p["b_dec"], sw, BLOCK
+            )
+
+        pre = _bf_dot(x, p["w_enc"]) + p["b_enc"]
+        hidden = jax.nn.relu(pre)
+        recon = _bf_dot(hidden, p["w_dec"]) + p["b_dec"]
+        want_recon = jnp.mean(jnp.square(recon - x))
+        want_sparsity = jnp.mean(jnp.abs(hidden))
+        np.testing.assert_allclose(float(recon_loss), float(want_recon), rtol=1e-5)
+        np.testing.assert_allclose(float(sparsity), float(want_sparsity), rtol=1e-5)
+        np.testing.assert_allclose(
+            float(loss), float(want_recon + sw * want_sparsity), rtol=1e-5
+        )
+        assert float(l0) == float(jnp.mean(jnp.sum(hidden > 0, axis=-1)))
