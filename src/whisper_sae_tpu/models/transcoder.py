@@ -111,15 +111,31 @@ def transcoder_loss(
             "predicted": resid + y,
             "hidden": hid.astype(jnp.float32),
         }
-    pre = (
-        jnp.dot(
-            x.astype(compute_dtype),
-            params["w_enc"].astype(compute_dtype),
-            preferred_element_type=jnp.float32,
+    if compute_dtype == jnp.bfloat16 and pallas_sae.supported(
+        x.shape, params["w_enc"].shape[1]
+    ):
+        # large-H geometry (weights exceed the single-block VMEM budget):
+        # the encode still fuses via the blocked kernel — w_enc streams
+        # through VMEM and the pre-activation never round-trips HBM —
+        # with decode/loss composed in XLA
+        hidden = pallas_sae.fused_topk_encode(
+            x, params["w_enc"], params["b_enc"],
+            jnp.zeros((x.shape[1],), jnp.float32), k,
+            pallas_sae.pick_block_rows(
+                x.shape[0], params["w_enc"].shape[1], x.shape[1]
+            ),
+            jnp.bfloat16,
         )
-        + params["b_enc"]
-    )
-    hidden = topk_mask_dense(pre, k)
+    else:
+        pre = (
+            jnp.dot(
+                x.astype(compute_dtype),
+                params["w_enc"].astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + params["b_enc"]
+        )
+        hidden = topk_mask_dense(pre, k)
     pred = (
         jnp.dot(
             hidden.astype(compute_dtype),
