@@ -105,6 +105,53 @@ def bench_tpu_large(batch: int = 8192, steps: int = 6) -> float:
     return best
 
 
+def bench_coders(batch: int = 32768, steps: int = 32) -> dict:
+    """Fused-epoch training throughput for the other coder families
+    (ReLU+L1 SAE and TopK transcoder) at whisper-tiny geometry — the
+    numbers quoted in README/DESIGN; off by default (each compiles its
+    own epoch program)."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_sae_tpu.config import TrainingConfig
+    from whisper_sae_tpu.models.sae import ReLUSAE
+    from whisper_sae_tpu.models.transcoder import TopKTranscoder
+    from whisper_sae_tpu.training.coder_trainers import TranscoderTrainer
+    from whisper_sae_tpu.training.trainer import SAETrainer
+
+    cfg = TrainingConfig(
+        batch_size=batch, learning_rate=1e-4, epochs=1, warmup_steps=1000,
+        use_amp=True,
+    )
+    out = {}
+
+    def measure(trainer, data):
+        trainer.setup_scheduler(total_steps=steps * 10)
+        trainer.train_epoch_fused(data, shuffle=False)
+        jax.block_until_ready(trainer.model.params["w_enc"])
+        best = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            trainer.train_epochs_fused(data, epochs=4, shuffle=False)
+            jax.block_until_ready(trainer.model.params["w_enc"])
+            best = max(best, 4 * steps * batch / (time.perf_counter() - t0))
+        return best
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (steps * batch, D), jnp.float32)
+    out["relu_sae_act_per_sec"] = measure(
+        SAETrainer(ReLUSAE(input_dim=D, hidden_dim=H, seed=0), cfg,
+                   run_dir=Path("/tmp/wst_bench_relu")),
+        x,
+    )
+    y = jax.random.normal(jax.random.PRNGKey(1), (steps * batch, D), jnp.float32)
+    out["transcoder_act_per_sec"] = measure(
+        TranscoderTrainer(TopKTranscoder(D, D, H, k=K, seed=0), cfg,
+                          run_dir=Path("/tmp/wst_bench_tc")),
+        (x, y),
+    )
+    return out
+
+
 def bench_extraction(batch: int = 64, steps: int = 8, dtype_name: str = "bf16") -> dict:
     """Extraction throughput: whisper-tiny forward with all-layer capture
     (clips/sec and activation-tokens/sec/layer), random weights + random
@@ -205,6 +252,9 @@ def main() -> None:
     parser.add_argument("--skip-large", action="store_true")
     parser.add_argument("--extraction", action="store_true",
                         help="Benchmark activation extraction only")
+    parser.add_argument("--coders", action="store_true",
+                        help="Also benchmark ReLU-SAE / transcoder fused "
+                             "epochs (extra compile time)")
     args = parser.parse_args()
 
     if args.extraction:
@@ -242,6 +292,13 @@ def main() -> None:
             result["large_geometry_act_per_sec"] = round(bench_tpu_large(), 1)
         except Exception as e:  # pragma: no cover
             print(f"large-geometry bench failed: {e}", file=sys.stderr)
+    if args.coders:
+        try:
+            result.update(
+                {k: round(v, 1) for k, v in bench_coders().items()}
+            )
+        except Exception as e:  # pragma: no cover
+            print(f"coder bench failed: {e}", file=sys.stderr)
     if not args.skip_extraction:
         # SURVEY §6 demands the harness record extraction throughput too;
         # carried as extra fields so the driver still sees ONE JSON line
