@@ -27,7 +27,7 @@ from whisper_sae_tpu.data.librispeech import (
 )
 from whisper_sae_tpu.data.loader import ActivationLoader
 from whisper_sae_tpu.data.mel import log_mel_spectrogram, mel_filter_bank
-from whisper_sae_tpu.models.whisper import WhisperArch, init_whisper
+from whisper_sae_tpu.models.whisper import WhisperArch, extract_activations, init_whisper
 from whisper_sae_tpu.utils.wavio import read_wav, resample, write_wav
 
 
@@ -299,6 +299,34 @@ class TestExtraction:
             assert meta.num_samples == 6
         dec, meta = cache.load("decoder", 0)
         assert dec.shape == (6, 64)  # one BOS token per clip
+
+    def test_layer_subset_values_match_direct_capture(self, cache, rng):
+        # requested layers are sliced on-device before the transfer —
+        # cached values must equal the corresponding rows of a full capture
+        arch = WhisperArch(
+            d_model=64, encoder_layers=3, decoder_layers=2, num_heads=2,
+            ffn_dim=128, max_source_positions=1500, max_target_positions=20,
+            vocab_size=500, decoder_start_token_id=42,
+        )
+        params = init_whisper(jax.random.PRNGKey(0), arch)
+        mels = rng.standard_normal((2, 80, 3000)).astype(np.float32)
+        extract_and_cache_features(
+            params, arch, [mels], cache,
+            encoder_layers=[2, 0], decoder_layers=[1],
+            progress=False,
+        )
+        acts = extract_activations(params, jnp.asarray(mels), arch)
+        for l in (0, 2):
+            feats, _ = cache.load("encoder", l)
+            np.testing.assert_allclose(
+                np.asarray(feats), np.asarray(acts["encoder"][l]).reshape(-1, 64),
+                atol=1e-6,
+            )
+        dec, _ = cache.load("decoder", 1)
+        np.testing.assert_allclose(
+            np.asarray(dec), np.asarray(acts["decoder"][1]).reshape(-1, 64),
+            atol=1e-6,
+        )
 
     def test_max_samples_respected(self, cache, rng):
         arch = WhisperArch(
