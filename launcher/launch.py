@@ -232,6 +232,128 @@ def train_sae(
     return result
 
 
+def train_crosscoder(
+    component: str = "encoder",
+    layers: str = "0,1,2,3",
+    model_name: str = "openai/whisper-tiny",
+    expansion_factor: int = 8,
+    k: int | None = 32,
+    use_topk: bool = True,
+    batch_size: int = 4096,
+    learning_rate: float = 1e-4,
+    epochs: int = 10,
+    warmup_steps: int = 1000,
+    use_amp: bool = True,
+    cache_dir: str | Path = CACHE_DIR,
+    output_dir: str | Path = OUTPUT_DIR,
+    experiment_name: str = "launch",
+    seed: int = 42,
+    checkpoint_every: int | None = None,
+    auto_resume: bool = True,
+    max_resident_bytes: int = 8 << 30,
+) -> dict:
+    """Cross-layer crosscoder training straight from the activation cache.
+
+    The reference ships crosscoders as library code only — nothing wires
+    them to captured activations (its hooks never produce the multi-layer
+    training stack).  Here, extraction already writes every layer from
+    the same batches in the same token order, so the cached per-layer
+    arrays are row-aligned: stack them to [N, L, D] and train.  Small
+    caches stack eagerly (the trainer's fused lax.scan epochs engage);
+    caches beyond ``max_resident_bytes`` stream [B, L, D] batches from
+    the per-layer memmaps.
+    """
+    import numpy as np
+
+    from whisper_sae_tpu.config import DataConfig, TrainingConfig, WhisperConfig
+    from whisper_sae_tpu.data.feature_cache import FeatureCache
+    from whisper_sae_tpu.data.loader import ActivationLoader, MultiLayerLoader
+    from whisper_sae_tpu.models.crosscoder import create_crosscoder
+    from whisper_sae_tpu.training.coder_trainers import CrosscoderTrainer
+    from whisper_sae_tpu.utils.checkpoint import save_pytree
+
+    t0 = time.time()
+    layer_list = _parse_layers(layers)
+    whisper_cfg = WhisperConfig(model_name=model_name)
+    cache = FeatureCache(Path(cache_dir) / "features", whisper_cfg, DataConfig())
+    feats, meta = [], None
+    for l in layer_list:
+        if not cache.has_cache(component, l):
+            raise FileNotFoundError(
+                f"no cached features for {component} layer {l}; run extract first"
+            )
+        f, meta = cache.load(component, l)
+        feats.append(f)
+
+    train_cfg = TrainingConfig(
+        batch_size=batch_size, learning_rate=learning_rate, epochs=epochs,
+        warmup_steps=warmup_steps, use_amp=use_amp, seed=seed,
+    )
+    model = create_crosscoder(
+        d_model=meta.hidden_dim,
+        n_layers=len(layer_list),
+        d_sae=expansion_factor * meta.hidden_dim,
+        k=k,
+        use_topk=use_topk,
+        layer_indices=layer_list,
+        seed=seed,
+    )
+    run_dir = Path(output_dir) / (
+        f"{experiment_name}_{component}_crosscoder_l{'-'.join(map(str, layer_list))}"
+    )
+    run_dir.mkdir(parents=True, exist_ok=True)
+
+    trainer = CrosscoderTrainer(model, train_cfg, run_dir=run_dir)
+    resumed_from = None
+    if auto_resume:
+        ckpt = _latest_checkpoint(run_dir)
+        if ckpt is not None:
+            trainer.load_checkpoint(ckpt)
+            resumed_from = ckpt.name
+            print(f"resuming from {ckpt} (epoch {trainer.epoch}, "
+                  f"step {trainer.global_step})", file=sys.stderr)
+
+    total_bytes = sum(f.nbytes for f in feats)
+    if total_bytes <= max_resident_bytes:
+        stacked = np.stack([np.asarray(f) for f in feats], axis=1)  # [N, L, D]
+        loader = ActivationLoader(stacked, batch_size=batch_size, seed=seed)
+    else:
+        loader = MultiLayerLoader(feats, batch_size=batch_size, seed=seed)
+    trainer.train(loader, epochs=epochs, checkpoint_every=checkpoint_every)
+    save_pytree(run_dir / "crosscoder_final.npz", trainer.model.params)
+    trainer.save_metrics()
+
+    result = {
+        "component": component,
+        "layers": layer_list,
+        "num_tokens": int(feats[0].shape[0]),
+        "final_loss": trainer.metrics_history[-1].loss if trainer.metrics_history else None,
+        "elapsed_s": round(time.time() - t0, 1),
+        "run_dir": str(run_dir),
+        "resumed_from": resumed_from,
+    }
+    (run_dir / "training_config.json").write_text(
+        json.dumps(
+            {
+                "crosscoder": {
+                    "d_model": meta.hidden_dim,
+                    "n_layers": len(layer_list),
+                    "d_sae": expansion_factor * meta.hidden_dim,
+                    "k": k,
+                    "use_topk": use_topk,
+                    "layer_indices": layer_list,
+                },
+                "training": json.loads(train_cfg.model_dump_json()),
+                "whisper": json.loads(whisper_cfg.model_dump_json()),
+                "component": component,
+                "finished_at": datetime.now().isoformat(),
+            },
+            indent=2,
+        )
+    )
+    return result
+
+
 def train_all_layers(
     model_name: str = "openai/whisper-tiny",
     layers_encoder: str = "0,1,2,3",
@@ -283,6 +405,27 @@ def main() -> None:
     pt.add_argument("--no-resume", action="store_true",
                     help="start fresh even if checkpoints exist")
 
+    pc = sub.add_parser(
+        "train-crosscoder",
+        help="train a cross-layer crosscoder on the row-aligned cached "
+             "activations of several layers",
+    )
+    pc.add_argument("--component", default="encoder")
+    pc.add_argument("--layers", default="0,1,2,3")
+    pc.add_argument("--model-name", default="openai/whisper-tiny")
+    pc.add_argument("--expansion-factor", type=int, default=8)
+    pc.add_argument("--k", type=int, default=32)
+    pc.add_argument("--relu", action="store_true",
+                    help="ReLU + decoder-norm-weighted L1 variant (default TopK)")
+    pc.add_argument("--batch-size", type=int, default=4096)
+    pc.add_argument("--learning-rate", type=float, default=1e-4)
+    pc.add_argument("--epochs", type=int, default=10)
+    pc.add_argument("--cache-dir", default=str(CACHE_DIR))
+    pc.add_argument("--output-dir", default=str(OUTPUT_DIR))
+    pc.add_argument("--experiment-name", default="launch")
+    pc.add_argument("--checkpoint-every", type=int, default=None)
+    pc.add_argument("--no-resume", action="store_true")
+
     args = p.parse_args()
     if args.cmd == "extract":
         out = extract_features(
@@ -294,6 +437,23 @@ def main() -> None:
             dataset=args.dataset,
             cache_dir=args.cache_dir,
             random_whisper=args.random_whisper,
+        )
+    elif args.cmd == "train-crosscoder":
+        out = train_crosscoder(
+            component=args.component,
+            layers=args.layers,
+            model_name=args.model_name,
+            expansion_factor=args.expansion_factor,
+            k=args.k,
+            use_topk=not args.relu,
+            batch_size=args.batch_size,
+            learning_rate=args.learning_rate,
+            epochs=args.epochs,
+            cache_dir=args.cache_dir,
+            output_dir=args.output_dir,
+            experiment_name=args.experiment_name,
+            checkpoint_every=args.checkpoint_every,
+            auto_resume=not args.no_resume,
         )
     else:
         common = dict(

@@ -17,6 +17,57 @@ from typing import Iterator
 import numpy as np
 
 
+class MultiLayerLoader:
+    """Shuffling iterator yielding ``[B, n_layers, dim]`` stacks from
+    row-aligned per-layer ``[num_tokens, dim]`` arrays (the crosscoder's
+    training layout — extraction writes every layer from the same batches
+    in the same token order, so row i is the same token in every layer).
+
+    Accepts memmaps: each batch gathers + stacks only ``B`` rows per
+    layer, so the full [N, L, D] tensor is never materialized.  (The
+    trainer's fused-epoch fast path needs device-resident data — stack
+    eagerly into an :class:`ActivationLoader` when it fits instead.)
+    """
+
+    def __init__(
+        self,
+        layers,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = False,
+    ):
+        if not layers:
+            raise ValueError("MultiLayerLoader needs at least one layer")
+        n = layers[0].shape[0]
+        if any(lay.shape[0] != n for lay in layers):
+            raise ValueError(
+                "per-layer activation arrays must be row-aligned "
+                f"(got token counts {[lay.shape[0] for lay in layers]})"
+            )
+        self.layers = layers
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+
+    @property
+    def num_tokens(self) -> int:
+        return int(self.layers[0].shape[0])
+
+    def __len__(self) -> int:
+        n = self.num_tokens / self.batch_size
+        return math.floor(n) if self.drop_last else math.ceil(n)
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        n = self.num_tokens
+        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        end = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for start in range(0, end, self.batch_size):
+            idx = np.sort(order[start : start + self.batch_size])  # memmap-friendly
+            yield np.stack([np.asarray(lay[idx]) for lay in self.layers], axis=1)
+
+
 class ActivationLoader:
     """Shuffling mini-batch iterator over a ``[num_tokens, dim]`` array."""
 

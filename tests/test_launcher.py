@@ -13,7 +13,7 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO / "launcher"))
 
-from launch import _latest_checkpoint, train_sae  # noqa: E402
+from launch import _latest_checkpoint, train_crosscoder, train_sae  # noqa: E402
 
 from whisper_sae_tpu.config import DataConfig, WhisperConfig  # noqa: E402
 from whisper_sae_tpu.data.feature_cache import FeatureCache  # noqa: E402
@@ -108,3 +108,64 @@ class TestKillAndResume:
         _run(cache_dir, tmp_path / "out")
         res = _run(cache_dir, tmp_path / "out", auto_resume=False)
         assert res["resumed_from"] is None
+
+
+class TestTrainCrosscoder:
+    @pytest.fixture
+    def multilayer_cache(self, tmp_path, rng):
+        cache = FeatureCache(
+            tmp_path / "cache" / "features", WhisperConfig(), DataConfig()
+        )
+        base = rng.standard_normal((2048, 64)).astype(np.float32)
+        for l in range(3):
+            # correlated layers (shared base + per-layer noise): the
+            # crosscoder should find cross-layer structure
+            feats = base + 0.3 * rng.standard_normal((2048, 64)).astype(np.float32)
+            cache.save(feats, "encoder", l, num_samples=2)
+        return tmp_path / "cache"
+
+    def test_end_to_end(self, multilayer_cache, tmp_path):
+        res = train_crosscoder(
+            component="encoder",
+            layers="0,1,2",
+            expansion_factor=4,
+            k=8,
+            batch_size=512,
+            learning_rate=1e-3,
+            epochs=3,
+            warmup_steps=0,
+            use_amp=False,
+            cache_dir=multilayer_cache,
+            output_dir=tmp_path / "out",
+        )
+        run_dir = Path(res["run_dir"])
+        assert res["layers"] == [0, 1, 2]
+        assert res["num_tokens"] == 2048
+        assert np.isfinite(res["final_loss"])
+
+        params = np.load(run_dir / "crosscoder_final.npz")
+        assert params["w_enc"].shape == (3, 64, 256)
+        assert params["w_dec"].shape == (256, 3, 64)
+        metrics = json.loads((run_dir / "metrics.json").read_text())
+        assert set(metrics[0]) == _METRIC_KEYS
+        assert metrics[-1]["loss"] < metrics[0]["loss"]
+        tc = json.loads((run_dir / "training_config.json").read_text())
+        assert tc["crosscoder"]["n_layers"] == 3
+
+    def test_streaming_loader_matches_capability(self, multilayer_cache, tmp_path):
+        # force the out-of-core [B, L, D] streaming path
+        res = train_crosscoder(
+            component="encoder",
+            layers="0,1,2",
+            expansion_factor=4,
+            k=8,
+            batch_size=512,
+            learning_rate=1e-3,
+            epochs=1,
+            warmup_steps=0,
+            use_amp=False,
+            cache_dir=multilayer_cache,
+            output_dir=tmp_path / "out2",
+            max_resident_bytes=1,
+        )
+        assert np.isfinite(res["final_loss"])
