@@ -47,10 +47,13 @@ def extract_features(
     cache_dir: str | Path = CACHE_DIR,
     random_whisper: bool = False,
     seed: int = 42,
+    capture_mlp: bool = False,
 ) -> dict:
     """Extraction job (reference modal_app/extract_features.py:42-327
     surface): streams audio, one jitted capture forward per batch, atomic
-    shard writes, metadata.json + extraction_log.json."""
+    shard writes, metadata.json + extraction_log.json.  ``capture_mlp``
+    additionally caches per-layer (mlp_in, mlp_out) pairs — transcoder
+    training data the reference's hooks cannot produce."""
     import jax
 
     from whisper_sae_tpu.config import DataConfig, WhisperConfig
@@ -93,6 +96,7 @@ def extract_features(
         encoder_layers=enc_layers, decoder_layers=dec_layers,
         max_samples=max_samples,
         compute_dtype=jnp.bfloat16,
+        capture_mlp=capture_mlp,
     )
 
     log = {
@@ -101,6 +105,7 @@ def extract_features(
         "decoder_layers": dec_layers,
         "max_samples": max_samples,
         "dataset": dataset,
+        "capture_mlp": capture_mlp,
         "elapsed_s": round(time.time() - t0, 1),
         "finished_at": datetime.now().isoformat(),
         "backend": jax.default_backend(),
@@ -220,6 +225,121 @@ def train_sae(
         json.dumps(
             {
                 "sae": json.loads(sae_cfg.model_dump_json()),
+                "training": json.loads(train_cfg.model_dump_json()),
+                "whisper": json.loads(whisper_cfg.model_dump_json()),
+                "component": component,
+                "layer_idx": layer_idx,
+                "finished_at": datetime.now().isoformat(),
+            },
+            indent=2,
+        )
+    )
+    return result
+
+
+def train_transcoder(
+    component: str = "encoder",
+    layer_idx: int = 0,
+    model_name: str = "openai/whisper-tiny",
+    expansion_factor: int = 8,
+    k: int = 32,
+    use_skip: bool = True,
+    batch_size: int = 4096,
+    learning_rate: float = 1e-4,
+    epochs: int = 10,
+    warmup_steps: int = 1000,
+    use_amp: bool = True,
+    cache_dir: str | Path = CACHE_DIR,
+    output_dir: str | Path = OUTPUT_DIR,
+    experiment_name: str = "launch",
+    seed: int = 42,
+    checkpoint_every: int | None = None,
+    auto_resume: bool = True,
+) -> dict:
+    """Transcoder training on captured (mlp_in, mlp_out) pairs.
+
+    Requires an extraction run with ``capture_mlp`` (the reference's
+    transcoders exist only as library code — its hook capture sees layer
+    outputs, never the MLP sublayer, so they are untrainable on real
+    activations there).  The Skip variant gets the reference's init
+    recipe: zero decoder/skip + ``set_output_bias(mean(mlp_out))``
+    (reference transcoder.py:304-332).
+    """
+    import numpy as np
+
+    from whisper_sae_tpu.config import DataConfig, TrainingConfig, WhisperConfig
+    from whisper_sae_tpu.data.feature_cache import FeatureCache
+    from whisper_sae_tpu.data.loader import PairedActivationLoader
+    from whisper_sae_tpu.models.transcoder import create_transcoder
+    from whisper_sae_tpu.training.coder_trainers import TranscoderTrainer
+    from whisper_sae_tpu.utils.checkpoint import save_pytree
+
+    t0 = time.time()
+    whisper_cfg = WhisperConfig(model_name=model_name)
+    cache = FeatureCache(Path(cache_dir) / "features", whisper_cfg, DataConfig())
+    for kind in ("mlp_in", "mlp_out"):
+        if not cache.has_cache(f"{component}_{kind}", layer_idx):
+            raise FileNotFoundError(
+                f"no cached {component}_{kind} for layer {layer_idx}; "
+                "run extract with --capture-mlp first"
+            )
+    x, meta = cache.load(f"{component}_mlp_in", layer_idx)
+    y, _ = cache.load(f"{component}_mlp_out", layer_idx)
+
+    train_cfg = TrainingConfig(
+        batch_size=batch_size, learning_rate=learning_rate, epochs=epochs,
+        warmup_steps=warmup_steps, use_amp=use_amp, seed=seed,
+    )
+    model = create_transcoder(
+        input_dim=meta.hidden_dim,
+        output_dim=meta.hidden_dim,
+        hidden_dim=expansion_factor * meta.hidden_dim,
+        k=k,
+        use_skip=use_skip,
+        seed=seed,
+    )
+    if use_skip:
+        model.set_output_bias(np.asarray(y).mean(axis=0))
+    run_dir = Path(output_dir) / (
+        f"{experiment_name}_{component}_transcoder_layer{layer_idx}"
+    )
+    run_dir.mkdir(parents=True, exist_ok=True)
+
+    trainer = TranscoderTrainer(model, train_cfg, run_dir=run_dir)
+    resumed_from = None
+    if auto_resume:
+        ckpt = _latest_checkpoint(run_dir)
+        if ckpt is not None:
+            trainer.load_checkpoint(ckpt)
+            resumed_from = ckpt.name
+            print(f"resuming from {ckpt} (epoch {trainer.epoch}, "
+                  f"step {trainer.global_step})", file=sys.stderr)
+
+    loader = PairedActivationLoader(x, y, batch_size=batch_size, seed=seed)
+    trainer.set_resample_dataset(loader.data)
+    trainer.train(loader, epochs=epochs, checkpoint_every=checkpoint_every)
+    save_pytree(run_dir / "transcoder_final.npz", trainer.model.params)
+    trainer.save_metrics()
+
+    result = {
+        "component": component,
+        "layer_idx": layer_idx,
+        "num_tokens": int(x.shape[0]),
+        "final_loss": trainer.metrics_history[-1].loss if trainer.metrics_history else None,
+        "elapsed_s": round(time.time() - t0, 1),
+        "run_dir": str(run_dir),
+        "resumed_from": resumed_from,
+    }
+    (run_dir / "training_config.json").write_text(
+        json.dumps(
+            {
+                "transcoder": {
+                    "input_dim": meta.hidden_dim,
+                    "output_dim": meta.hidden_dim,
+                    "hidden_dim": expansion_factor * meta.hidden_dim,
+                    "k": k,
+                    "use_skip": use_skip,
+                },
                 "training": json.loads(train_cfg.model_dump_json()),
                 "whisper": json.loads(whisper_cfg.model_dump_json()),
                 "component": component,
@@ -385,6 +505,9 @@ def main() -> None:
     pe.add_argument("--dataset", default="librispeech_asr")
     pe.add_argument("--cache-dir", default=str(CACHE_DIR))
     pe.add_argument("--random-whisper", action="store_true")
+    pe.add_argument("--capture-mlp", action="store_true",
+                    help="also cache per-layer (mlp_in, mlp_out) pairs "
+                         "(transcoder training data)")
 
     pt = sub.add_parser("train")
     pt.add_argument("--component", default="encoder")
@@ -404,6 +527,27 @@ def main() -> None:
     pt.add_argument("--checkpoint-every", type=int, default=None)
     pt.add_argument("--no-resume", action="store_true",
                     help="start fresh even if checkpoints exist")
+
+    px = sub.add_parser(
+        "train-transcoder",
+        help="train a transcoder on captured (mlp_in, mlp_out) pairs "
+             "(extract with --capture-mlp first)",
+    )
+    px.add_argument("--component", default="encoder")
+    px.add_argument("--layer-idx", type=int, default=0)
+    px.add_argument("--model-name", default="openai/whisper-tiny")
+    px.add_argument("--expansion-factor", type=int, default=8)
+    px.add_argument("--k", type=int, default=32)
+    px.add_argument("--no-skip", action="store_true",
+                    help="plain TopK transcoder (default: Skip variant)")
+    px.add_argument("--batch-size", type=int, default=4096)
+    px.add_argument("--learning-rate", type=float, default=1e-4)
+    px.add_argument("--epochs", type=int, default=10)
+    px.add_argument("--cache-dir", default=str(CACHE_DIR))
+    px.add_argument("--output-dir", default=str(OUTPUT_DIR))
+    px.add_argument("--experiment-name", default="launch")
+    px.add_argument("--checkpoint-every", type=int, default=None)
+    px.add_argument("--no-resume", action="store_true")
 
     pc = sub.add_parser(
         "train-crosscoder",
@@ -437,6 +581,24 @@ def main() -> None:
             dataset=args.dataset,
             cache_dir=args.cache_dir,
             random_whisper=args.random_whisper,
+            capture_mlp=args.capture_mlp,
+        )
+    elif args.cmd == "train-transcoder":
+        out = train_transcoder(
+            component=args.component,
+            layer_idx=args.layer_idx,
+            model_name=args.model_name,
+            expansion_factor=args.expansion_factor,
+            k=args.k,
+            use_skip=not args.no_skip,
+            batch_size=args.batch_size,
+            learning_rate=args.learning_rate,
+            epochs=args.epochs,
+            cache_dir=args.cache_dir,
+            output_dir=args.output_dir,
+            experiment_name=args.experiment_name,
+            checkpoint_every=args.checkpoint_every,
+            auto_resume=not args.no_resume,
         )
     elif args.cmd == "train-crosscoder":
         out = train_crosscoder(

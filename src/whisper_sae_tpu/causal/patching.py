@@ -67,7 +67,7 @@ def encoder_forward_patched(
     def body(carry, scanned):
         h, = carry
         lp, i = scanned
-        h = _encoder_layer(h, lp, arch.num_heads)
+        h, _, _ = _encoder_layer(h, lp, arch.num_heads)
         h = jax.lax.cond(i == layer_idx, patch_fn, lambda a: a, h)
         return (h,), h
 
@@ -96,7 +96,7 @@ def decoder_forward_patched(
     def body(carry, scanned):
         (h,) = carry
         lp, i = scanned
-        h = _decoder_layer(h, enc_hidden, lp, arch.num_heads)
+        h, _, _ = _decoder_layer(h, enc_hidden, lp, arch.num_heads)
         h = jax.lax.cond(i == layer_idx, patch_fn, lambda a: a, h)
         return (h,), h
 

@@ -30,7 +30,14 @@ from ..config import DataConfig, WhisperConfig
 from ..models.whisper import WhisperArch, extract_activations
 from .loader import ActivationLoader
 
-Component = Literal["encoder", "decoder"]
+# "encoder"/"decoder" are the reference's components (layer outputs);
+# the *_mlp_in/out pairs are this framework's transcoder training data
+# (the reference's transcoders have no data path at all)
+Component = Literal[
+    "encoder", "decoder",
+    "encoder_mlp_in", "encoder_mlp_out",
+    "decoder_mlp_in", "decoder_mlp_out",
+]
 
 # ~256 MiB f32 shards at d=384: 2^21 tokens * 384 * 4 B
 DEFAULT_SHARD_TOKENS = 1 << 21
@@ -215,6 +222,7 @@ def extract_and_cache_features(
     progress: bool = True,
     compute_dtype=None,
     mesh=None,
+    capture_mlp: bool = False,
 ) -> None:
     """Extraction loop (reference feature_cache.py:200-306, hook-free).
 
@@ -237,6 +245,16 @@ def extract_and_cache_features(
     """
     writers_e = {l: cache.writer("encoder", l) for l in encoder_layers}
     writers_d = {l: cache.writer("decoder", l) for l in decoder_layers}
+    writers_mlp: dict[str, dict[int, CacheWriter]] = {}
+    if capture_mlp:
+        # (mlp_in, mlp_out) pairs — transcoder training data the
+        # reference's hook capture cannot produce (hooks.py only sees
+        # layer outputs)
+        for comp, layers in (("encoder", encoder_layers), ("decoder", decoder_layers)):
+            for kind in ("mlp_in", "mlp_out"):
+                writers_mlp[f"{comp}_{kind}"] = {
+                    l: cache.writer(f"{comp}_{kind}", l) for l in layers
+                }
     num_samples = 0
     target = max_samples if max_samples is not None else float("inf")
     if mesh is not None:
@@ -274,12 +292,17 @@ def extract_and_cache_features(
             apply_layer_norm=apply_layer_norm,
             with_decoder=bool(decoder_layers),
             compute_dtype=compute_dtype,
+            with_mlp=capture_mlp,
         )  # async dispatch: the device starts while the host drains batch i-1
         pulled = []
         if encoder_layers:
             pulled.append((select(acts["encoder"], encoder_layers), encoder_layers, writers_e))
         if decoder_layers:
             pulled.append((select(acts["decoder"], decoder_layers), decoder_layers, writers_d))
+        for comp_kind, writers in writers_mlp.items():
+            layers = encoder_layers if comp_kind.startswith("encoder") else decoder_layers
+            if layers:
+                pulled.append((select(acts[comp_kind], layers), layers, writers))
         if pending is not None:
             drain(pending)
         pending = pulled
@@ -289,5 +312,8 @@ def extract_and_cache_features(
     if pending is not None:
         drain(pending)
 
-    for w in list(writers_e.values()) + list(writers_d.values()):
+    all_writers = list(writers_e.values()) + list(writers_d.values())
+    for writers in writers_mlp.values():
+        all_writers.extend(writers.values())
+    for w in all_writers:
         w.finalize(num_samples)

@@ -17,6 +17,48 @@ from typing import Iterator
 import numpy as np
 
 
+class PairedActivationLoader:
+    """Shuffling iterator over row-aligned ``(x, y)`` activation pairs —
+    the transcoder's (mlp_in, mlp_out) training layout.  Exposes
+    ``.data = (x, y)`` so the trainer's fused pytree-epoch path engages."""
+
+    def __init__(
+        self,
+        x,
+        y,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = False,
+    ):
+        x, y = np.asarray(x), np.asarray(y)
+        if x.shape[0] != y.shape[0]:
+            raise ValueError(
+                f"paired arrays must be row-aligned (got {x.shape[0]} vs {y.shape[0]})"
+            )
+        self.data = (x, y)
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+
+    @property
+    def num_tokens(self) -> int:
+        return self.data[0].shape[0]
+
+    def __len__(self) -> int:
+        n = self.num_tokens / self.batch_size
+        return math.floor(n) if self.drop_last else math.ceil(n)
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        n = self.num_tokens
+        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        end = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for start in range(0, end, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            yield self.data[0][idx], self.data[1][idx]
+
+
 class MultiLayerLoader:
     """Shuffling iterator yielding ``[B, n_layers, dim]`` stacks from
     row-aligned per-layer ``[num_tokens, dim]`` arrays (the crosscoder's

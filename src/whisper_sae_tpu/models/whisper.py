@@ -175,7 +175,15 @@ def _mlp(x: jax.Array, p: dict[str, jax.Array]) -> jax.Array:
     return h @ p["w2"] + p["b2"]
 
 
-def _encoder_layer(x: jax.Array, lp: dict, num_heads: int) -> jax.Array:
+def _encoder_layer(
+    x: jax.Array, lp: dict, num_heads: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """-> (layer output, mlp input, mlp output).
+
+    The MLP pair is the transcoder's training data: mlp_in is exactly
+    what fc1 consumes (post-LN2), mlp_out is fc2's output pre-residual.
+    Callers that only want the layer output drop the pair (XLA dead-code
+    eliminates the stacking)."""
     x = x + _attention(
         _layer_norm(x, lp["ln1_g"], lp["ln1_b"]),
         _layer_norm(x, lp["ln1_g"], lp["ln1_b"]),
@@ -183,19 +191,22 @@ def _encoder_layer(x: jax.Array, lp: dict, num_heads: int) -> jax.Array:
         num_heads,
         causal=False,
     )
-    x = x + _mlp(_layer_norm(x, lp["ln2_g"], lp["ln2_b"]), lp["mlp"])
-    return x
+    mlp_in = _layer_norm(x, lp["ln2_g"], lp["ln2_b"])
+    mlp_out = _mlp(mlp_in, lp["mlp"])
+    return x + mlp_out, mlp_in, mlp_out
 
 
 def _decoder_layer(
     x: jax.Array, enc: jax.Array, lp: dict, num_heads: int
-) -> jax.Array:
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """-> (layer output, mlp input, mlp output) — see _encoder_layer."""
     h = _layer_norm(x, lp["ln1_g"], lp["ln1_b"])
     x = x + _attention(h, h, lp["attn"], num_heads, causal=True)
     h = _layer_norm(x, lp["ln_x_g"], lp["ln_x_b"])
     x = x + _attention(h, enc, lp["xattn"], num_heads, causal=False)
-    x = x + _mlp(_layer_norm(x, lp["ln2_g"], lp["ln2_b"]), lp["mlp"])
-    return x
+    mlp_in = _layer_norm(x, lp["ln2_g"], lp["ln2_b"])
+    mlp_out = _mlp(mlp_in, lp["mlp"])
+    return x + mlp_out, mlp_in, mlp_out
 
 
 # ---------------------------------------------------------------------------
@@ -204,18 +215,23 @@ def _decoder_layer(
 
 
 def encoder_forward(
-    params: dict, mel: jax.Array, arch: WhisperArch
-) -> tuple[jax.Array, jax.Array]:
+    params: dict, mel: jax.Array, arch: WhisperArch, with_mlp: bool = False
+):
     """Encoder forward.
 
     Args:
         params: whisper params (see ``init_whisper`` / ``from_hf_torch``).
         mel: [B, n_mels, T_mel] log-mel features (T_mel = 2 * source pos).
+        with_mlp: also return per-layer (mlp_in, mlp_out) pairs — the
+            transcoder's training data (post-LN2 fc1 input, pre-residual
+            fc2 output).  When False the pairs are dead code and XLA
+            eliminates them.
 
     Returns:
         (last_hidden [B, T, D] — after the final layer_norm,
          layer_outputs [L, B, T, D] — each layer's output, pre-final-LN,
-         i.e. exactly what the reference's forward hooks capture).
+         i.e. exactly what the reference's forward hooks capture
+         [, (mlp_ins, mlp_outs) each [L, B, T, D] when ``with_mlp``]).
     """
     enc = params["encoder"]
     dn = ("NCH", "OIH", "NCH")
@@ -231,11 +247,13 @@ def encoder_forward(
     x = x + enc["pos"][: x.shape[1]]
 
     def body(h, lp):
-        h = _encoder_layer(h, lp, arch.num_heads)
-        return h, h
+        h, mlp_in, mlp_out = _encoder_layer(h, lp, arch.num_heads)
+        return h, (h, mlp_in, mlp_out)
 
-    x, layer_outputs = jax.lax.scan(body, x, enc["layers"])
+    x, (layer_outputs, mlp_ins, mlp_outs) = jax.lax.scan(body, x, enc["layers"])
     last = _layer_norm(x, enc["ln_f_g"], enc["ln_f_b"])
+    if with_mlp:
+        return last, layer_outputs, (mlp_ins, mlp_outs)
     return last, layer_outputs
 
 
@@ -244,28 +262,34 @@ def decoder_forward(
     token_ids: jax.Array,
     enc_hidden: jax.Array,
     arch: WhisperArch,
-) -> tuple[jax.Array, jax.Array]:
+    with_mlp: bool = False,
+):
     """Decoder forward over ``token_ids`` [B, T_dec] (full-sequence; no KV
     cache — analysis-scale decoding re-runs the stack, see greedy_decode).
 
-    Returns (last_hidden after final LN, per-layer outputs [L, B, T_dec, D]).
+    Returns (last_hidden after final LN, per-layer outputs [L, B, T_dec, D]
+    [, (mlp_ins, mlp_outs) when ``with_mlp`` — see encoder_forward]).
     """
     dec = params["decoder"]
     t = token_ids.shape[1]
     x = dec["tok"][token_ids] + dec["pos"][:t]
 
     def body(h, lp):
-        h = _decoder_layer(h, enc_hidden, lp, arch.num_heads)
-        return h, h
+        h, mlp_in, mlp_out = _decoder_layer(h, enc_hidden, lp, arch.num_heads)
+        return h, (h, mlp_in, mlp_out)
 
-    x, layer_outputs = jax.lax.scan(body, x, dec["layers"])
+    x, (layer_outputs, mlp_ins, mlp_outs) = jax.lax.scan(body, x, dec["layers"])
     last = _layer_norm(x, dec["ln_f_g"], dec["ln_f_b"])
+    if with_mlp:
+        return last, layer_outputs, (mlp_ins, mlp_outs)
     return last, layer_outputs
 
 
 @partial(
     jax.jit,
-    static_argnames=("arch", "apply_layer_norm", "with_decoder", "compute_dtype"),
+    static_argnames=(
+        "arch", "apply_layer_norm", "with_decoder", "compute_dtype", "with_mlp"
+    ),
 )
 def extract_activations(
     params: dict,
@@ -274,6 +298,7 @@ def extract_activations(
     apply_layer_norm: bool = True,
     with_decoder: bool = True,
     compute_dtype=None,
+    with_mlp: bool = False,
 ) -> dict[str, jax.Array]:
     """Functional replacement for the reference's hook pipeline
     (hooks.py:146-210): run the encoder, then the decoder on a single
@@ -289,7 +314,11 @@ def extract_activations(
                    when ``apply_layer_norm`` — the aiOla trick,
                    hooks.py:87-92);
         "decoder": [L_dec, B, 1, D] (present when ``with_decoder``);
-        "encoder_last": [B, T, D] final encoder hidden states.
+        "encoder_last": [B, T, D] final encoder hidden states;
+        "{encoder,decoder}_mlp_{in,out}": [L, B, T, D] MLP input/output
+                   pairs (present when ``with_mlp``) — transcoder
+                   training data, returned RAW (no final-LN: they are
+                   exactly what fc1 consumes / fc2 produces).
     """
     if compute_dtype is not None:
         params = jax.tree_util.tree_map(
@@ -299,24 +328,34 @@ def extract_activations(
             params,
         )
         mel = mel.astype(compute_dtype)
-    enc_last, enc_layers = encoder_forward(params, mel, arch)
+    enc_last, enc_layers, (enc_min, enc_mout) = encoder_forward(
+        params, mel, arch, with_mlp=True
+    )
     enc_last = enc_last.astype(jnp.float32)
     enc_layers = enc_layers.astype(jnp.float32)
     if apply_layer_norm:
         g, b = params["encoder"]["ln_f_g"], params["encoder"]["ln_f_b"]
         enc_layers = _layer_norm(enc_layers, g, b)
     out = {"encoder": enc_layers, "encoder_last": enc_last}
+    if with_mlp:
+        out["encoder_mlp_in"] = enc_min.astype(jnp.float32)
+        out["encoder_mlp_out"] = enc_mout.astype(jnp.float32)
     if with_decoder:
         bos = jnp.full((mel.shape[0], 1), arch.decoder_start_token_id, jnp.int32)
         enc_for_dec = (
             enc_last.astype(compute_dtype) if compute_dtype is not None else enc_last
         )
-        _, dec_layers = decoder_forward(params, bos, enc_for_dec, arch)
+        _, dec_layers, (dec_min, dec_mout) = decoder_forward(
+            params, bos, enc_for_dec, arch, with_mlp=True
+        )
         dec_layers = dec_layers.astype(jnp.float32)
         if apply_layer_norm:
             g, b = params["decoder"]["ln_f_g"], params["decoder"]["ln_f_b"]
             dec_layers = _layer_norm(dec_layers, g, b)
         out["decoder"] = dec_layers
+        if with_mlp:
+            out["decoder_mlp_in"] = dec_min.astype(jnp.float32)
+            out["decoder_mlp_out"] = dec_mout.astype(jnp.float32)
     return out
 
 

@@ -832,7 +832,9 @@ class SAETrainer:
             return
 
         if fused:
-            data = jnp.asarray(dataloader.data)
+            # data may be a pytree (e.g. the transcoder's (x, y) pair)
+            data = jax.tree_util.tree_map(jnp.asarray, dataloader.data)
+            n_rows = jax.tree_util.tree_leaves(data)[0].shape[0]
             shuffle = getattr(dataloader, "shuffle", True)
             ep = start_epoch
             while ep < epochs:
@@ -847,7 +849,7 @@ class SAETrainer:
                 group_metrics = self.train_epochs_fused(
                     data, epochs=group, shuffle=shuffle
                 )
-                self.throughput.add_tokens(data.shape[0] * group)
+                self.throughput.add_tokens(n_rows * group)
                 rate = self.throughput.stop()
                 per_epoch = max(len(group_metrics) // group, 1)
                 for g in range(group):

@@ -169,3 +169,60 @@ class TestTrainCrosscoder:
             max_resident_bytes=1,
         )
         assert np.isfinite(res["final_loss"])
+
+
+class TestTrainTranscoder:
+    @pytest.fixture
+    def mlp_cache(self, tmp_path, rng):
+        """Tiny end-to-end capture with MLP pairs (random whisper)."""
+        import jax
+        import jax.numpy as jnp
+
+        from whisper_sae_tpu.data.feature_cache import extract_and_cache_features
+        from whisper_sae_tpu.models.whisper import WhisperArch, init_whisper
+
+        arch = WhisperArch(
+            d_model=64, encoder_layers=2, decoder_layers=1, num_heads=2,
+            ffn_dim=128, max_source_positions=75, max_target_positions=8,
+            vocab_size=100, decoder_start_token_id=3,
+        )
+        params = init_whisper(jax.random.PRNGKey(0), arch)
+        mels = rng.standard_normal((8, 80, 150)).astype(np.float32)
+        cache = FeatureCache(
+            tmp_path / "cache" / "features", WhisperConfig(), DataConfig()
+        )
+        extract_and_cache_features(
+            params, arch, [mels], cache,
+            encoder_layers=[0], decoder_layers=[],
+            progress=False, capture_mlp=True,
+        )
+        return tmp_path / "cache"
+
+    @pytest.mark.parametrize("use_skip", [True, False])
+    def test_end_to_end(self, mlp_cache, tmp_path, use_skip):
+        from launch import train_transcoder
+
+        res = train_transcoder(
+            component="encoder",
+            layer_idx=0,
+            expansion_factor=4,
+            k=8,
+            use_skip=use_skip,
+            batch_size=256,
+            learning_rate=1e-3,
+            epochs=2,
+            warmup_steps=0,
+            use_amp=False,
+            cache_dir=mlp_cache,
+            output_dir=tmp_path / f"out_{use_skip}",
+        )
+        run_dir = Path(res["run_dir"])
+        assert res["num_tokens"] == 8 * 75
+        assert np.isfinite(res["final_loss"])
+        params = np.load(run_dir / "transcoder_final.npz")
+        assert params["w_enc"].shape == (64, 256)
+        assert ("w_skip" in params.files) == use_skip
+        metrics = json.loads((run_dir / "metrics.json").read_text())
+        assert set(metrics[0]) == _METRIC_KEYS
+        # (no monotonicity check: the post-step decoder renorm rescales a
+        # near-zero-init model, so the loss first jumps then relearns)

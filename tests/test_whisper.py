@@ -175,6 +175,60 @@ class TestExtractActivations:
         )
         assert "decoder" not in acts
 
+    def test_mlp_pair_capture_matches_torch(self, torch_whisper, jax_whisper, mel):
+        """The (mlp_in, mlp_out) capture — transcoder training data — must
+        equal what the HF model's fc1 consumes / fc2 produces (the quantity
+        the reference's transcoders were designed for but its hook capture
+        never produces)."""
+        params, arch = jax_whisper
+        mlp_ins, mlp_outs, dec_ins, dec_outs = [], [], [], []
+        hooks = []
+        for layer in torch_whisper.model.encoder.layers:
+            hooks.append(layer.fc1.register_forward_pre_hook(
+                lambda m, args, store=mlp_ins: store.append(args[0].detach().numpy())
+            ))
+            hooks.append(layer.fc2.register_forward_hook(
+                lambda m, a, out, store=mlp_outs: store.append(out.detach().numpy())
+            ))
+        for layer in torch_whisper.model.decoder.layers:
+            hooks.append(layer.fc1.register_forward_pre_hook(
+                lambda m, args, store=dec_ins: store.append(args[0].detach().numpy())
+            ))
+            hooks.append(layer.fc2.register_forward_hook(
+                lambda m, a, out, store=dec_outs: store.append(out.detach().numpy())
+            ))
+        with torch.no_grad():
+            enc = torch_whisper.model.encoder(torch.from_numpy(mel))
+            ids = torch.full((mel.shape[0], 1), arch.decoder_start_token_id,
+                             dtype=torch.long)
+            torch_whisper.model.decoder(
+                input_ids=ids, encoder_hidden_states=enc.last_hidden_state
+            )
+        for h in hooks:
+            h.remove()
+
+        acts = extract_activations(params, jnp.asarray(mel), arch, with_mlp=True)
+        assert acts["encoder_mlp_in"].shape == (2, 2, 75, 64)
+        for i in range(arch.encoder_layers):
+            np.testing.assert_allclose(
+                np.asarray(acts["encoder_mlp_in"][i]), mlp_ins[i], atol=ATOL
+            )
+            np.testing.assert_allclose(
+                np.asarray(acts["encoder_mlp_out"][i]), mlp_outs[i], atol=ATOL
+            )
+        for i in range(arch.decoder_layers):
+            np.testing.assert_allclose(
+                np.asarray(acts["decoder_mlp_in"][i]), dec_ins[i], atol=ATOL
+            )
+            np.testing.assert_allclose(
+                np.asarray(acts["decoder_mlp_out"][i]), dec_outs[i], atol=ATOL
+            )
+
+    def test_without_mlp_no_extra_keys(self, jax_whisper, mel):
+        params, arch = jax_whisper
+        acts = extract_activations(params, jnp.asarray(mel), arch)
+        assert not any(k.endswith(("mlp_in", "mlp_out")) for k in acts)
+
 
 class TestFlatten:
     def test_row_major(self):
