@@ -255,6 +255,7 @@ def train_transcoder(
     seed: int = 42,
     checkpoint_every: int | None = None,
     auto_resume: bool = True,
+    max_resident_bytes: int = 8 << 30,
 ) -> dict:
     """Transcoder training on captured (mlp_in, mlp_out) pairs.
 
@@ -283,8 +284,8 @@ def train_transcoder(
                 f"no cached {component}_{kind} for layer {layer_idx}; "
                 "run extract with --capture-mlp first"
             )
-    x, meta = cache.load(f"{component}_mlp_in", layer_idx)
-    y, _ = cache.load(f"{component}_mlp_out", layer_idx)
+    x, meta = cache.load_rows(f"{component}_mlp_in", layer_idx)
+    y, _ = cache.load_rows(f"{component}_mlp_out", layer_idx)
 
     train_cfg = TrainingConfig(
         batch_size=batch_size, learning_rate=learning_rate, epochs=epochs,
@@ -315,9 +316,25 @@ def train_transcoder(
             print(f"resuming from {ckpt} (epoch {trainer.epoch}, "
                   f"step {trainer.global_step})", file=sys.stderr)
 
-    loader = PairedActivationLoader(x, y, batch_size=batch_size, seed=seed)
-    trainer.set_resample_dataset(loader.data)
-    trainer.train(loader, epochs=epochs, checkpoint_every=checkpoint_every)
+    total_bytes = x.nbytes + y.nbytes
+    if total_bytes <= max_resident_bytes:
+        loader = PairedActivationLoader(
+            np.asarray(x), np.asarray(y), batch_size=batch_size, seed=seed
+        )
+        trainer.set_resample_dataset(loader.data)
+        trainer.train(loader, epochs=epochs, checkpoint_every=checkpoint_every)
+    else:
+        # out-of-core: keep the lazy row sources (memmap / shard gather),
+        # stream (x, y) batches through the per-step path, and bound the
+        # resample draw
+        loader = PairedActivationLoader(x, y, batch_size=batch_size, seed=seed)
+        idx = np.sort(np.random.default_rng(seed).permutation(x.shape[0])[
+            : 8 * trainer.resample_batch_size
+        ])
+        trainer.set_resample_dataset((x[idx], y[idx]))
+        trainer.train(
+            loader, epochs=epochs, checkpoint_every=checkpoint_every, fused=False
+        )
     save_pytree(run_dir / "transcoder_final.npz", trainer.model.params)
     trainer.save_metrics()
 
@@ -402,7 +419,7 @@ def train_crosscoder(
             raise FileNotFoundError(
                 f"no cached features for {component} layer {l}; run extract first"
             )
-        f, meta = cache.load(component, l)
+        f, meta = cache.load_rows(component, l)  # lazy: memmap / shard gather
         feats.append(f)
 
     train_cfg = TrainingConfig(

@@ -126,6 +126,59 @@ class CacheWriter:
         return meta
 
 
+class _LazyShardRows:
+    """Lazy row access over multiple ``.npy`` shards (memmap per shard).
+
+    Row gathers (``arr[idx]`` with an int or index array) touch only the
+    shards that hold the requested rows — the concatenated [N, D] array
+    is never materialized.  ``np.asarray`` materializes explicitly (small
+    caches only; guarded by callers' residency thresholds)."""
+
+    def __init__(self, paths: list[Path]):
+        self._paths = paths
+        self._maps: list[np.ndarray | None] = [None] * len(paths)
+        rows = []
+        row_shape = None
+        dtype = None
+        for p in paths:
+            with open(p, "rb") as f:
+                version = np.lib.format.read_magic(f)
+                shape, _, dtype = np.lib.format._read_array_header(f, version)
+            rows.append(shape[0])
+            row_shape = shape[1:]
+        self._cum = np.cumsum([0] + rows)
+        self.dtype = np.dtype(dtype)
+        self.shape = (int(self._cum[-1]),) + tuple(row_shape)
+
+    @property
+    def nbytes(self) -> int:
+        return int(np.prod(self.shape)) * self.dtype.itemsize
+
+    def __len__(self) -> int:
+        return self.shape[0]
+
+    def _map(self, s: int) -> np.ndarray:
+        if self._maps[s] is None:
+            self._maps[s] = np.load(self._paths[s], mmap_mode="r")
+        return self._maps[s]
+
+    def __getitem__(self, idx):
+        if isinstance(idx, (int, np.integer)):
+            s = int(np.searchsorted(self._cum, idx, side="right")) - 1
+            return self._map(s)[idx - self._cum[s]]
+        idx = np.asarray(idx)
+        out = np.empty((len(idx),) + self.shape[1:], self.dtype)
+        s_ids = np.searchsorted(self._cum, idx, side="right") - 1
+        for s in np.unique(s_ids):
+            m = s_ids == s
+            out[m] = self._map(int(s))[idx[m] - self._cum[s]]
+        return out
+
+    def __array__(self, dtype=None, copy=None):
+        arr = np.concatenate([self._map(s) for s in range(len(self._paths))])
+        return arr.astype(dtype) if dtype is not None else arr
+
+
 class FeatureCache:
     """Per-layer activation cache (reference feature_cache.py:60-197)."""
 
@@ -175,6 +228,18 @@ class FeatureCache:
                 [np.load(self.cache_dir / s) for s in shards], axis=0
             )
         return arr, meta
+
+    def load_rows(self, component: Component, layer_idx: int
+                  ) -> tuple[np.ndarray | _LazyShardRows, CacheMetadata]:
+        """Like :meth:`load` but NEVER materializes multi-shard caches:
+        single-shard -> memmap, multi-shard -> :class:`_LazyShardRows`
+        (lazy row gather across shards).  Use for residency-aware callers
+        (the launcher's coder training jobs)."""
+        meta = self.load_metadata(component, layer_idx)
+        shards = meta.shards or []
+        if len(shards) == 1:
+            return np.load(self.cache_dir / shards[0], mmap_mode="r"), meta
+        return _LazyShardRows([self.cache_dir / s for s in shards]), meta
 
     def save(self, features, component: Component, layer_idx: int, num_samples: int,
              shard_tokens: int = DEFAULT_SHARD_TOKENS) -> CacheMetadata:
@@ -262,11 +327,16 @@ def extract_and_cache_features(
 
         whisper_params = replicate_params(mesh, whisper_params)
 
+    transfer_bf16 = compute_dtype == jnp.bfloat16
+
     def select(stack, layers):
         # slice the requested layers on-device before the transfer
         if len(layers) < stack.shape[0]:
             stack = jnp.take(stack, jnp.asarray(sorted(layers)), axis=0)
-        if compute_dtype is not None:
+        if transfer_bf16:
+            # bf16-compute mode only (an explicit f32 compute_dtype keeps
+            # full-precision transfers); the post-LN f32 values round to
+            # bf16 here — max rel ~2e-3, documented in docs/PARITY.md
             stack = stack.astype(jnp.bfloat16)
         return stack
 

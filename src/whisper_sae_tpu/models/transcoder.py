@@ -156,7 +156,15 @@ def transcoder_loss(
     loss = jnp.mean(jnp.square(pred - y))
     l0 = jnp.mean(jnp.sum(hidden > 0, axis=-1).astype(jnp.float32))
     active = jnp.any(hidden > 0, axis=0)
-    return loss, {"l0": l0, "active": active, "predicted": pred, "hidden": hidden}
+    # the blocked-encode path stores the latent bf16; the exported aux is
+    # always f32 (DCE'd when the caller drops it), keeping
+    # TranscoderOutput.hidden's dtype path-independent
+    return loss, {
+        "l0": l0,
+        "active": active,
+        "predicted": pred,
+        "hidden": hidden.astype(jnp.float32),
+    }
 
 
 def transcoder_apply(

@@ -451,9 +451,13 @@ def _fused_coder_forward(x, y, we_bf, b_enc, wd_bf, b_out, ws_bf,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         cost_estimate=pl.CostEstimate(
-            flops=(4 + 2 * use_skip) * b * d * h
+            flops=2 * b * d * h            # encode matmul
+            + 2 * b * h * dout             # decode matmul
+            + (2 * b * d * dout if use_skip else 0)
             + (33 if k is not None else 1) * b * h,
-            bytes_accessed=b * (d + dout) * 4 + 2 * d * h * 2 + b * h * 2,
+            bytes_accessed=b * (d + dout) * 4          # x + y reads
+            + (d * h + h * dout + (d * dout if use_skip else 0)) * 2
+            + b * h * 2 + b * dout * 4,                # latent + resid out
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
@@ -510,13 +514,20 @@ def _fused_coder_vjp_fwd(x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip,
 
 
 def _fused_coder_vjp_bwd(k, block_rows, use_skip, res, g):
-    gl = g[0]  # l0/active/resid/hid outputs are metrics/exports: cotangents
-    # are symbolic zeros in training (the loss alone is differentiated)
+    # cotangents: loss (g[0]) is the training path; resid (g[3]) and the
+    # exported latent (g[4]) are honored too so analysis code
+    # differentiating through aux['predicted']/aux['hidden'] matches the
+    # composed path.  l0/active are counts: gradient is zero a.e.
+    gl, _, _, g_resid, g_hid = g
     x, w_skip, b_skip, we_bf, wd_bf, ws_bf, hid, resid = res
     b, dout = resid.shape
-    d_pred = resid * (2.0 * gl / (b * dout))
+    # unused-output cotangents arrive as zero arrays; XLA folds the adds
+    d_pred = resid * (2.0 * gl / (b * dout)) + g_resid
     dp_bf = d_pred.astype(jnp.bfloat16)
-    dhidden = jnp.dot(dp_bf, wd_bf.T, preferred_element_type=jnp.float32)
+    dhidden = (
+        jnp.dot(dp_bf, wd_bf.T, preferred_element_type=jnp.float32)
+        + g_hid.astype(jnp.float32)
+    )
     dpre = jnp.where(hid > 0, dhidden, 0.0)
     dpre_bf = dpre.astype(jnp.bfloat16)
     x_bf = x.astype(jnp.bfloat16)
@@ -583,16 +594,22 @@ def _fused_relu_vjp_fwd(x, w_enc, b_enc, w_dec, b_dec, sparsity_weight,
 
 
 def _fused_relu_vjp_bwd(sparsity_weight, block_rows, res, g):
-    gl = g[0]  # the component losses/metrics are auxiliaries
+    # loss = recon_loss + sw * sparsity; honor the component-loss
+    # cotangents too (unused ones arrive as zeros and fold away) so
+    # differentiating aux['reconstruction_loss']/['sparsity_loss'] alone
+    # matches the composed path.  l0/active are counts: zero a.e.
+    gl, g_rec, g_sp, _, _ = g
     x, we_bf, wd_bf, hid, resid = res
     b, d = x.shape
     h = hid.shape[1]
-    d_recon = resid * (2.0 * gl / (b * d))
+    d_recon = resid * (2.0 * (gl + g_rec) / (b * d))
     drec_bf = d_recon.astype(jnp.bfloat16)
     dhidden = jnp.dot(drec_bf, wd_bf.T, preferred_element_type=jnp.float32)
-    # d/dh of sw*mean(h) adds a constant on active entries (hidden >= 0,
+    # d/dh of mean(h) adds a constant on active entries (hidden >= 0,
     # so |h| == h); relu backward zeroes inactive entries either way
-    dpre = jnp.where(hid > 0, dhidden + gl * sparsity_weight / (b * h), 0.0)
+    dpre = jnp.where(
+        hid > 0, dhidden + (gl * sparsity_weight + g_sp) / (b * h), 0.0
+    )
     dpre_bf = dpre.astype(jnp.bfloat16)
     x_bf = x.astype(jnp.bfloat16)
     dw_enc = jnp.einsum(

@@ -344,3 +344,30 @@ class TestExtraction:
         )
         _, meta = cache.load("encoder", 0)
         assert meta.num_samples == 4
+
+
+class TestLazyShardRows:
+    def test_multi_shard_gather_matches_concat(self, cache, rng):
+        feats = rng.standard_normal((300, 16)).astype(np.float32)
+        w = cache.writer("encoder", 5, shard_tokens=128)
+        for lo, hi in ((0, 128), (128, 256), (256, 300)):
+            w.append(feats[lo:hi])
+        w.finalize(3)
+        meta = cache.load_metadata("encoder", 5)
+        assert len(meta.shards) == 3  # 128 + 128 + 44
+
+        lazy, _ = cache.load_rows("encoder", 5)
+        assert lazy.shape == (300, 16)
+        assert lazy.nbytes == feats.nbytes
+        # int, cross-shard array gather, and materialization all agree
+        np.testing.assert_array_equal(np.asarray(lazy[200]), feats[200])
+        idx = np.array([0, 127, 128, 255, 256, 299])
+        np.testing.assert_array_equal(lazy[idx], feats[idx])
+        np.testing.assert_array_equal(np.asarray(lazy), feats)
+
+    def test_single_shard_is_memmap(self, cache, rng):
+        feats = rng.standard_normal((64, 8)).astype(np.float32)
+        cache.save(feats, "decoder", 5, num_samples=1)
+        arr, _ = cache.load_rows("decoder", 5)
+        assert isinstance(arr, np.memmap)
+        np.testing.assert_array_equal(np.asarray(arr), feats)

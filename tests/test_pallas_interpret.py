@@ -129,6 +129,64 @@ class TestFusedTranscoderLoss:
             np.testing.assert_allclose(f / scale, w / scale, atol=5e-3)
 
 
+class TestAuxOutputCotangents:
+    """Gradients THROUGH the kernels' auxiliary outputs (resid/hidden for
+    the transcoder, component losses for the ReLU SAE) must match the
+    composed path — analysis code differentiates these, not just the
+    scalar loss."""
+
+    def test_transcoder_resid_and_hidden_grads(self, data):
+        x, y = data
+        p = _params(5)
+        zero = jnp.zeros((), jnp.float32)
+
+        def f_fused(p):
+            with pltpu.force_tpu_interpret_mode():
+                loss, l0, act, resid, hid = ps.fused_transcoder_loss(
+                    x, y, p["w_enc"], p["b_enc"], p["w_dec"], p["b_dec"],
+                    zero, zero, K, BLOCK, False,
+                )
+            return jnp.sum(resid**2) + jnp.sum(hid.astype(jnp.float32) ** 2)
+
+        def f_xla(p):
+            pre = _bf_dot(x, p["w_enc"]) + p["b_enc"]
+            hid = _xla_mask(pre, K).astype(BF)
+            pred = _bf_dot(hid, p["w_dec"]) + p["b_dec"]
+            return jnp.sum((pred - y) ** 2) + jnp.sum(hid.astype(jnp.float32) ** 2)
+
+        gf, gx = jax.grad(f_fused)(p), jax.grad(f_xla)(p)
+        for key in gx:
+            f, w = np.asarray(gf[key]), np.asarray(gx[key])
+            scale = np.abs(w).max() + 1e-12
+            np.testing.assert_allclose(f / scale, w / scale, atol=5e-3, err_msg=key)
+
+    def test_relu_component_loss_grads(self, data):
+        x, _ = data
+        p = _params(6)
+        sw = 0.01
+
+        def f_fused(p):
+            with pltpu.force_tpu_interpret_mode():
+                out = ps.fused_relu_sae_loss(
+                    x, p["w_enc"], p["b_enc"], p["w_dec"], p["b_dec"], sw, BLOCK
+                )
+            # recon_loss + 3*sparsity: distinct coefficients exercise the
+            # per-component cotangent combination
+            return out[1] + 3.0 * out[2]
+
+        def f_xla(p):
+            pre = _bf_dot(x, p["w_enc"]) + p["b_enc"]
+            hidden = jax.nn.relu(pre)
+            recon = _bf_dot(hidden, p["w_dec"]) + p["b_dec"]
+            return jnp.mean(jnp.square(recon - x)) + 3.0 * jnp.mean(jnp.abs(hidden))
+
+        gf, gx = jax.grad(f_fused)(p), jax.grad(f_xla)(p)
+        for key in gx:
+            f, w = np.asarray(gf[key]), np.asarray(gx[key])
+            scale = np.abs(w).max() + 1e-12
+            np.testing.assert_allclose(f / scale, w / scale, atol=5e-3, err_msg=key)
+
+
 class TestFusedReluSAELoss:
     def test_matches_composed_amp_path(self, data):
         x, _ = data
