@@ -260,10 +260,20 @@ class CrossLayerCrosscoder:
         self.training = True
 
     # dict-of-layers <-> stacked translation
-    def _stack(self, layer_activations: dict[int, jax.Array]) -> jax.Array:
-        return jnp.stack(
-            [jnp.asarray(layer_activations[li]) for li in self.layer_indices]
-        )
+    def _stack(self, layer_activations) -> jax.Array:
+        """dict[layer -> [B, D]] (reference layout) or a stacked
+        [B, n_layers, D] array (the trainer/loader layout) -> [L, B, D]."""
+        if isinstance(layer_activations, dict):
+            return jnp.stack(
+                [jnp.asarray(layer_activations[li]) for li in self.layer_indices]
+            )
+        acts = jnp.asarray(layer_activations)
+        if acts.ndim != 3 or acts.shape[1] != self.n_layers:
+            raise ValueError(
+                f"expected dict of layers or [B, {self.n_layers}, D] array, "
+                f"got shape {acts.shape}"
+            )
+        return jnp.transpose(acts, (1, 0, 2))
 
     @property
     def W_enc(self) -> jax.Array:

@@ -189,3 +189,38 @@ class TestLearning:
         out = cc(acts)
         assert out.hidden.shape == (4, 3072)
         assert float(out.l0) == pytest.approx(32, abs=1e-4)
+
+
+class TestArrayBatchFacade:
+    """The facade accepts the trainer/loader's stacked [B, L, D] layout
+    (not just the reference's dict-of-layers), so analysis tooling
+    (collect_top_activations) works on crosscoders directly."""
+
+    def test_encode_array_matches_dict(self, rng):
+        from whisper_sae_tpu.models.crosscoder import TopKCrossLayerCrosscoder
+
+        m = TopKCrossLayerCrosscoder(d_model=16, n_layers=3, d_sae=64, k=4, seed=0)
+        batch = rng.standard_normal((8, 3, 16)).astype(np.float32)
+        as_dict = {li: batch[:, i] for i, li in enumerate(m.layer_indices)}
+        np.testing.assert_array_equal(
+            np.asarray(m.encode(batch)), np.asarray(m.encode(as_dict))
+        )
+
+    def test_bad_shape_raises(self):
+        from whisper_sae_tpu.models.crosscoder import TopKCrossLayerCrosscoder
+
+        m = TopKCrossLayerCrosscoder(d_model=16, n_layers=3, d_sae=64, k=4, seed=0)
+        with pytest.raises(ValueError, match="expected dict"):
+            m.encode(np.zeros((8, 2, 16), np.float32))
+
+    def test_collect_top_activations_on_crosscoder(self, rng):
+        from whisper_sae_tpu.analysis.feature_viz import collect_top_activations
+        from whisper_sae_tpu.models.crosscoder import TopKCrossLayerCrosscoder
+
+        m = TopKCrossLayerCrosscoder(d_model=16, n_layers=2, d_sae=64, k=4, seed=0)
+        batches = [rng.standard_normal((8, 2, 16)).astype(np.float32) for _ in range(3)]
+        tracker = collect_top_activations(m, batches, num_features=64, k=5)
+        stats = tracker.get_feature_stats()
+        assert sum(s["num_examples"] for s in stats.values()) > 0
+        examples = tracker.get_all_top_examples()
+        assert any(len(v) > 0 for v in examples.values())
