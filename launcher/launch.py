@@ -300,7 +300,9 @@ def train_transcoder(
         seed=seed,
     )
     if use_skip:
-        model.set_output_bias(np.asarray(y).mean(axis=0))
+        # bounded-memory mean for multi-shard caches; memmaps stream pages
+        mean_out = y.mean0() if hasattr(y, "mean0") else np.asarray(y).mean(axis=0)
+        model.set_output_bias(mean_out.astype(np.float32))
     run_dir = Path(output_dir) / (
         f"{experiment_name}_{component}_transcoder_layer{layer_idx}"
     )
@@ -324,17 +326,27 @@ def train_transcoder(
         trainer.set_resample_dataset(loader.data)
         trainer.train(loader, epochs=epochs, checkpoint_every=checkpoint_every)
     else:
-        # out-of-core: keep the lazy row sources (memmap / shard gather),
-        # stream (x, y) batches through the per-step path, and bound the
-        # resample draw
+        # out-of-core: keep the lazy row sources (memmap / shard gather)
+        # and run CHUNKED fused epochs — each ~chunk_tokens slice of the
+        # global shuffle is gathered once, staged to HBM, and trained as
+        # one lax.scan program (never one dispatch per step; CLAUDE.md
+        # tunnel-latency rule).  chunk_tokens is half the SAE default
+        # because the pair stages x AND y.
+        class _PairReader:
+            num_rows = x.shape[0]
+
+            @staticmethod
+            def gather(idx):
+                return (np.asarray(x[idx]), np.asarray(y[idx]))
+
         loader = PairedActivationLoader(x, y, batch_size=batch_size, seed=seed)
+        loader.reader = _PairReader()
+        loader.chunk_tokens = 1 << 21
         idx = np.sort(np.random.default_rng(seed).permutation(x.shape[0])[
             : 8 * trainer.resample_batch_size
         ])
         trainer.set_resample_dataset((x[idx], y[idx]))
-        trainer.train(
-            loader, epochs=epochs, checkpoint_every=checkpoint_every, fused=False
-        )
+        trainer.train(loader, epochs=epochs, checkpoint_every=checkpoint_every)
     save_pytree(run_dir / "transcoder_final.npz", trainer.model.params)
     trainer.save_metrics()
 
@@ -455,7 +467,22 @@ def train_crosscoder(
         stacked = np.stack([np.asarray(f) for f in feats], axis=1)  # [N, L, D]
         loader = ActivationLoader(stacked, batch_size=batch_size, seed=seed)
     else:
+        # out-of-core: chunked fused epochs — each ~chunk_tokens slice of
+        # the global shuffle is gathered from the lazy per-layer sources,
+        # staged to HBM once, and trained as one lax.scan program (never
+        # one dispatch per step; CLAUDE.md tunnel-latency rule)
+        n_layers = len(feats)
+
+        class _StackReader:
+            num_rows = feats[0].shape[0]
+
+            @staticmethod
+            def gather(idx):
+                return np.stack([np.asarray(f[idx]) for f in feats], axis=1)
+
         loader = MultiLayerLoader(feats, batch_size=batch_size, seed=seed)
+        loader.reader = _StackReader()
+        loader.chunk_tokens = max(batch_size, (1 << 22) // n_layers)
     trainer.train(loader, epochs=epochs, checkpoint_every=checkpoint_every)
     save_pytree(run_dir / "crosscoder_final.npz", trainer.model.params)
     trainer.save_metrics()
@@ -565,6 +592,9 @@ def main() -> None:
     px.add_argument("--experiment-name", default="launch")
     px.add_argument("--checkpoint-every", type=int, default=None)
     px.add_argument("--no-resume", action="store_true")
+    px.add_argument("--max-resident-gb", type=float, default=8.0,
+                    help="stack caches eagerly (fused epochs) up to this "
+                         "many GB; stream chunked beyond it")
 
     pc = sub.add_parser(
         "train-crosscoder",
@@ -586,6 +616,9 @@ def main() -> None:
     pc.add_argument("--experiment-name", default="launch")
     pc.add_argument("--checkpoint-every", type=int, default=None)
     pc.add_argument("--no-resume", action="store_true")
+    pc.add_argument("--max-resident-gb", type=float, default=8.0,
+                    help="stack caches eagerly (fused epochs) up to this "
+                         "many GB; stream chunked beyond it")
 
     args = p.parse_args()
     if args.cmd == "extract":
@@ -616,6 +649,7 @@ def main() -> None:
             experiment_name=args.experiment_name,
             checkpoint_every=args.checkpoint_every,
             auto_resume=not args.no_resume,
+            max_resident_bytes=int(args.max_resident_gb * (1 << 30)),
         )
     elif args.cmd == "train-crosscoder":
         out = train_crosscoder(
@@ -633,6 +667,7 @@ def main() -> None:
             experiment_name=args.experiment_name,
             checkpoint_every=args.checkpoint_every,
             auto_resume=not args.no_resume,
+            max_resident_bytes=int(args.max_resident_gb * (1 << 30)),
         )
     else:
         common = dict(

@@ -135,20 +135,12 @@ class _LazyShardRows:
     caches only; guarded by callers' residency thresholds)."""
 
     def __init__(self, paths: list[Path]):
-        self._paths = paths
-        self._maps: list[np.ndarray | None] = [None] * len(paths)
-        rows = []
-        row_shape = None
-        dtype = None
-        for p in paths:
-            with open(p, "rb") as f:
-                version = np.lib.format.read_magic(f)
-                shape, _, dtype = np.lib.format._read_array_header(f, version)
-            rows.append(shape[0])
-            row_shape = shape[1:]
-        self._cum = np.cumsum([0] + rows)
-        self.dtype = np.dtype(dtype)
-        self.shape = (int(self._cum[-1]),) + tuple(row_shape)
+        # memmaps open lazily-on-disk anyway (no data is read until rows
+        # are touched), and carry shape/dtype without private header APIs
+        self._maps = [np.load(p, mmap_mode="r") for p in paths]
+        self._cum = np.cumsum([0] + [m.shape[0] for m in self._maps])
+        self.dtype = self._maps[0].dtype
+        self.shape = (int(self._cum[-1]),) + tuple(self._maps[0].shape[1:])
 
     @property
     def nbytes(self) -> int:
@@ -157,25 +149,42 @@ class _LazyShardRows:
     def __len__(self) -> int:
         return self.shape[0]
 
-    def _map(self, s: int) -> np.ndarray:
-        if self._maps[s] is None:
-            self._maps[s] = np.load(self._paths[s], mmap_mode="r")
-        return self._maps[s]
-
     def __getitem__(self, idx):
+        n = self.shape[0]
+        if isinstance(idx, slice):
+            start, stop, step = idx.indices(n)
+            idx = np.arange(start, stop, step)
         if isinstance(idx, (int, np.integer)):
+            if idx < 0:
+                idx += n
+            if not 0 <= idx < n:
+                raise IndexError(f"row {idx} out of range for {n} rows")
             s = int(np.searchsorted(self._cum, idx, side="right")) - 1
-            return self._map(s)[idx - self._cum[s]]
+            return self._maps[s][idx - self._cum[s]]
         idx = np.asarray(idx)
+        if idx.dtype == bool:
+            idx = np.nonzero(idx)[0]
+        idx = np.where(idx < 0, idx + n, idx)
+        if idx.size and (idx.min() < 0 or idx.max() >= n):
+            raise IndexError(f"row indices out of range for {n} rows")
         out = np.empty((len(idx),) + self.shape[1:], self.dtype)
         s_ids = np.searchsorted(self._cum, idx, side="right") - 1
         for s in np.unique(s_ids):
             m = s_ids == s
-            out[m] = self._map(int(s))[idx[m] - self._cum[s]]
+            out[m] = self._maps[int(s)][idx[m] - self._cum[s]]
         return out
 
+    def mean0(self, chunk_rows: int = 1 << 20) -> np.ndarray:
+        """Bounded-memory mean over axis 0 (one shard-gathered chunk at a
+        time; f64 accumulation)."""
+        total = np.zeros(self.shape[1:], np.float64)
+        for lo in range(0, self.shape[0], chunk_rows):
+            hi = min(lo + chunk_rows, self.shape[0])
+            total += np.asarray(self[lo:hi]).sum(axis=0, dtype=np.float64)
+        return (total / self.shape[0]).astype(np.float32)
+
     def __array__(self, dtype=None, copy=None):
-        arr = np.concatenate([self._map(s) for s in range(len(self._paths))])
+        arr = np.concatenate(list(self._maps))
         return arr.astype(dtype) if dtype is not None else arr
 
 

@@ -34,22 +34,16 @@ class _ShardedMels:
 
     def __init__(self, paths: list[Path]):
         self.paths = paths
-        self._maps: list[np.ndarray | None] = [None] * len(paths)
-        rows = []
-        for p in paths:
-            with open(p, "rb") as f:
-                version = np.lib.format.read_magic(f)
-                shape, _, _ = np.lib.format._read_array_header(f, version)
-            rows.append(shape[0])
-        self._cum = np.cumsum([0] + rows)
+        # memmaps read no data until rows are touched, and expose
+        # shape/dtype without private numpy header APIs
+        self._maps = [np.load(p, mmap_mode="r") for p in paths]
+        self._cum = np.cumsum([0] + [m.shape[0] for m in self._maps])
 
     def __len__(self) -> int:
         return int(self._cum[-1])
 
     def __getitem__(self, i: int) -> np.ndarray:
         s = int(np.searchsorted(self._cum, i, side="right")) - 1
-        if self._maps[s] is None:
-            self._maps[s] = np.load(self.paths[s], mmap_mode="r")
         return self._maps[s][i - self._cum[s]]
 
 

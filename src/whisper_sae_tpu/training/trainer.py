@@ -815,10 +815,15 @@ class SAETrainer:
 
         if hasattr(dataloader, "reader") and fused is not False:
             # disk-resident cache: chunked fused epochs through the native
-            # shard reader
+            # shard reader (or any object with num_rows + gather(idx) —
+            # e.g. the launcher's paired (mlp_in, mlp_out) reader, which
+            # also sets chunk_tokens to halve the staged bytes)
+            chunk_tokens = getattr(dataloader, "chunk_tokens", 1 << 22)
             for ep in range(start_epoch, epochs):
                 self.throughput.start()
-                epoch_metrics = self.train_epoch_out_of_core(dataloader.reader)
+                epoch_metrics = self.train_epoch_out_of_core(
+                    dataloader.reader, chunk_tokens=chunk_tokens
+                )
                 self.throughput.add_tokens(dataloader.reader.num_rows)
                 rate = self.throughput.stop()
                 avg_loss = sum(m.loss for m in epoch_metrics) / max(len(epoch_metrics), 1)

@@ -226,3 +226,30 @@ class TestTrainTranscoder:
         assert set(metrics[0]) == _METRIC_KEYS
         # (no monotonicity check: the post-step decoder renorm rescales a
         # near-zero-init model, so the loss first jumps then relearns)
+
+    def test_out_of_core_chunked_fused(self, mlp_cache, tmp_path):
+        """max_resident_bytes=1 forces the lazy path: chunked fused epochs
+        through the pair reader (never per-step dispatch), bounded-memory
+        skip-bias mean."""
+        from launch import train_transcoder
+
+        res = train_transcoder(
+            component="encoder",
+            layer_idx=0,
+            expansion_factor=4,
+            k=8,
+            use_skip=True,
+            batch_size=100,
+            learning_rate=1e-3,
+            epochs=1,
+            warmup_steps=0,
+            use_amp=False,
+            cache_dir=mlp_cache,
+            output_dir=tmp_path / "ooc",
+            max_resident_bytes=1,
+        )
+        assert np.isfinite(res["final_loss"])
+        metrics = json.loads(
+            (Path(res["run_dir"]) / "metrics.json").read_text()
+        )
+        assert len(metrics) == 6  # 600 tokens / batch 100
