@@ -8,12 +8,14 @@ from .librispeech import (
     SyntheticSpeechDataset,
     create_librispeech_dataloader,
 )
-from .loader import ActivationLoader
+from .loader import ActivationLoader, MultiLayerLoader, PairedActivationLoader
 from .mel import log_mel_spectrogram, mel_filter_bank
 
 __all__ = [
     "ActivationLoader",
     "AudioBatchLoader",
+    "MultiLayerLoader",
+    "PairedActivationLoader",
     "CacheMetadata",
     "FeatureCache",
     "LibriSpeechDataset",
