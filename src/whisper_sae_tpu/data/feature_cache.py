@@ -363,6 +363,13 @@ def extract_and_cache_features(
             break
         if isinstance(batch, (tuple, list)):
             batch = batch[0]
+        if transfer_bf16:
+            # upload mels bf16 too: the forward casts mel to bf16 as its
+            # first op, so rounding on host is bit-identical and the H2D
+            # copy halves
+            import ml_dtypes
+
+            batch = np.asarray(batch, np.float32).astype(ml_dtypes.bfloat16)
         mel = jnp.asarray(batch)
         if mesh is not None:
             mel = place_mel(mesh, mel)

@@ -328,6 +328,33 @@ class TestExtraction:
             atol=1e-6,
         )
 
+    def test_bf16_mode_values_match_direct_capture(self, cache, rng):
+        # bf16 fast mode: mels upload bf16 (bit-identical — the forward's
+        # first op is the same cast) and activations transfer bf16; the
+        # cached f32 values must equal the bf16-rounded direct capture
+        arch = WhisperArch(
+            d_model=64, encoder_layers=2, decoder_layers=1, num_heads=2,
+            ffn_dim=128, max_source_positions=75, max_target_positions=8,
+            vocab_size=100, decoder_start_token_id=3,
+        )
+        params = init_whisper(jax.random.PRNGKey(0), arch)
+        mels = rng.standard_normal((2, 80, 150)).astype(np.float32)
+        extract_and_cache_features(
+            params, arch, [mels], cache,
+            encoder_layers=[0, 1], decoder_layers=[],
+            progress=False, compute_dtype=jnp.bfloat16,
+        )
+        direct = extract_activations(
+            params, jnp.asarray(mels), arch, with_decoder=False,
+            compute_dtype=jnp.bfloat16,
+        )["encoder"]
+        want = np.asarray(direct.astype(jnp.bfloat16).astype(jnp.float32))
+        for l in (0, 1):
+            feats, _ = cache.load("encoder", l)
+            np.testing.assert_array_equal(
+                np.asarray(feats), want[l].reshape(-1, 64)
+            )
+
     def test_max_samples_respected(self, cache, rng):
         arch = WhisperArch(
             d_model=64, encoder_layers=1, decoder_layers=1, num_heads=2,
