@@ -122,6 +122,15 @@ def main() -> None:
         f"{abs(float(lf)-float(lx))/abs(float(lx)):.1e}, l0/active exact, grads match"
     )
 
+    # 2c-guard: the fused-loss gate must budget BOTH weight matrices —
+    # D=1536/H=15616 fits w_enc alone (45.75 MB) but not w_enc+w_dec,
+    # and used to pass the gate then fail to compile
+    from whisper_sae_tpu.ops.pallas_sae import supported as _enc_supported
+
+    assert _enc_supported((4096, 1536), 15616)
+    assert not fused_loss_supported((4096, 1536), 15616)
+    print("2c-guard: two-matrix VMEM budget rejects D=1536/H=15616")
+
     # 2d. fused transcoder loss kernel (TopK and Skip variants) vs the
     # composed XLA path at the same bf16 compute dtype
     from whisper_sae_tpu.models.transcoder import (

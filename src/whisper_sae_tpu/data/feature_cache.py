@@ -331,17 +331,23 @@ def extract_and_cache_features(
                 }
     num_samples = 0
     target = max_samples if max_samples is not None else float("inf")
+    n_data = 1
     if mesh is not None:
         from ..parallel.extraction import place_mel, replicate_params
+        from ..parallel.mesh import DATA_AXIS
 
         whisper_params = replicate_params(mesh, whisper_params)
+        n_data = mesh.shape[DATA_AXIS]
 
     transfer_bf16 = compute_dtype == jnp.bfloat16
 
-    def select(stack, layers):
-        # slice the requested layers on-device before the transfer
+    def select(stack, layers, rows):
+        # slice the requested layers (and any mesh-divisibility padding
+        # rows) on-device before the transfer
         if len(layers) < stack.shape[0]:
             stack = jnp.take(stack, jnp.asarray(sorted(layers)), axis=0)
+        if rows < stack.shape[1]:
+            stack = stack[:, :rows]
         if transfer_bf16:
             # bf16-compute mode only (an explicit f32 compute_dtype keeps
             # full-precision transfers); the post-LN f32 values round to
@@ -370,6 +376,14 @@ def extract_and_cache_features(
             import ml_dtypes
 
             batch = np.asarray(batch, np.float32).astype(ml_dtypes.bfloat16)
+        batch = np.asarray(batch)
+        rows = batch.shape[0]
+        if rows % n_data:
+            # a data-sharded device_put rejects ragged batches; pad with
+            # repeated rows (cheap — the padded activations are sliced off
+            # on-device before the transfer, see select())
+            pad = n_data - rows % n_data
+            batch = np.concatenate([batch, np.repeat(batch[-1:], pad, axis=0)])
         mel = jnp.asarray(batch)
         if mesh is not None:
             mel = place_mel(mesh, mel)
@@ -382,18 +396,18 @@ def extract_and_cache_features(
         )  # async dispatch: the device starts while the host drains batch i-1
         pulled = []
         if encoder_layers:
-            pulled.append((select(acts["encoder"], encoder_layers), encoder_layers, writers_e))
+            pulled.append((select(acts["encoder"], encoder_layers, rows), encoder_layers, writers_e))
         if decoder_layers:
-            pulled.append((select(acts["decoder"], decoder_layers), decoder_layers, writers_d))
+            pulled.append((select(acts["decoder"], decoder_layers, rows), decoder_layers, writers_d))
         for comp_kind, writers in writers_mlp.items():
             layers = encoder_layers if comp_kind.startswith("encoder") else decoder_layers
             if layers:
-                pulled.append((select(acts[comp_kind], layers), layers, writers))
+                pulled.append((select(acts[comp_kind], layers, rows), layers, writers))
         if pending is not None:
             drain(pending)
         pending = pulled
-        num_samples += mel.shape[0]
-        if progress and num_samples % (mel.shape[0] * 8) == 0:
+        num_samples += rows
+        if progress and num_samples % (rows * 8) == 0:
             print(f"extracted {num_samples} samples", flush=True)
     if pending is not None:
         drain(pending)

@@ -319,11 +319,12 @@ fused_sae_loss.defvjp(_fused_loss_vjp_fwd, _fused_loss_vjp_bwd)
 
 
 def fused_loss_supported(x_shape, hidden_dim: int) -> bool:
-    """The fused-loss kernel needs the single-block geometry (w_enc and
-    w_dec both VMEM-resident) and a row count the block size divides."""
-    if not supported(x_shape, hidden_dim) or uses_blocked(x_shape, hidden_dim):
-        return False
-    return x_shape[0] % pick_block_rows(x_shape[0], hidden_dim, x_shape[1]) == 0
+    """The fused-loss kernel needs the single-block geometry (w_enc AND
+    w_dec both VMEM-resident — the SAE is the out_dim == in_dim case of
+    the coder-kernel budget) and a row count the block size divides.
+    Budgeting only w_enc admits geometries that fail to compile (e.g.
+    D=1536, H=15616: w_enc 45.75 MB fits, w_enc+w_dec 91.5 MB does not)."""
+    return fused_coder_supported(x_shape, x_shape[1], hidden_dim)
 
 
 # ---------------------------------------------------------------------------

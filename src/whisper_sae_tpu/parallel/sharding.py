@@ -24,9 +24,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .mesh import DATA_AXIS, MODEL_AXIS
 
 
-def _axis_sizes(params: dict) -> tuple[int, int]:
-    d, h = params["w_enc"].shape
-    return d, h
+def axis_sizes(params: dict) -> tuple[int, int]:
+    """(d, h) for the shape rules — the 2-D ``w_enc`` when present,
+    else (-1, -1) (no rule matches: everything replicates)."""
+    w_enc = params.get("w_enc") if isinstance(params, dict) else None
+    if w_enc is not None and getattr(w_enc, "ndim", 0) == 2:
+        d, h = w_enc.shape
+        return d, h
+    return -1, -1
 
 
 def leaf_pspec(shape: tuple[int, ...], d: int, h: int) -> P:

@@ -45,13 +45,18 @@ def _make(quiet: bool = True) -> None:
         pass
 
 
+_build_attempted = False
+
+
 def _load_lib():
-    global _lib
+    global _lib, _build_attempted
     if _lib is None:
         # build on first use; rebuild when the source is newer than the
         # binary (the .so is NOT in version control — a committed binary
-        # would shadow source edits and be unauditable)
-        if not _LIB_PATH.exists() or _stale():
+        # would shadow source edits and be unauditable).  A failed build
+        # is attempted once per process, not per call.
+        if (not _LIB_PATH.exists() or _stale()) and not _build_attempted:
+            _build_attempted = True
             _make()
         if not _LIB_PATH.exists() or _stale():
             return None  # no toolchain / failed rebuild: numpy fallback
@@ -84,21 +89,25 @@ def native_available() -> bool:
 
 
 def build_native(quiet: bool = True) -> bool:
-    """Try to build libwstio.so with make; returns availability."""
+    """Try to build libwstio.so with make; returns availability.
+    (Explicit entry point: retries even after a failed lazy build.)"""
+    global _build_attempted
     if native_available():
         return True
     _make(quiet=quiet)
+    _build_attempted = True
     return native_available()
 
 
 def _npy_header_info(path: Path) -> tuple[int, tuple[int, ...], np.dtype]:
-    """Parse a .npy file's header: (data offset, shape, dtype)."""
-    with open(path, "rb") as f:
-        version = np.lib.format.read_magic(f)
-        shape, fortran, dtype = np.lib.format._read_array_header(f, version)
-        if fortran:
-            raise ValueError(f"{path}: fortran-order arrays unsupported")
-        return f.tell(), shape, dtype
+    """Parse a .npy file's header: (data offset, shape, dtype).
+
+    A header-only memmap open gives all three via public numpy API
+    (no data pages are read)."""
+    m = np.load(path, mmap_mode="r")
+    if not m.flags["C_CONTIGUOUS"]:
+        raise ValueError(f"{path}: fortran-order arrays unsupported")
+    return int(m.offset), m.shape, m.dtype
 
 
 class ShardReader:

@@ -218,13 +218,9 @@ class SAETrainer:
                 self.mesh, self.model.params, self.opt_state, dstate
             )
         else:
-            from ..parallel.sharding import place_tree
+            from ..parallel.sharding import axis_sizes, place_tree
 
-            w_enc = self.model.params.get("w_enc")
-            if w_enc is not None and w_enc.ndim == 2:
-                d, h = w_enc.shape
-            else:  # no shape rule applies: replicate everything
-                d = h = -1
+            d, h = axis_sizes(self.model.params)
             params = place_tree(self.mesh, self.model.params, d, h)
             opt_state = place_tree(self.mesh, self.opt_state, d, h)
             dstate = place_tree(self.mesh, dstate, d, h)
@@ -636,16 +632,7 @@ class SAETrainer:
             # metrics after the fused dispatch returns
             for m in epoch_metrics:
                 if m.step % 100 == 0:
-                    self.wandb_run.log(
-                        {
-                            "train/loss": m.loss,
-                            "train/reconstruction_loss": m.reconstruction_loss,
-                            "train/l0": m.l0,
-                            "train/dead_ratio": m.dead_feature_ratio,
-                            "train/lr": m.learning_rate,
-                        },
-                        step=m.step,
-                    )
+                    self._log_wandb(m)
         self.epoch += 1
         return epoch_metrics
 
@@ -718,16 +705,7 @@ class SAETrainer:
         if self.wandb_run is not None:
             for m in epoch_metrics:
                 if m.step % 100 == 0:
-                    self.wandb_run.log(
-                        {
-                            "train/loss": m.loss,
-                            "train/reconstruction_loss": m.reconstruction_loss,
-                            "train/l0": m.l0,
-                            "train/dead_ratio": m.dead_feature_ratio,
-                            "train/lr": m.learning_rate,
-                        },
-                        step=m.step,
-                    )
+                    self._log_wandb(m)
         return epoch_metrics
 
     def train_epoch_out_of_core(
@@ -776,16 +754,7 @@ class SAETrainer:
             if progress is not None and task_id is not None:
                 progress.update(task_id, advance=1)
             if self.wandb_run is not None and self.global_step % 100 == 0:
-                self.wandb_run.log(
-                    {
-                        "train/loss": m.loss,
-                        "train/reconstruction_loss": m.reconstruction_loss,
-                        "train/l0": m.l0,
-                        "train/dead_ratio": m.dead_feature_ratio,
-                        "train/lr": m.learning_rate,
-                    },
-                    step=self.global_step,
-                )
+                self._log_wandb(m, step=self.global_step)
         self.epoch += 1
         return epoch_metrics
 
@@ -944,6 +913,19 @@ class SAETrainer:
             "dead_state": self._dead_state,
         }
 
+    def _log_wandb(self, m: "TrainingMetrics", step: int | None = None) -> None:
+        """Same payload/cadence as the reference (training.py:246-256)."""
+        self.wandb_run.log(
+            {
+                "train/loss": m.loss,
+                "train/reconstruction_loss": m.reconstruction_loss,
+                "train/l0": m.l0,
+                "train/dead_ratio": m.dead_feature_ratio,
+                "train/lr": m.learning_rate,
+            },
+            step=m.step if step is None else step,
+        )
+
     def save_checkpoint(self, filename: str) -> Path:
         """Bundle model + optimizer + schedule position + counters
         (reference training.py:318-339)."""
@@ -953,6 +935,11 @@ class SAETrainer:
             "epoch": self.epoch,
             "total_steps": self._total_steps,
             "config": json.loads(self.config.model_dump_json()),
+            # resample draws consume this rng; persisting it keeps a
+            # resumed trajectory identical to an uninterrupted one even
+            # when resampling fired before the crash
+            "resample_rng_state": self._resample_rng.bit_generator.state,
+            "num_resampled_total": self.num_resampled_total,
         }
         return save_pytree(path, self._checkpoint_tree(), meta=meta)
 
@@ -968,6 +955,10 @@ class SAETrainer:
             self.epoch = int(meta["epoch"])
             if meta.get("total_steps"):
                 self.setup_scheduler(int(meta["total_steps"]))
+            if meta.get("resample_rng_state"):
+                self._resample_rng.bit_generator.state = meta["resample_rng_state"]
+            if meta.get("num_resampled_total"):
+                self.num_resampled_total = int(meta["num_resampled_total"])
         self._step_fn = None
         self._epoch_fn = None
         self._mesh_placed = False

@@ -390,6 +390,44 @@ class TestShardedExtraction:
         np.testing.assert_allclose(enc_mesh, enc_ref, atol=1e-5)
         np.testing.assert_allclose(dec_mesh, dec_ref, atol=1e-5)
 
+    def test_ragged_final_batch_under_mesh(self, rng, tmp_path):
+        """A batch not divisible by the data axis (the standard final
+        batch) must pad for the sharded device_put and slice the padding
+        off before anything is written."""
+        from whisper_sae_tpu.config import DataConfig, WhisperConfig
+        from whisper_sae_tpu.data.feature_cache import (
+            FeatureCache,
+            extract_and_cache_features,
+        )
+        from whisper_sae_tpu.models.whisper import WhisperArch, init_whisper
+
+        arch = WhisperArch(
+            d_model=64, encoder_layers=1, decoder_layers=1, num_heads=2,
+            ffn_dim=128, max_source_positions=75, max_target_positions=16,
+            vocab_size=100, decoder_start_token_id=3,
+        )
+        params = init_whisper(jax.random.PRNGKey(0), arch)
+        batches = [
+            rng.standard_normal((8, 80, 150)).astype(np.float32),
+            rng.standard_normal((3, 80, 150)).astype(np.float32),  # ragged
+        ]
+
+        def run(mesh, sub):
+            cache = FeatureCache(tmp_path / sub, WhisperConfig(), DataConfig())
+            extract_and_cache_features(
+                params, arch, list(batches), cache,
+                encoder_layers=[0], decoder_layers=[],
+                progress=False, mesh=mesh,
+            )
+            feats, meta = cache.load("encoder", 0)
+            return feats, meta
+
+        ref, meta_ref = run(None, "single_r")
+        got, meta = run(make_mesh(data=8, model=1), "mesh_r")
+        assert meta.num_samples == meta_ref.num_samples == 11
+        assert got.shape == ref.shape == (11 * 75, 64)
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
 
 class TestGraftEntry:
     def test_dryrun_multichip(self):

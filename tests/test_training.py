@@ -409,3 +409,31 @@ class TestReLUTrainer:
         m = t.train_step(data[:16])
         assert np.isfinite(m.loss)
         assert m.sparsity_loss > 0
+
+
+class TestResampleRngCheckpointed:
+    def test_rng_state_round_trips(self, tmp_path):
+        """The resample rng must persist through checkpoints so a resumed
+        run's resampling draws match the uninterrupted trajectory
+        (launcher elastic-resume guarantee)."""
+        from whisper_sae_tpu.models.sae import TopKSAE
+
+        model = TopKSAE(input_dim=16, hidden_dim=64, k=4, seed=0)
+        cfg = TrainingConfig(batch_size=8, learning_rate=1e-3, epochs=1,
+                             warmup_steps=0, use_amp=False)
+        t1 = SAETrainer(model, cfg, run_dir=tmp_path)
+        # consume some draws (as resampling would)
+        t1._resample_rng.permutation(100)
+        t1._resample_rng.permutation(100)
+        t1.num_resampled_total = 7
+        t1.save_checkpoint("checkpoint_epoch1.npz")
+
+        t2 = SAETrainer(
+            TopKSAE(input_dim=16, hidden_dim=64, k=4, seed=0), cfg,
+            run_dir=tmp_path,
+        )
+        t2.load_checkpoint(tmp_path / "checkpoint_epoch1.npz")
+        assert t2.num_resampled_total == 7
+        np.testing.assert_array_equal(
+            t1._resample_rng.permutation(50), t2._resample_rng.permutation(50)
+        )
