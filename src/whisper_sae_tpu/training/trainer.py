@@ -957,7 +957,7 @@ class SAETrainer:
                 self.setup_scheduler(int(meta["total_steps"]))
             if meta.get("resample_rng_state"):
                 self._resample_rng.bit_generator.state = meta["resample_rng_state"]
-            if meta.get("num_resampled_total"):
+            if "num_resampled_total" in meta:  # 0 must restore too
                 self.num_resampled_total = int(meta["num_resampled_total"])
         self._step_fn = None
         self._epoch_fn = None
