@@ -284,6 +284,11 @@ def main() -> None:
         "value": round(value, 1),
         "unit": "activations/sec/chip",
         "vs_baseline": round(value / baseline, 2) if baseline else None,
+        # the reference's own A10G plan implies ~520k act/s (4 h/layer for
+        # 7.5B activations — BASELINE.md "A10G roofline context"); this is
+        # the honest denominator for the >=10x north star, vs the same-host
+        # torch strawman above
+        "vs_a10g_estimate": round(value / 520_000, 2),
     }
     if baseline:
         result["baseline_torch_same_host"] = round(baseline, 1)

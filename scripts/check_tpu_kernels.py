@@ -272,6 +272,46 @@ def main() -> None:
         f"{abs(float(lf)-float(lx))/abs(float(lx)):.1e}, l0/active exact, grads match"
     )
 
+    # 2g. ReLU-crosscoder fused loss (decoder-norm-weighted L1 via the
+    # per-feature hidden-sum accumulator + differentiable norms input) vs
+    # the composed XLA bf16 path — the last coder family to be fused
+    from whisper_sae_tpu.models.crosscoder import decoder_norms
+
+    def ccr(p, a):
+        return crosscoder_loss(p, a, k=None, sparsity_weight=0.02, compute_dtype=bf)
+
+    def ccr_xla(p, a):
+        prev = crosscoder_encode_pre(p, a, bf)
+        hidden = jax.nn.relu(prev)
+        recon = crosscoder_decode(p, hidden.astype(bf), bf)
+        recon_loss = jnp.sum(jnp.mean(jnp.square(recon - a), axis=(1, 2)))
+        sparsity = jnp.mean(jnp.abs(hidden) @ decoder_norms(p))
+        return recon_loss + 0.02 * sparsity, {
+            "reconstruction_loss": recon_loss, "sparsity_loss": sparsity,
+            "l0": jnp.mean(jnp.sum(hidden > 0, axis=-1).astype(jnp.float32)),
+            "active": jnp.any(hidden > 0, axis=0),
+        }
+
+    lf, auxf = jax.jit(ccr)(cp, cacts)
+    lx, auxx = jax.jit(ccr_xla)(cp, cacts)
+    assert abs(float(lf) - float(lx)) / (abs(float(lx)) + 1e-12) < 1e-4, (lf, lx)
+    for key in ("reconstruction_loss", "sparsity_loss"):
+        assert abs(float(auxf[key]) - float(auxx[key])) / (
+            abs(float(auxx[key])) + 1e-12
+        ) < 2e-4, key
+    assert float(auxf["l0"]) == float(auxx["l0"])
+    assert bool(jnp.all(auxf["active"] == auxx["active"]))
+    gf = jax.jit(jax.grad(lambda p, a: ccr(p, a)[0]))(cp, cacts)
+    gx = jax.jit(jax.grad(lambda p, a: ccr_xla(p, a)[0]))(cp, cacts)
+    for key in ("w_enc", "b_enc", "w_dec", "b_dec"):
+        dd = np.abs(np.asarray(gf[key]) - np.asarray(gx[key])).max()
+        scale = np.abs(np.asarray(gx[key])).max() + 1e-12
+        assert dd / scale < 3e-3, f"relu-crosscoder grad {key} rel {dd/scale}"
+    print(
+        f"2g. ReLU-crosscoder fused loss: loss rel "
+        f"{abs(float(lf)-float(lx))/abs(float(lx)):.1e}, l0/active exact, grads match"
+    )
+
     # 2b. blocked large-H encode (w_enc streamed through VMEM in tiles;
     # whisper-large 32x geometry) — selection must stay bit-identical
     from whisper_sae_tpu.ops.pallas_sae import pick_block_rows, uses_blocked

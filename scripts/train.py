@@ -173,10 +173,11 @@ def main() -> None:
         console.print("\n[bold]Extracting features...[/bold]")
         if config.data.dataset_name == "synthetic":
             dataset = SyntheticSpeechDataset(
-                num_samples=config.data.max_samples, seed=config.training.seed
+                num_samples=config.data.max_samples, seed=config.training.seed,
+                n_mels=arch.n_mels,  # 128 for large-v3
             )
         else:
-            dataset = LibriSpeechDataset(config.data)
+            dataset = LibriSpeechDataset(config.data, n_mels=arch.n_mels)
         # the reference extracts at batch 16 (reference scripts/train.py:313);
         # on TPU larger batches feed the MXU better — measured 797 -> 1100
         # clips/s going 16 -> 64 on one v5e (same outputs, shape-only change)
@@ -188,6 +189,9 @@ def main() -> None:
             encoder_layers=encoder_layers, decoder_layers=decoder_layers,
             max_samples=config.data.max_samples,
             compute_dtype=jnp.bfloat16 if config.training.use_amp else None,
+            # multi-chip capture: batch sharded over ``data`` (the model
+            # axis is unused by the batch-parallel forward)
+            mesh=mesh,
         )
         console.print("[green]Feature extraction complete[/green]")
 

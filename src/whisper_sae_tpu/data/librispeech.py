@@ -60,15 +60,20 @@ class LibriSpeechDataset:
     Legacy single-file caches from older runs still load.
     """
 
-    def __init__(self, config: DataConfig, processor: Any | None = None):
+    def __init__(
+        self, config: DataConfig, processor: Any | None = None, n_mels: int = 80
+    ):
         self.config = config
         self.processor = processor  # optional WhisperProcessor for parity mode
+        self.n_mels = n_mels  # 128 for large-v3 (arch_for().n_mels)
         self.cache_dir = Path(config.cache_dir)
         self.cache_dir.mkdir(parents=True, exist_ok=True)
         stem = (
             f"librispeech_{config.dataset_subset}_{config.dataset_split}_"
             f"{config.max_samples}"
         )
+        if n_mels != 80:  # keep 80-bin caches from older runs loadable
+            stem += f"_mel{n_mels}"
         self._stem = stem
         self._feat_path = self.cache_dir / f"{stem}.npy"
         self._meta_path = self.cache_dir / f"{stem}_meta.json"
@@ -185,7 +190,7 @@ class LibriSpeechDataset:
                 audio, sampling_rate=SAMPLE_RATE, return_tensors="np"
             )
             return np.asarray(out.input_features[0], np.float32)
-        return np.asarray(log_mel_spectrogram(audio))[0]
+        return np.asarray(log_mel_spectrogram(audio, n_mels=self.n_mels))[0]
 
     def __len__(self) -> int:
         return len(self._meta)
@@ -207,10 +212,14 @@ class SyntheticSpeechDataset:
     # (sequential extraction touches each chunk exactly once)
     MEL_CHUNK = 64
 
-    def __init__(self, num_samples: int = 16, duration_s: float = 2.0, seed: int = 0):
+    def __init__(
+        self, num_samples: int = 16, duration_s: float = 2.0, seed: int = 0,
+        n_mels: int = 80,
+    ):
         self.num_samples = num_samples
         self.duration_s = duration_s
         self.seed = seed
+        self.n_mels = n_mels
         self._mel_chunks: dict[int, np.ndarray] = {}
 
     def __len__(self) -> int:
@@ -221,7 +230,9 @@ class SyntheticSpeechDataset:
             lo = c * self.MEL_CHUNK
             hi = min(lo + self.MEL_CHUNK, self.num_samples)
             waves = np.stack([self._waveform(i) for i in range(lo, hi)])
-            self._mel_chunks[c] = np.asarray(log_mel_spectrogram(waves))
+            self._mel_chunks[c] = np.asarray(
+                log_mel_spectrogram(waves, n_mels=self.n_mels)
+            )
             while len(self._mel_chunks) > 2:
                 self._mel_chunks.pop(next(iter(self._mel_chunks)))
         return self._mel_chunks[c]

@@ -82,14 +82,14 @@ def mel_filter_bank(
     return fb.astype(np.float32)
 
 
-_MEL_FB = None
+_MEL_FB: dict[int, np.ndarray] = {}
 
 
-def _get_mel_fb() -> np.ndarray:
-    global _MEL_FB
-    if _MEL_FB is None:
-        _MEL_FB = mel_filter_bank()
-    return _MEL_FB
+def _get_mel_fb(n_mels: int = N_MELS) -> np.ndarray:
+    fb = _MEL_FB.get(n_mels)
+    if fb is None:
+        fb = _MEL_FB[n_mels] = mel_filter_bank(num_mel_filters=n_mels)
+    return fb
 
 
 @partial(jax.jit, static_argnames=("n_frames",))
@@ -114,16 +114,21 @@ def _log_mel_impl(audio: jax.Array, mel_fb: jax.Array, n_frames: int) -> jax.Arr
     return (log_spec + 4.0) / 4.0
 
 
-def log_mel_spectrogram(audio, pad_to_chunk: bool = True) -> jax.Array:
+def log_mel_spectrogram(
+    audio, pad_to_chunk: bool = True, n_mels: int = N_MELS
+) -> jax.Array:
     """Compute Whisper log-mel features.
 
     Args:
         audio: [n] or [B, n] waveform at 16 kHz, float32 in [-1, 1].
         pad_to_chunk: zero-pad / truncate to 30 s (the reference's
-            WhisperProcessor behavior, giving [B, 80, 3000]).
+            WhisperProcessor behavior, giving [B, n_mels, 3000]).
+        n_mels: mel bin count — 80 for every model through large-v2,
+            128 for large-v3 (matches HF
+            ``WhisperFeatureExtractor(feature_size=n_mels)``).
 
     Returns:
-        [B, 80, T] log-mel features (T = 3000 when padded).
+        [B, n_mels, T] log-mel features (T = 3000 when padded).
     """
     audio = jnp.atleast_2d(jnp.asarray(audio, jnp.float32))
     if pad_to_chunk:
@@ -133,4 +138,4 @@ def log_mel_spectrogram(audio, pad_to_chunk: bool = True) -> jax.Array:
         else:
             audio = audio[:, :N_SAMPLES]
     n_frames = audio.shape[1] // HOP_LENGTH + 1
-    return _log_mel_impl(audio, jnp.asarray(_get_mel_fb()), n_frames)
+    return _log_mel_impl(audio, jnp.asarray(_get_mel_fb(n_mels)), n_frames)

@@ -168,34 +168,58 @@ def crosscoder_loss(
     sparsity_weight: float = 0.01,
     compute_dtype: jnp.dtype = jnp.float32,
 ) -> tuple[jax.Array, dict]:
-    """Hot-path loss.  Under AMP on TPU the TopK variant runs FULLY fused:
-    on the flattened [B, L*D] view the crosscoder is exactly a transcoder
-    with y = x (w_enc [L,D,S] -> [L*D, S], w_dec [S,L,D] -> [S, L*D]),
-    and the reference loss — a sum of per-layer MSEs
-    (crosscoder.py:204-219) — equals L x the flat MSE, so one coder-kernel
-    pass computes encode+bisect+mask+decode+loss/l0/active."""
-    if k is not None and compute_dtype == jnp.bfloat16:
+    """Hot-path loss.  Under AMP on TPU BOTH variants run FULLY fused on
+    the flattened [B, L*D] view (w_enc [L,D,S] -> [L*D, S], w_dec
+    [S,L,D] -> [S, L*D]): the TopK variant is exactly a transcoder with
+    y = x, and the reference loss — a sum of per-layer MSEs
+    (crosscoder.py:204-219) — equals L x the flat MSE; the ReLU variant
+    adds the decoder-norm-weighted L1, assembled from the kernel's
+    per-feature hidden-sum accumulator with ``decoder_norms`` passed as a
+    differentiable input (pallas_sae.fused_relu_crosscoder_loss), so the
+    d(norm)/d(w_dec) term flows through XLA's own VJP of the norm."""
+    if compute_dtype == jnp.bfloat16:
         from ..ops import pallas_sae
 
         l, b, d = acts.shape
         s = params["b_enc"].shape[0]
         if pallas_sae.fused_coder_supported((b, l * d), l * d, s):
             x2d = acts.transpose(1, 0, 2).reshape(b, l * d)
-            flat_loss, l0, active, _, _ = pallas_sae.fused_transcoder_loss(
-                x2d, x2d,
-                params["w_enc"].reshape(l * d, s),
-                params["b_enc"],
-                params["w_dec"].reshape(s, l * d),
-                params["b_dec"].reshape(l * d),
-                jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
-                k,
-                pallas_sae.pick_block_rows(b, s, l * d),
-                False,
+            block_rows = pallas_sae.pick_block_rows(b, s, l * d)
+            if k is not None:
+                flat_loss, l0, active, _, _ = pallas_sae.fused_transcoder_loss(
+                    x2d, x2d,
+                    params["w_enc"].reshape(l * d, s),
+                    params["b_enc"],
+                    params["w_dec"].reshape(s, l * d),
+                    params["b_dec"].reshape(l * d),
+                    jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+                    k,
+                    block_rows,
+                    False,
+                )
+                recon_loss = l * flat_loss  # sum of per-layer means == L x flat
+                return recon_loss, {
+                    "reconstruction_loss": recon_loss,
+                    "sparsity_loss": jnp.zeros((), jnp.float32),
+                    "l0": l0,
+                    "active": active,
+                }
+            loss, recon_loss, sparsity, l0, active = (
+                pallas_sae.fused_relu_crosscoder_loss(
+                    x2d,
+                    params["w_enc"].reshape(l * d, s),
+                    params["b_enc"],
+                    params["w_dec"].reshape(s, l * d),
+                    params["b_dec"].reshape(l * d),
+                    decoder_norms(params),
+                    sparsity_weight,
+                    l,
+                    block_rows,
+                )
             )
-            recon_loss = l * flat_loss  # sum of per-layer means == L x flat mean
-            return recon_loss, {
+            return loss, {
                 "reconstruction_loss": recon_loss,
-                "sparsity_loss": jnp.zeros((), jnp.float32),
+                "sparsity_loss": sparsity,
                 "l0": l0,
                 "active": active,
             }

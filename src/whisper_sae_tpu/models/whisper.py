@@ -725,7 +725,7 @@ def transcribe(
     """
     from ..data.mel import log_mel_spectrogram
 
-    mel = log_mel_spectrogram(audio)
+    mel = log_mel_spectrogram(audio, n_mels=arch.n_mels)
     if forced_ids is None and tokenizer is not None:
         get_prompt = getattr(tokenizer, "get_decoder_prompt_ids", None)
         if get_prompt is not None:

@@ -340,7 +340,12 @@ def fused_loss_supported(x_shape, hidden_dim: int) -> bool:
 
 def _fused_coder_kernel(*refs, k: int | None, use_skip: bool):
     refs = list(refs)
-    l1_ref = refs.pop() if k is None else None  # ReLU mode adds an L1 sum
+    # ReLU mode appends an L1 ([1,1]) and a per-feature hidden-sum ([1,H])
+    # accumulator — the latter is what lets decoder-norm-weighted L1 (the
+    # ReLU crosscoder sparsity, reference crosscoder.py:204-219) and its
+    # VJP be assembled outside the kernel from one extra [1,H] output.
+    hsum_ref = refs.pop() if k is None else None
+    l1_ref = refs.pop() if k is None else None
     if use_skip:
         (x_ref, y_ref, we_ref, benc_ref, wd_ref, bout_ref, ws_ref,
          hid_ref, resid_ref, sq_ref, l0_ref, act_ref) = refs
@@ -389,6 +394,7 @@ def _fused_coder_kernel(*refs, k: int | None, use_skip: bool):
     l0_part = jnp.sum(pos).reshape(1, 1)
     act_part = jnp.max(pos, axis=0, keepdims=True).astype(jnp.int32)
     l1_part = jnp.sum(hidden).reshape(1, 1) if k is None else None
+    hsum_part = jnp.sum(hidden, axis=0, keepdims=True) if k is None else None
 
     @pl.when(i == 0)
     def _init():
@@ -397,6 +403,7 @@ def _fused_coder_kernel(*refs, k: int | None, use_skip: bool):
         act_ref[:] = act_part
         if k is None:
             l1_ref[:] = l1_part
+            hsum_ref[:] = hsum_part
 
     @pl.when(i > 0)
     def _acc():
@@ -405,6 +412,7 @@ def _fused_coder_kernel(*refs, k: int | None, use_skip: bool):
         act_ref[:] = jnp.maximum(act_ref[:], act_part)
         if k is None:
             l1_ref[:] = l1_ref[:] + l1_part
+            hsum_ref[:] = hsum_ref[:] + hsum_part
 
 
 def _fused_coder_forward(x, y, we_bf, b_enc, wd_bf, b_out, ws_bf,
@@ -440,10 +448,14 @@ def _fused_coder_forward(x, y, we_bf, b_enc, wd_bf, b_out, ws_bf,
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
-    if k is None:  # ReLU mode: L1 (sum of hidden) accumulator
+    if k is None:  # ReLU mode: L1 sum + per-feature hidden-sum accumulators
         out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
         out_specs.append(
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((1, h), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
         )
     return pl.pallas_call(
         functools.partial(_fused_coder_kernel, k=k, use_skip=use_skip),
@@ -481,7 +493,7 @@ def fused_transcoder_loss(x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip,
     ``use_skip`` is False, w_skip/b_skip are untouched placeholders.
     Gradients match the unfused AMP path (bf16 matmuls, f32 accumulation).
     """
-    loss, l0, active, resid, hid, _, _ = _fused_coder_impl(
+    loss, l0, active, resid, hid, _, _, _ = _fused_coder_impl(
         x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip, k, block_rows, use_skip
     )
     return loss, l0, active, resid, hid
@@ -493,20 +505,21 @@ def _fused_coder_impl(x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip,
     wd_bf = w_dec.astype(jnp.bfloat16)
     ws_bf = w_skip.astype(jnp.bfloat16) if use_skip else None
     b_out = b_dec + b_skip if use_skip else b_dec
-    hid, resid, sq, l0s, act, *l1s = _fused_coder_forward(
+    hid, resid, sq, l0s, act, *extra = _fused_coder_forward(
         x, y, we_bf, b_enc, wd_bf, b_out, ws_bf, k, block_rows, use_skip
     )
     b, dout = y.shape
     loss = sq[0, 0] / (b * dout)
     l0 = l0s[0, 0] / b
     active = act[0] > 0
-    l1 = l1s[0][0, 0] if l1s else None
-    return loss, l0, active, resid, hid, l1, (we_bf, wd_bf, ws_bf)
+    l1 = extra[0][0, 0] if extra else None
+    hsum = extra[1][0] if extra else None  # [H] per-feature hidden sums
+    return loss, l0, active, resid, hid, l1, hsum, (we_bf, wd_bf, ws_bf)
 
 
 def _fused_coder_vjp_fwd(x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip,
                          k, block_rows, use_skip):
-    loss, l0, active, resid, hid, _, (we_bf, wd_bf, ws_bf) = _fused_coder_impl(
+    loss, l0, active, resid, hid, _, _, (we_bf, wd_bf, ws_bf) = _fused_coder_impl(
         x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip, k, block_rows, use_skip
     )
     return (loss, l0, active, resid, hid), (
@@ -575,7 +588,7 @@ def fused_relu_sae_loss(x, w_enc, b_enc, w_dec, b_dec, sparsity_weight,
         jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
         None, block_rows, False,
     )
-    recon_loss, l0, active, _, hid, l1, _ = out
+    recon_loss, l0, active, _, hid, l1, _, _ = out
     b, h = hid.shape
     sparsity = l1 / (b * h)
     return recon_loss + sparsity_weight * sparsity, recon_loss, sparsity, l0, active
@@ -583,7 +596,7 @@ def fused_relu_sae_loss(x, w_enc, b_enc, w_dec, b_dec, sparsity_weight,
 
 def _fused_relu_vjp_fwd(x, w_enc, b_enc, w_dec, b_dec, sparsity_weight,
                         block_rows):
-    recon_loss, l0, active, resid, hid, l1, (we_bf, wd_bf, _) = _fused_coder_impl(
+    recon_loss, l0, active, resid, hid, l1, _, (we_bf, wd_bf, _) = _fused_coder_impl(
         x, x, w_enc, b_enc, w_dec, b_dec,
         jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
         None, block_rows, False,
@@ -628,6 +641,99 @@ def _fused_relu_vjp_bwd(sparsity_weight, block_rows, res, g):
 
 
 fused_relu_sae_loss.defvjp(_fused_relu_vjp_fwd, _fused_relu_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused ReLU-crosscoder training forward.  On the flattened [B, L*D] view
+# the ReLU crosscoder is the ReLU mode of the coder kernel with y = x; the
+# one extra semantic is the decoder-norm-WEIGHTED L1
+# (reference crosscoder.py:204-219): sparsity = mean_b(|h| @ norms) where
+# norms[s] = ||w_dec[s,:,:]||_F.  The kernel's [1, S] hidden-sum
+# accumulator turns that into a single [S]·[S] dot outside the kernel, and
+# ``norms`` enters as an explicit differentiable input — its cotangent is
+# c_sp * hsum, and XLA differentiates norms(w_dec) itself, so the
+# d(norm)/d(w_dec) VJP term needs no kernel code at all.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def fused_relu_crosscoder_loss(x, w_enc, b_enc, w_dec, b_dec, norms,
+                               sparsity_weight, n_layers, block_rows):
+    """(loss, recon_loss, sparsity_loss, l0, active) of a ReLU crosscoder
+    on the flattened view, in one fused kernel (AMP/bf16).
+
+    x: [B, L*D]; w_enc: [L*D, S]; w_dec: [S, L*D]; b_dec: [L*D];
+    norms: [S] per-feature flat decoder norms (pass
+    ``decoder_norms(params)`` — computed in XLA so its w_dec gradient
+    composes automatically).  recon_loss = sum of per-layer MSEs
+    = n_layers * flat MSE; sparsity = mean_b(hidden @ norms);
+    loss = recon_loss + sparsity_weight * sparsity.
+    """
+    out = _fused_coder_impl(
+        x, x, w_enc, b_enc, w_dec, b_dec,
+        jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+        None, block_rows, False,
+    )
+    flat_loss, l0, active, _, hid, _, hsum, _ = out
+    b = x.shape[0]
+    recon_loss = n_layers * flat_loss
+    sparsity = jnp.dot(hsum, norms) / b
+    return (
+        recon_loss + sparsity_weight * sparsity, recon_loss, sparsity, l0, active
+    )
+
+
+def _fused_relu_cc_vjp_fwd(x, w_enc, b_enc, w_dec, b_dec, norms,
+                           sparsity_weight, n_layers, block_rows):
+    out = _fused_coder_impl(
+        x, x, w_enc, b_enc, w_dec, b_dec,
+        jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+        None, block_rows, False,
+    )
+    flat_loss, l0, active, resid, hid, _, hsum, (we_bf, wd_bf, _) = out
+    b = x.shape[0]
+    recon_loss = n_layers * flat_loss
+    sparsity = jnp.dot(hsum, norms) / b
+    loss = recon_loss + sparsity_weight * sparsity
+    return (loss, recon_loss, sparsity, l0, active), (
+        x, norms, we_bf, wd_bf, hid, resid, hsum
+    )
+
+
+def _fused_relu_cc_vjp_bwd(sparsity_weight, n_layers, block_rows, res, g):
+    # honor component-loss cotangents (unused ones arrive as zeros and
+    # fold away); l0/active are counts: zero a.e.
+    gl, g_rec, g_sp, _, _ = g
+    x, norms, we_bf, wd_bf, hid, resid, hsum = res
+    b, ld = x.shape
+    c_rec = 2.0 * n_layers * (gl + g_rec) / (b * ld)
+    c_sp = (gl * sparsity_weight + g_sp) / b
+    d_pred = resid * c_rec
+    dp_bf = d_pred.astype(jnp.bfloat16)
+    dhidden = (
+        jnp.dot(dp_bf, wd_bf.T, preferred_element_type=jnp.float32)
+        + c_sp * norms[None, :]
+    )
+    # hidden >= 0 under ReLU, so |h| == h and the relu backward gate is
+    # exactly hid > 0
+    dpre = jnp.where(hid > 0, dhidden, 0.0)
+    dpre_bf = dpre.astype(jnp.bfloat16)
+    x_bf = x.astype(jnp.bfloat16)
+    dw_enc = jnp.einsum(
+        "bd,bh->dh", x_bf, dpre_bf, preferred_element_type=jnp.float32
+    )
+    db_enc = jnp.sum(dpre, axis=0)  # f32 accumulation (bf16 loses ~1e-3)
+    dw_dec = jnp.einsum(
+        "bh,bd->hd", hid, dp_bf, preferred_element_type=jnp.float32
+    )
+    db_dec = jnp.sum(d_pred, axis=0)
+    dnorms = c_sp * hsum
+    # x is both encode input and target; dead in training (XLA DCEs)
+    dx = jnp.dot(dpre_bf, we_bf.T, preferred_element_type=jnp.float32) - d_pred
+    return dx, dw_enc, db_enc, dw_dec, db_dec, dnorms
+
+
+fused_relu_crosscoder_loss.defvjp(_fused_relu_cc_vjp_fwd, _fused_relu_cc_vjp_bwd)
 
 
 def fused_coder_supported(x_shape, out_dim: int, hidden_dim: int,

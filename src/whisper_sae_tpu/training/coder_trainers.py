@@ -31,6 +31,19 @@ class TranscoderTrainer(SAETrainer):
 
     model: _TranscoderBase
 
+    def _supports_tp(self) -> bool:
+        # explicit shard_map dp x tp family (parallel/tp_step.py:
+        # transcoder_family) — hidden dim sharded over ``model`` with the
+        # distributed bisection top-k, skip path replicated
+        return True
+
+    def _tp_family(self):
+        from ..parallel.tp_step import transcoder_family
+
+        return transcoder_family(
+            self.model.k, use_skip="w_skip" in self.model.params
+        )
+
     def _loss_fn(self):
         k = self.model.k
         dtype = self.compute_dtype
@@ -60,19 +73,15 @@ class TranscoderTrainer(SAETrainer):
         x, y = dataset
         self._resample_dataset = (np.asarray(x), np.asarray(y))
 
-    def _maybe_resample_dead_features(self) -> int:
-        if self._resample_dataset is None:
-            return 0
-        if self.global_step == 0 or self.global_step % self.resample_dead_every != 0:
-            return 0
+    def _resample_from_dataset(self) -> int:
+        """Paired (x, y) draw; bookkeeping (moment reset, mesh-placement
+        invalidation, counters, wandb) stays in the base class."""
         x, y = self._resample_dataset
         n = min(self.resample_batch_size, len(x))
         idx = self._resample_rng.permutation(len(x))[:n]
-        num = self.model.resample_dead_features(jnp.asarray(x[idx]), jnp.asarray(y[idx]))
-        if num > 0:
-            self._reset_moments_for_current_params()
-            self.num_resampled_total += num
-        return num
+        return self.model.resample_dead_features(
+            jnp.asarray(x[idx]), jnp.asarray(y[idx])
+        )
 
 
 class CrosscoderTrainer(SAETrainer):
@@ -80,6 +89,17 @@ class CrosscoderTrainer(SAETrainer):
     (the loss transposes to the model's [L, B, D] layout)."""
 
     model: CrossLayerCrosscoder
+
+    def _supports_tp(self) -> bool:
+        # TopK crosscoders ride the flattened-transcoder dp x tp family
+        # (S sharded over ``model``); the ReLU variant has no global
+        # threshold to distribute and stays on the GSPMD path
+        return self.model._k is not None
+
+    def _tp_family(self):
+        from ..parallel.tp_step import crosscoder_family
+
+        return crosscoder_family(self.model._k)
 
     def _loss_fn(self):
         k = self.model._k  # None selects the ReLU + weighted-L1 variant

@@ -187,6 +187,103 @@ class TestAuxOutputCotangents:
             np.testing.assert_allclose(f / scale, w / scale, atol=5e-3, err_msg=key)
 
 
+class TestFusedReluCrosscoderLoss:
+    """ReLU crosscoder on the flattened view: decoder-norm-weighted L1
+    semantics and the d(norm)/d(w_dec) VJP term (through the explicit
+    ``norms`` input) must match the composed path (VERDICT round-2 #4 —
+    the last coder family to be fused)."""
+
+    L = 2  # D = L * 64 lanes per layer -> flattened L*D = 128
+
+    def _cc_params(self, seed):
+        d_layer = D // self.L
+        keys = jax.random.split(jax.random.PRNGKey(seed), 4)
+        return {
+            "w_enc": jax.random.normal(keys[0], (self.L, d_layer, H)) * 0.2,
+            "b_enc": jax.random.normal(keys[1], (H,)) * 0.05,
+            "w_dec": jax.random.normal(keys[2], (H, self.L, d_layer)) * 0.2,
+            "b_dec": jax.random.normal(keys[3], (self.L, d_layer)) * 0.05,
+        }
+
+    def _composed(self, p, acts, sw):
+        # reference semantics (crosscoder.py:204-219) on [L, B, D] acts,
+        # with the AMP path's bf16 matmuls
+        from whisper_sae_tpu.models.crosscoder import decoder_norms
+
+        l, b, d = acts.shape
+        pre = jnp.einsum(
+            "lbd,lds->bs", acts.astype(BF), p["w_enc"].astype(BF),
+            preferred_element_type=jnp.float32,
+        ) + p["b_enc"]
+        hidden = jax.nn.relu(pre).astype(BF)
+        recon = jnp.einsum(
+            "bs,sld->lbd", hidden, p["w_dec"].astype(BF),
+            preferred_element_type=jnp.float32,
+        ) + p["b_dec"][:, None, :]
+        recon_loss = jnp.sum(jnp.mean(jnp.square(recon - acts), axis=(1, 2)))
+        sparsity = jnp.mean(
+            jnp.abs(hidden.astype(jnp.float32)) @ decoder_norms(p)
+        )
+        return recon_loss + sw * sparsity, recon_loss, sparsity, hidden
+
+    def _fused(self, p, acts, sw):
+        from whisper_sae_tpu.models.crosscoder import decoder_norms
+
+        l, b, d = acts.shape
+        x2d = acts.transpose(1, 0, 2).reshape(b, l * d)
+        with pltpu.force_tpu_interpret_mode():
+            return ps.fused_relu_crosscoder_loss(
+                x2d,
+                p["w_enc"].reshape(l * d, H),
+                p["b_enc"],
+                p["w_dec"].reshape(H, l * d),
+                p["b_dec"].reshape(l * d),
+                decoder_norms(p),
+                sw, l, BLOCK,
+            )
+
+    def test_matches_composed_amp_path(self):
+        p = self._cc_params(7)
+        acts = jax.random.normal(
+            jax.random.PRNGKey(8), (self.L, B, D // self.L), jnp.float32
+        )
+        sw = 0.02
+        loss, recon_loss, sparsity, l0, active = self._fused(p, acts, sw)
+        want_loss, want_recon, want_sp, hidden = self._composed(p, acts, sw)
+        np.testing.assert_allclose(float(recon_loss), float(want_recon), rtol=1e-5)
+        np.testing.assert_allclose(float(sparsity), float(want_sp), rtol=2e-5)
+        np.testing.assert_allclose(float(loss), float(want_loss), rtol=1e-5)
+        assert float(l0) == float(jnp.mean(jnp.sum(hidden > 0, axis=-1)))
+        np.testing.assert_array_equal(
+            np.asarray(active), np.asarray(jnp.any(hidden > 0, axis=0))
+        )
+
+    def test_gradients_match_composed_path(self):
+        p = self._cc_params(9)
+        acts = jax.random.normal(
+            jax.random.PRNGKey(10), (self.L, B, D // self.L), jnp.float32
+        )
+        sw = 0.02
+
+        def f_fused(p):
+            out = self._fused(p, acts, sw)
+            # loss + 2*sparsity exercises the component cotangents AND the
+            # norm-path w_dec term twice over
+            return out[0] + 2.0 * out[2]
+
+        def f_xla(p):
+            loss, _, sp, _ = self._composed(p, acts, sw)
+            return loss + 2.0 * sp
+
+        gf, gx = jax.grad(f_fused)(p), jax.grad(f_xla)(p)
+        for key in gx:
+            f, w = np.asarray(gf[key]), np.asarray(gx[key])
+            scale = np.abs(w).max() + 1e-12
+            # 8e-3: the composed einsum path rounds bf16 at slightly
+            # different points than the flattened-matmul kernel path
+            np.testing.assert_allclose(f / scale, w / scale, atol=8e-3, err_msg=key)
+
+
 class TestFusedReluSAELoss:
     def test_matches_composed_amp_path(self, data):
         x, _ = data
