@@ -149,6 +149,28 @@ def bench_coders(batch: int = 32768, steps: int = 32) -> dict:
                           run_dir=Path("/tmp/wst_bench_tc")),
         (x, y),
     )
+    # ReLU crosscoder (decoder-norm-weighted L1) on 4 layers of d=384 —
+    # the fused kernel's flattened view is [B, 4*384] -> 3072 features
+    from whisper_sae_tpu.models.crosscoder import CrossLayerCrosscoder
+    from whisper_sae_tpu.training.coder_trainers import CrosscoderTrainer
+
+    cc_steps = max(steps // 4, 1)  # 4 layers -> 4x the bytes per token
+    xc = jax.random.normal(
+        jax.random.PRNGKey(2), (cc_steps * batch, 4, D), jnp.float32
+    )
+    cc_cfg = cfg.model_copy()
+    cc = CrossLayerCrosscoder(d_model=D, n_layers=4, d_sae=H, seed=0)
+    t = CrosscoderTrainer(cc, cc_cfg, run_dir=Path("/tmp/wst_bench_cc"))
+    t.setup_scheduler(total_steps=cc_steps * 10)
+    t.train_epoch_fused(xc, shuffle=False)
+    jax.block_until_ready(t.model.params["w_enc"])
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        t.train_epochs_fused(xc, epochs=4, shuffle=False)
+        jax.block_until_ready(t.model.params["w_enc"])
+        best = max(best, 4 * cc_steps * batch / (time.perf_counter() - t0))
+    out["crosscoder_relu_act_per_sec"] = best
     return out
 
 

@@ -48,6 +48,7 @@ def extract_features(
     random_whisper: bool = False,
     seed: int = 42,
     capture_mlp: bool = False,
+    use_mesh: bool = True,
 ) -> dict:
     """Extraction job (reference modal_app/extract_features.py:42-327
     surface): streams audio, one jitted capture forward per batch, atomic
@@ -96,7 +97,7 @@ def extract_features(
     # partitions the forward; parallel/extraction.py).  Reference surface:
     # one A10G per Modal job (modal_app/extract_features.py:42-47).
     mesh = None
-    if len(jax.devices()) > 1:
+    if use_mesh and len(jax.devices()) > 1:
         from whisper_sae_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(data=len(jax.devices()), model=1)
@@ -347,6 +348,7 @@ def train_transcoder(
         # because the pair stages x AND y.
         class _PairReader:
             num_rows = x.shape[0]
+            row_bytes = 2 * meta.hidden_dim * 4  # x AND y per token
 
             @staticmethod
             def gather(idx):
@@ -354,7 +356,9 @@ def train_transcoder(
 
         loader = PairedActivationLoader(x, y, batch_size=batch_size, seed=seed)
         loader.reader = _PairReader()
-        loader.chunk_tokens = 1 << 21
+        # 3 GB staged-bytes budget (chunk + in-jit shuffle-gather copy =
+        # 2x on HBM; see SAETrainer.train)
+        loader.chunk_tokens = max(batch_size, (3 << 30) // _PairReader.row_bytes)
         idx = np.sort(np.random.default_rng(seed).permutation(x.shape[0])[
             : 8 * trainer.resample_batch_size
         ])
@@ -488,6 +492,7 @@ def train_crosscoder(
 
         class _StackReader:
             num_rows = feats[0].shape[0]
+            row_bytes = n_layers * meta.hidden_dim * 4
 
             @staticmethod
             def gather(idx):
@@ -495,7 +500,9 @@ def train_crosscoder(
 
         loader = MultiLayerLoader(feats, batch_size=batch_size, seed=seed)
         loader.reader = _StackReader()
-        loader.chunk_tokens = max(batch_size, (1 << 22) // n_layers)
+        # 3 GB staged-bytes budget (chunk + in-jit shuffle-gather copy =
+        # 2x on HBM; see SAETrainer.train)
+        loader.chunk_tokens = max(batch_size, (3 << 30) // _StackReader.row_bytes)
     trainer.train(loader, epochs=epochs, checkpoint_every=checkpoint_every)
     save_pytree(run_dir / "crosscoder_final.npz", trainer.model.params)
     trainer.save_metrics()

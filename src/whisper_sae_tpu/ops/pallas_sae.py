@@ -32,7 +32,9 @@ _INT_MIN = np.int32(-2147483648)
 
 
 def _encode_kernel(x_ref, w_ref, benc_ref, bpre_ref, out_ref, *, k: int):
-    xc = (x_ref[:] - bpre_ref[:]).astype(jnp.bfloat16)
+    # explicit f32 entry cast: rows may arrive bf16 (out-of-core staging);
+    # Mosaic mixed-dtype arithmetic is not trusted (CLAUDE.md quirks)
+    xc = (x_ref[:].astype(jnp.float32) - bpre_ref[:]).astype(jnp.bfloat16)
     pre = (
         jnp.dot(xc, w_ref[:], preferred_element_type=jnp.float32)
         + benc_ref[:]
@@ -128,7 +130,9 @@ def _bwd(k, block_rows, out_dtype, res, g):
         db_enc, w_bf.T.astype(jnp.float32), preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    dx = jnp.dot(dpre_bf, w_bf.T, preferred_element_type=jnp.float32)
+    dx = jnp.dot(dpre_bf, w_bf.T, preferred_element_type=jnp.float32).astype(
+        x.dtype
+    )
     return dx, dw, db_enc, db_pre
 
 
@@ -157,7 +161,7 @@ def _fused_loss_kernel(
     hid_ref, resid_ref, sq_ref, l0_ref, act_ref, *, k: int
 ):
     i = pl.program_id(0)
-    x = x_ref[:]
+    x = x_ref[:].astype(jnp.float32)  # rows may arrive bf16 (chunk staging)
     xc = (x - bpre_ref[:]).astype(jnp.bfloat16)
     pre = (
         jnp.dot(xc, we_ref[:], preferred_element_type=jnp.float32)
@@ -311,7 +315,11 @@ def _fused_loss_vjp_bwd(k, block_rows, res, g):
         precision=jax.lax.Precision.HIGHEST,
     )
     # dx is dead in training (the batch is not differentiated); XLA DCEs it
-    dx = jnp.dot(dpre_bf, we_bf.T, preferred_element_type=jnp.float32) - d_recon
+    # (cast to the primal dtype — rows may be bf16 under chunk staging and
+    # custom_vjp cotangants must match the input aval)
+    dx = (
+        jnp.dot(dpre_bf, we_bf.T, preferred_element_type=jnp.float32) - d_recon
+    ).astype(x.dtype)
     return dx, dw_enc, db_enc, db_pre, dw_dec, db_dec
 
 
@@ -386,7 +394,7 @@ def _fused_coder_kernel(*refs, k: int | None, use_skip: bool):
     )
     if use_skip:
         pred = pred + jnp.dot(xc, ws_ref[:], preferred_element_type=jnp.float32)
-    resid = pred - y_ref[:]
+    resid = pred - y_ref[:].astype(jnp.float32)  # y may arrive bf16
     resid_ref[:] = resid
 
     pos = (hidden > 0.0).astype(jnp.float32)
@@ -522,8 +530,9 @@ def _fused_coder_vjp_fwd(x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip,
     loss, l0, active, resid, hid, _, _, (we_bf, wd_bf, ws_bf) = _fused_coder_impl(
         x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip, k, block_rows, use_skip
     )
+    y_proto = jnp.zeros((), y.dtype)  # carries y's dtype for the dy cotangent
     return (loss, l0, active, resid, hid), (
-        x, w_skip, b_skip, we_bf, wd_bf, ws_bf, hid, resid
+        x, y_proto, w_skip, b_skip, we_bf, wd_bf, ws_bf, hid, resid
     )
 
 
@@ -533,7 +542,7 @@ def _fused_coder_vjp_bwd(k, block_rows, use_skip, res, g):
     # differentiating through aux['predicted']/aux['hidden'] matches the
     # composed path.  l0/active are counts: gradient is zero a.e.
     gl, _, _, g_resid, g_hid = g
-    x, w_skip, b_skip, we_bf, wd_bf, ws_bf, hid, resid = res
+    x, y_proto, w_skip, b_skip, we_bf, wd_bf, ws_bf, hid, resid = res
     b, dout = resid.shape
     # unused-output cotangents arrive as zero arrays; XLA folds the adds
     d_pred = resid * (2.0 * gl / (b * dout)) + g_resid
@@ -564,8 +573,11 @@ def _fused_coder_vjp_bwd(k, block_rows, use_skip, res, g):
     else:
         dw_skip = jnp.zeros_like(w_skip)
         db_skip = jnp.zeros_like(b_skip)
-    dy = -d_pred
-    return dx, dy, dw_enc, db_enc, dw_dec, db_dec, dw_skip, db_skip
+    # cotangent dtypes must match the primal avals (rows may arrive bf16
+    # under out-of-core chunk staging); dx/dy are dead in training anyway
+    dy = (-d_pred).astype(y_proto.dtype)
+    return (dx.astype(x.dtype), dy, dw_enc, db_enc,
+            dw_dec, db_dec, dw_skip, db_skip)
 
 
 fused_transcoder_loss.defvjp(_fused_coder_vjp_fwd, _fused_coder_vjp_bwd)
@@ -636,7 +648,7 @@ def _fused_relu_vjp_bwd(sparsity_weight, block_rows, res, g):
     db_dec = jnp.sum(d_recon, axis=0)
     dx = (
         jnp.dot(dpre_bf, we_bf.T, preferred_element_type=jnp.float32) - d_recon
-    )  # dead in training; XLA DCEs
+    ).astype(x.dtype)  # dead in training; XLA DCEs (dtype must match aval)
     return dx, dw_enc, db_enc, dw_dec, db_dec
 
 
@@ -729,7 +741,9 @@ def _fused_relu_cc_vjp_bwd(sparsity_weight, n_layers, block_rows, res, g):
     db_dec = jnp.sum(d_pred, axis=0)
     dnorms = c_sp * hsum
     # x is both encode input and target; dead in training (XLA DCEs)
-    dx = jnp.dot(dpre_bf, we_bf.T, preferred_element_type=jnp.float32) - d_pred
+    dx = (
+        jnp.dot(dpre_bf, we_bf.T, preferred_element_type=jnp.float32) - d_pred
+    ).astype(x.dtype)
     return dx, dw_enc, db_enc, dw_dec, db_dec, dnorms
 
 

@@ -105,6 +105,13 @@ class SAETrainer:
 
         self.global_step = 0
         self.epoch = 0
+        # Out-of-core chunk staging dtype: None = auto (bf16 under AMP).
+        # bf16 staging halves H2D + HBM for the staged chunk; it is
+        # LOSSLESS for caches extracted in bf16 fast mode (those values
+        # already carry bf16 rounding, so f32->bf16 is exact) and ~2e-3
+        # rel rounding of the recon target otherwise — the same transfer
+        # discipline as bf16 extraction (docs/PARITY.md).
+        self.stage_chunks_bf16: bool | None = None
         self.metrics_history: list[TrainingMetrics] = []
         self.num_resampled_total = 0
         self.wandb_run = None
@@ -608,8 +615,8 @@ class SAETrainer:
 
         return jax.tree_util.tree_map(put, batches)
 
-    def train_epoch_fused(self, data, shuffle: bool = True, seed: int | None = None
-                          ) -> list[TrainingMetrics]:
+    def train_epoch_fused(self, data, shuffle: bool = True, seed: int | None = None,
+                          defer: list | None = None) -> list[TrainingMetrics]:
         """One epoch as a single XLA program over device-resident data.
 
         ``data``: [N, D] array (host or device).  The remainder batch
@@ -618,6 +625,13 @@ class SAETrainer:
         feature resampling fires at the epoch boundary if the step counter
         crossed a multiple of ``resample_dead_every`` during the epoch
         (the per-step path honors the exact every-N contract).
+
+        ``defer`` (internal, chunked out-of-core path): when a list is
+        passed, the stacked scan metrics are NOT fetched here — entries
+        are appended to it and converted later by ``_drain_deferred``.
+        Skipping the per-call device sync lets the caller's next chunk
+        stage (H2D) while this chunk's epoch program still runs; history
+        and wandb bookkeeping happen at drain time, in order.
         """
         b = self.config.batch_size
         data = jax.tree_util.tree_map(jnp.asarray, data)
@@ -658,20 +672,12 @@ class SAETrainer:
             if hasattr(self.model, "state"):
                 self.model.state = dstate
             self.global_step += steps
-            host = np.asarray(metrics)  # [S, 5], single transfer
-            lrs = self.learning_rates_at(start_step, steps)
-            for i in range(steps):
-                row = dict(zip(_METRIC_KEYS, host[i]))
-                epoch_metrics.append(
-                    TrainingMetrics(
-                        loss=float(row["loss"]),
-                        reconstruction_loss=float(row["reconstruction_loss"]),
-                        sparsity_loss=float(row["sparsity_loss"]),
-                        l0=float(row["l0"]),
-                        dead_feature_ratio=float(row["dead_feature_ratio"]),
-                        learning_rate=float(lrs[i]),
-                        step=start_step + i + 1,
-                    )
+            if defer is not None:
+                # no device sync: the caller converts via _drain_deferred
+                defer.append(("scan", start_step, steps, metrics))
+            else:
+                epoch_metrics.extend(
+                    self._convert_scan_metrics(start_step, steps, metrics)
                 )
             if (
                 self._resample_dataset is not None
@@ -687,18 +693,74 @@ class SAETrainer:
                 rem = jax.tree_util.tree_map(lambda a: a[tail], data)
             else:
                 rem = jax.tree_util.tree_map(lambda a: a[steps * b :], data)
-            epoch_metrics.append(self.train_step(rem))
+            m = self.train_step(rem)
+            if defer is not None:
+                defer.append(("step", m))
+            else:
+                epoch_metrics.append(m)
 
-        self.metrics_history.extend(epoch_metrics)
-        if self.wandb_run is not None:
-            # same every-100-steps cadence as the per-step path
-            # (reference training.py:246-256), replayed from the stacked
-            # metrics after the fused dispatch returns
-            for m in epoch_metrics:
-                if m.step % 100 == 0:
-                    self._log_wandb(m)
+        if defer is None:
+            self.metrics_history.extend(epoch_metrics)
+            if self.wandb_run is not None:
+                # same every-100-steps cadence as the per-step path
+                # (reference training.py:246-256), replayed from the stacked
+                # metrics after the fused dispatch returns
+                for m in epoch_metrics:
+                    if m.step % 100 == 0:
+                        self._log_wandb(m)
         self.epoch += 1
         return epoch_metrics
+
+    def _convert_scan_metrics(self, start_step, steps, metrics
+                              ) -> list[TrainingMetrics]:
+        """[S, 5] stacked device metrics -> per-step TrainingMetrics
+        (the one device->host transfer of a fused epoch)."""
+        host = np.asarray(metrics)
+        lrs = self.learning_rates_at(start_step, steps)
+        out = []
+        for i in range(steps):
+            row = dict(zip(_METRIC_KEYS, host[i]))
+            out.append(
+                TrainingMetrics(
+                    loss=float(row["loss"]),
+                    reconstruction_loss=float(row["reconstruction_loss"]),
+                    sparsity_loss=float(row["sparsity_loss"]),
+                    l0=float(row["l0"]),
+                    dead_feature_ratio=float(row["dead_feature_ratio"]),
+                    learning_rate=float(lrs[i]),
+                    step=start_step + i + 1,
+                )
+            )
+        return out
+
+    def _drain_deferred(self, defer: list, keep_last: int = 0
+                        ) -> list[TrainingMetrics]:
+        """Convert deferred fused-epoch metrics in dispatch order, extend
+        history, and replay the wandb cadence.  ``keep_last`` leaves the
+        newest entries pending — the chunked epoch drains with lag 1,
+        which BOUNDS the in-flight chunk programs to two: draining entry
+        i-1 blocks until its program completed, so at most chunk i's
+        input (running) and chunk i+1's (staging) hold HBM.  Queueing a
+        whole epoch unsynced measured SLOWER on a 16 GB chip (7 x 1.6 GB
+        staged inputs live at once -> allocator pressure)."""
+        take = len(defer) - keep_last
+        if take <= 0:
+            return []
+        entries, del_ = defer[:take], defer[take:]
+        defer[:] = del_
+        out: list[TrainingMetrics] = []
+        for entry in entries:
+            if entry[0] == "scan":
+                _, start_step, steps, metrics = entry
+                out.extend(self._convert_scan_metrics(start_step, steps, metrics))
+            else:
+                out.append(entry[1])
+        self.metrics_history.extend(out)
+        if self.wandb_run is not None:
+            for m in out:
+                if m.step % 100 == 0:
+                    self._log_wandb(m)
+        return out
 
     def train_epochs_fused(
         self, data, epochs: int, shuffle: bool = True, seed: int | None = None
@@ -783,21 +845,49 @@ class SAETrainer:
         epoch body — per-step host dispatch (which dominates when batches
         stream individually) is amortized to one dispatch per chunk.
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         n = reader.num_rows
         b = self.config.batch_size
         chunk_tokens = max(b, (chunk_tokens // b) * b)  # avoid per-chunk remainders
+        stage_bf16 = self.stage_chunks_bf16
+        if stage_bf16 is None:
+            stage_bf16 = self.compute_dtype == jnp.bfloat16
         rng = np.random.default_rng(
             (self.config.seed if seed is None else seed) + self.epoch
         )
         order = rng.permutation(n)
-        epoch_metrics: list[TrainingMetrics] = []
+
+        def fetch(start):
+            chunk = reader.gather(np.sort(order[start : start + chunk_tokens]))
+            if stage_bf16:
+                import ml_dtypes
+
+                chunk = jax.tree_util.tree_map(
+                    lambda a: np.asarray(a).astype(ml_dtypes.bfloat16), chunk
+                )
+            return chunk
+
         epoch_no = self.epoch
-        for start in range(0, n, chunk_tokens):
-            chunk_idx = order[start : start + chunk_tokens]
-            chunk = reader.gather(np.sort(chunk_idx))
-            epoch_metrics.extend(self.train_epoch_fused(chunk, shuffle=True))
-            self.epoch = epoch_no  # train_epoch_fused bumps it per call
+        starts = list(range(0, n, chunk_tokens))
+        deferred: list = []
+        epoch_metrics: list[TrainingMetrics] = []
+        # one worker thread assembles (and casts) chunk i+1 while chunk i
+        # trains (the shard gather releases the GIL in the native reader),
+        # and metric fetches are deferred with LAG 1 — chunk i+1's H2D
+        # staging overlaps chunk i's epoch program, while the lag-1 drain
+        # keeps at most two chunk input buffers live in HBM
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(fetch, starts[0])
+            for i, start in enumerate(starts):
+                chunk = fut.result()
+                if i + 1 < len(starts):
+                    fut = ex.submit(fetch, starts[i + 1])
+                self.train_epoch_fused(chunk, shuffle=True, defer=deferred)
+                self.epoch = epoch_no  # train_epoch_fused bumps it per call
+                epoch_metrics.extend(self._drain_deferred(deferred, keep_last=1))
         self.epoch = epoch_no + 1
+        epoch_metrics.extend(self._drain_deferred(deferred))
         return epoch_metrics
 
     def _force_resample(self) -> int:
@@ -850,8 +940,16 @@ class SAETrainer:
             # disk-resident cache: chunked fused epochs through the native
             # shard reader (or any object with num_rows + gather(idx) —
             # e.g. the launcher's paired (mlp_in, mlp_out) reader, which
-            # also sets chunk_tokens to halve the staged bytes)
-            chunk_tokens = getattr(dataloader, "chunk_tokens", 1 << 22)
+            # also sets chunk_tokens to halve the staged bytes).
+            # Default chunk sizing is BYTE-aware: the flat fused epoch
+            # shuffles with an in-jit gather, so HBM transiently holds
+            # chunk + gathered copy = 2x chunk bytes — a 3 GB chunk budget
+            # keeps that at ~6.4 GB on a 16 GB chip (a fixed 2^22-token
+            # default OOM'd at D=384: 6.4 GB chunk -> ~13 GB transient)
+            chunk_tokens = getattr(dataloader, "chunk_tokens", None)
+            if chunk_tokens is None:
+                row_bytes = getattr(dataloader.reader, "row_bytes", None) or 1536
+                chunk_tokens = max(self.config.batch_size, (3 << 30) // row_bytes)
             for ep in range(start_epoch, epochs):
                 self.throughput.start()
                 epoch_metrics = self.train_epoch_out_of_core(

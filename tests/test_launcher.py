@@ -13,7 +13,12 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO / "launcher"))
 
-from launch import _latest_checkpoint, train_crosscoder, train_sae  # noqa: E402
+from launch import (  # noqa: E402
+    _latest_checkpoint,
+    extract_features,
+    train_crosscoder,
+    train_sae,
+)
 
 from whisper_sae_tpu.config import DataConfig, WhisperConfig  # noqa: E402
 from whisper_sae_tpu.data.feature_cache import FeatureCache  # noqa: E402
@@ -49,6 +54,31 @@ def _run(cache_dir, out_dir, **kw):
         checkpoint_every=1,
         **kw,
     )
+
+
+class TestExtractMeshEquivalence:
+    """CLI-level check for the auto-mesh extraction wiring (VERDICT
+    round-2 next #3): `launcher extract` on the 8-device CPU mesh must
+    produce the same caches as the single-device path."""
+
+    def test_mesh_extract_matches_single_device(self, tmp_path):
+        def run(sub, use_mesh):
+            extract_features(
+                layers_encoder="0", layers_decoder="",
+                max_samples=11,  # ragged final batch under the mesh
+                batch_size=8, dataset="synthetic",
+                cache_dir=tmp_path / sub, random_whisper=True,
+                use_mesh=use_mesh,
+            )
+            cache = FeatureCache(
+                tmp_path / sub / "features", WhisperConfig(), DataConfig()
+            )
+            return cache.load("encoder", 0)
+
+        got, meta = run("mesh", True)
+        want, meta_ref = run("single", False)
+        assert meta.num_samples == meta_ref.num_samples == 11
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
 class TestLatestCheckpoint:

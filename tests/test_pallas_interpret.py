@@ -78,6 +78,49 @@ class TestFusedSAELoss:
         )
 
 
+class TestBF16RowInputs:
+    """Out-of-core chunks may stage bf16; the kernels must accept bf16
+    rows with semantics equal to feeding the same (bf16-rounded) values
+    as f32, and the VJP must return cotangents in the input dtype."""
+
+    def test_sae_loss_bf16_rows(self, data):
+        x, _ = data
+        xb = x.astype(BF)
+        p = _params(1, b_pre=True)
+        with pltpu.force_tpu_interpret_mode():
+            loss_b, l0_b, act_b = ps.fused_sae_loss(
+                xb, p["w_enc"], p["b_enc"], p["b_pre"], p["w_dec"], p["b_dec"],
+                K, BLOCK,
+            )
+            loss_f, l0_f, act_f = ps.fused_sae_loss(
+                xb.astype(jnp.float32), p["w_enc"], p["b_enc"], p["b_pre"],
+                p["w_dec"], p["b_dec"], K, BLOCK,
+            )
+        np.testing.assert_allclose(float(loss_b), float(loss_f), rtol=1e-6)
+        assert float(l0_b) == float(l0_f)
+        np.testing.assert_array_equal(np.asarray(act_b), np.asarray(act_f))
+
+    def test_transcoder_bf16_rows_grads(self, data):
+        x, y = data
+        xb, yb = x.astype(BF), y.astype(BF)
+        p = _params(2)
+        zero = jnp.zeros((), jnp.float32)
+
+        def loss(p, rows, targets):
+            with pltpu.force_tpu_interpret_mode():
+                return ps.fused_transcoder_loss(
+                    rows, targets, p["w_enc"], p["b_enc"], p["w_dec"],
+                    p["b_dec"], zero, zero, K, BLOCK, False,
+                )[0]
+
+        gb = jax.grad(loss)(p, xb, yb)
+        gf = jax.grad(loss)(p, xb.astype(jnp.float32), yb.astype(jnp.float32))
+        for key in gf:
+            np.testing.assert_allclose(
+                np.asarray(gb[key]), np.asarray(gf[key]), atol=1e-6, err_msg=key
+            )
+
+
 class TestFusedTranscoderLoss:
     @pytest.mark.parametrize("use_skip", [False, True])
     def test_matches_composed_amp_path(self, data, use_skip):

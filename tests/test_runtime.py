@@ -105,6 +105,51 @@ class TestPrefetchLoader:
         assert len(ms) == 9  # 4 + 4 + 1 (8-token remainder batch)
         assert np.isfinite([m.loss for m in ms]).all()
 
+    def test_bf16_chunk_staging_lossless_for_bf16_values(self, tmp_path, rng):
+        """Under AMP, out-of-core chunks stage bf16 (halves H2D).  For
+        caches whose values already carry bf16 rounding (the fast-
+        extraction default), the cast is exact — the trajectory must be
+        IDENTICAL to f32 staging."""
+        import ml_dtypes
+
+        from whisper_sae_tpu.config import DataConfig, TrainingConfig, WhisperConfig
+        from whisper_sae_tpu.data.feature_cache import FeatureCache
+        from whisper_sae_tpu.models.sae import TopKSAE
+        from whisper_sae_tpu.training.trainer import SAETrainer
+
+        # bf16-representable values, stored f32 (what bf16 extraction writes)
+        data = (
+            rng.standard_normal((512, 32))
+            .astype(ml_dtypes.bfloat16)
+            .astype(np.float32)
+        )
+        cache = FeatureCache(tmp_path / "f", WhisperConfig(), DataConfig(max_samples=1))
+        w = cache.writer("encoder", 0, shard_tokens=128)
+        for c in np.array_split(data, 4):
+            w.append(c)
+        w.finalize(num_samples=4)
+        loader = cache.get_dataloader("encoder", 0, batch_size=64, seed=0)
+
+        def run(stage_bf16):
+            model = TopKSAE(input_dim=32, hidden_dim=128, k=8, seed=0)
+            cfg = TrainingConfig(batch_size=64, learning_rate=1e-3, epochs=1,
+                                 warmup_steps=0, use_amp=True)
+            t = SAETrainer(model, cfg, run_dir=tmp_path / f"run{stage_bf16}")
+            t.stage_chunks_bf16 = stage_bf16
+            ms = t.train_epoch_out_of_core(loader.reader, chunk_tokens=256)
+            return t, ms
+
+        t_bf, ms_bf = run(True)
+        t_f32, ms_f32 = run(False)
+        for a, b in zip(ms_bf, ms_f32):
+            assert a.loss == b.loss  # exact: the cast was the identity
+        for name in t_f32.model.params:
+            np.testing.assert_array_equal(
+                np.asarray(t_bf.model.params[name]),
+                np.asarray(t_f32.model.params[name]),
+                err_msg=name,
+            )
+
     def test_trains_through_cache(self, tmp_path, rng):
         # end-to-end: multi-shard cache -> out-of-core loader -> trainer
         from whisper_sae_tpu.config import DataConfig, TrainingConfig, WhisperConfig

@@ -35,6 +35,18 @@ def peak_rss_gb() -> float:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / (1 << 20)
 
 
+def anon_rss_gb() -> float:
+    """Anonymous (non-file-backed) resident memory — the number the
+    bounded-RSS design claim is about.  ru_maxrss counts the memmapped
+    shard pages too, which are CLEAN file pages the kernel reclaims under
+    pressure: a 20 GB cache read through mmaps inflates peak RSS by up to
+    20 GB without any actual memory commitment."""
+    for line in open("/proc/self/status"):
+        if line.startswith("RssAnon"):
+            return int(line.split()[1]) / (1 << 20)
+    return float("nan")
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--cache-dir", default="cache/features")
@@ -42,10 +54,13 @@ def main() -> None:
     p.add_argument("--layer-idx", type=int, default=0)
     p.add_argument("--batch", type=int, default=32768)
     p.add_argument("--epochs", type=int, default=2)
-    p.add_argument("--chunk-tokens", type=int, default=1 << 22)
+    # the flat fused epoch shuffles with an in-jit gather, so HBM holds
+    # chunk + gathered copy: 2^21 tokens x 384 f32 = 3.2 GB chunk ->
+    # ~6.4 GB transient (2^22 OOMs a 16 GB v5e once params/moments are up)
+    p.add_argument("--chunk-tokens", type=int, default=1 << 21)
     p.add_argument("--expansion-factor", type=int, default=8)
     p.add_argument("--k", type=int, default=32)
-    p.add_argument("--in-core-tokens", type=int, default=1 << 22,
+    p.add_argument("--in-core-tokens", type=int, default=1 << 21,
                    help="rows for the in-core comparison run")
     p.add_argument("--skip-in-core", action="store_true")
     args = p.parse_args()
@@ -114,9 +129,11 @@ def main() -> None:
         rates.append(meta.num_tokens / dt)
         print(f"epoch {ep + 1}: {meta.num_tokens / dt:,.0f} act/s "
               f"({dt:.0f}s, {len(ms)} steps, loss {ms[-1].loss:.4f}, "
-              f"peak RSS {peak_rss_gb():.2f} GB)", flush=True)
+              f"peak RSS {peak_rss_gb():.2f} GB, "
+              f"anon RSS {anon_rss_gb():.2f} GB)", flush=True)
     result["out_of_core_act_per_sec"] = round(max(rates), 1)
     result["peak_rss_gb"] = round(peak_rss_gb(), 2)
+    result["anon_rss_gb"] = round(anon_rss_gb(), 2)
     if "in_core_act_per_sec" in result:
         result["ooc_vs_in_core"] = round(
             result["out_of_core_act_per_sec"] / result["in_core_act_per_sec"], 3
