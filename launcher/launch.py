@@ -151,6 +151,92 @@ def _latest_checkpoint(run_dir: Path) -> Path | None:
     return max(ckpts)[1] if ckpts else None
 
 
+_SUPERVISE_FLAGS = ("--supervise", "--max-restarts", "--restart-backoff")
+
+
+def _strip_supervise_args(argv: list[str]) -> list[str]:
+    """Remove the supervisor's own flags from an argv so the child
+    process runs the plain (auto-resuming) job."""
+    out, skip = [], False
+    for a in argv:
+        if skip:
+            skip = False
+            continue
+        if a == "--supervise":
+            continue
+        if a in ("--max-restarts", "--restart-backoff"):
+            skip = True
+            continue
+        if a.split("=", 1)[0] in _SUPERVISE_FLAGS:
+            continue
+        out.append(a)
+    return out
+
+
+def _supervise(
+    child_argv: list[str],
+    max_restarts: int = 3,
+    backoff_s: float = 10.0,
+    log_path: Path | None = None,
+) -> int:
+    """Elastic job supervision: run ``child_argv`` as a subprocess and
+    restart it on nonzero exit, up to ``max_restarts`` times with linear
+    backoff.  Train jobs auto-resume from the latest atomic checkpoint
+    (``_latest_checkpoint``), so each restart continues the trajectory
+    instead of starting over — the orchestration layer the reference
+    lacks (its Modal jobs have timeouts only, modal_app/train.py:45,
+    SURVEY §5.3 'no retry, no elasticity').
+
+    The supervisor itself never imports jax: the TPU chip is held by the
+    child alone, freed on child exit, re-acquired by the restart.
+    Returns the final exit code (0 on success)."""
+    import subprocess
+    from collections import deque
+
+    attempts = []
+    rc = 0
+    for attempt in range(max_restarts + 1):
+        if attempt:
+            print(
+                f"supervisor: restart {attempt}/{max_restarts} after exit "
+                f"{rc} (backoff {backoff_s * attempt:.0f}s)",
+                file=sys.stderr,
+            )
+            time.sleep(backoff_s * attempt)
+        t0 = time.time()
+        # tee the child's merged output: echo live AND keep a tail so a
+        # failed attempt's error text survives into the supervisor log
+        # (a blind restart is undiagnosable after the fact)
+        tail: deque[str] = deque(maxlen=40)
+        proc = subprocess.Popen(
+            child_argv, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, errors="replace",
+        )
+        assert proc.stdout is not None
+        for line in proc.stdout:
+            sys.stdout.write(line)
+            sys.stdout.flush()
+            tail.append(line.rstrip("\n"))
+        rc = proc.wait()
+        entry = {
+            "attempt": attempt,
+            "returncode": rc,
+            "elapsed_s": round(time.time() - t0, 1),
+            "finished_at": datetime.now().isoformat(),
+        }
+        if rc != 0:
+            entry["output_tail"] = list(tail)
+        attempts.append(entry)
+        if log_path is not None:
+            log_path.parent.mkdir(parents=True, exist_ok=True)
+            tmp = log_path.with_suffix(".tmp")
+            tmp.write_text(json.dumps(attempts, indent=2))
+            tmp.rename(log_path)
+        if rc == 0:
+            break
+    return rc
+
+
 def train_sae(
     component: str = "encoder",
     layer_idx: int = 0,
@@ -556,6 +642,16 @@ def train_all_layers(
     return results
 
 
+def _add_supervise_flags(sp: argparse.ArgumentParser) -> None:
+    sp.add_argument("--supervise", action="store_true",
+                    help="run the job under a restart supervisor: crashed/"
+                         "preempted runs relaunch and auto-resume from the "
+                         "latest checkpoint")
+    sp.add_argument("--max-restarts", type=int, default=3)
+    sp.add_argument("--restart-backoff", type=float, default=10.0,
+                    help="linear backoff between restarts, seconds")
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -593,6 +689,7 @@ def main() -> None:
     pt.add_argument("--checkpoint-every", type=int, default=None)
     pt.add_argument("--no-resume", action="store_true",
                     help="start fresh even if checkpoints exist")
+    _add_supervise_flags(pt)
 
     px = sub.add_parser(
         "train-transcoder",
@@ -617,6 +714,7 @@ def main() -> None:
     px.add_argument("--max-resident-gb", type=float, default=8.0,
                     help="stack caches eagerly (fused epochs) up to this "
                          "many GB; stream chunked beyond it")
+    _add_supervise_flags(px)
 
     pc = sub.add_parser(
         "train-crosscoder",
@@ -641,8 +739,21 @@ def main() -> None:
     pc.add_argument("--max-resident-gb", type=float, default=8.0,
                     help="stack caches eagerly (fused epochs) up to this "
                          "many GB; stream chunked beyond it")
+    _add_supervise_flags(pc)
 
     args = p.parse_args()
+    if getattr(args, "supervise", False):
+        # re-exec the same job without the supervisor flags; restarts
+        # auto-resume from the latest checkpoint (train jobs only —
+        # extraction appends shards, so a mid-write restart would
+        # double-append; its writes are atomic but not resumable)
+        child = [sys.executable, str(Path(__file__).resolve())]
+        child += _strip_supervise_args(sys.argv[1:])
+        log = Path(args.output_dir) / f"{args.experiment_name}_supervisor_log.json"
+        sys.exit(
+            _supervise(child, max_restarts=args.max_restarts,
+                       backoff_s=args.restart_backoff, log_path=log)
+        )
     if args.cmd == "extract":
         out = extract_features(
             model_name=args.model_name,

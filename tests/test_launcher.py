@@ -15,6 +15,8 @@ sys.path.insert(0, str(REPO / "launcher"))
 
 from launch import (  # noqa: E402
     _latest_checkpoint,
+    _strip_supervise_args,
+    _supervise,
     extract_features,
     train_crosscoder,
     train_sae,
@@ -54,6 +56,58 @@ def _run(cache_dir, out_dir, **kw):
         checkpoint_every=1,
         **kw,
     )
+
+
+class TestSupervisor:
+    """Restart supervision (`launcher ... --supervise`): crashed jobs
+    relaunch (and, combined with auto_resume, continue from the latest
+    checkpoint).  The reference has Modal timeouts only (SURVEY §5.3)."""
+
+    @pytest.fixture(autouse=True)
+    def _no_axon_register(self, monkeypatch):
+        # child interpreters must skip the axon sitecustomize register()
+        # (it can block while another process holds the chip); the
+        # supervised children here are pure-python and never need it
+        monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "")
+
+    def test_restarts_until_success_and_logs(self, tmp_path):
+        sentinel = tmp_path / "crashed_once"
+        # child exits 1 on first run (creating the sentinel), 0 after —
+        # a crash-then-recover job
+        child = [
+            sys.executable, "-c",
+            "import pathlib, sys\n"
+            f"p = pathlib.Path({str(sentinel)!r})\n"
+            "if p.exists(): sys.exit(0)\n"
+            "print('boom: device lost')\n"
+            "p.write_text('x'); sys.exit(1)",
+        ]
+        log = tmp_path / "out" / "supervisor_log.json"
+        rc = _supervise(child, max_restarts=3, backoff_s=0.0, log_path=log)
+        assert rc == 0
+        attempts = json.loads(log.read_text())
+        assert [a["returncode"] for a in attempts] == [1, 0]
+        # the failed attempt preserves its output tail for diagnosis
+        assert "boom: device lost" in attempts[0]["output_tail"]
+        assert "output_tail" not in attempts[1]
+
+    def test_gives_up_after_budget(self, tmp_path):
+        child = [sys.executable, "-c", "import sys; sys.exit(7)"]
+        log = tmp_path / "log.json"
+        rc = _supervise(child, max_restarts=2, backoff_s=0.0, log_path=log)
+        assert rc == 7
+        attempts = json.loads(log.read_text())
+        assert [a["returncode"] for a in attempts] == [7, 7, 7]  # 1 + 2 restarts
+
+    def test_strip_supervise_args(self):
+        argv = [
+            "train", "--component", "encoder", "--supervise",
+            "--max-restarts", "5", "--restart-backoff=2.5",
+            "--layer-idx", "1",
+        ]
+        assert _strip_supervise_args(argv) == [
+            "train", "--component", "encoder", "--layer-idx", "1",
+        ]
 
 
 class TestExtractMeshEquivalence:
