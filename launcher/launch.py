@@ -49,12 +49,19 @@ def extract_features(
     seed: int = 42,
     capture_mlp: bool = False,
     use_mesh: bool = True,
+    checkpoint_every: int | None = 2048,
+    auto_resume: bool = True,
 ) -> dict:
     """Extraction job (reference modal_app/extract_features.py:42-327
     surface): streams audio, one jitted capture forward per batch, atomic
     shard writes, metadata.json + extraction_log.json.  ``capture_mlp``
     additionally caches per-layer (mlp_in, mlp_out) pairs — transcoder
-    training data the reference's hooks cannot produce."""
+    training data the reference's hooks cannot produce.
+
+    Elastic: writer progress checkpoints every ``checkpoint_every``
+    samples; with ``auto_resume`` a restarted job (same flags) continues
+    from the last checkpoint instead of re-extracting (the reference's
+    Modal job restarts its 4 h extraction from scratch)."""
     import jax
 
     from whisper_sae_tpu.config import DataConfig, WhisperConfig
@@ -111,6 +118,8 @@ def extract_features(
         compute_dtype=jnp.bfloat16,
         mesh=mesh,
         capture_mlp=capture_mlp,
+        checkpoint_every=checkpoint_every,
+        resume=auto_resume,
     )
 
     log = {
@@ -670,6 +679,12 @@ def main() -> None:
     pe.add_argument("--capture-mlp", action="store_true",
                     help="also cache per-layer (mlp_in, mlp_out) pairs "
                          "(transcoder training data)")
+    pe.add_argument("--checkpoint-every", type=int, default=2048,
+                    help="checkpoint extraction progress every N samples "
+                         "(0 disables)")
+    pe.add_argument("--no-resume", action="store_true",
+                    help="ignore a previous run's extraction progress")
+    _add_supervise_flags(pe)
 
     pt = sub.add_parser("train")
     pt.add_argument("--component", default="encoder")
@@ -743,13 +758,16 @@ def main() -> None:
 
     args = p.parse_args()
     if getattr(args, "supervise", False):
-        # re-exec the same job without the supervisor flags; restarts
-        # auto-resume from the latest checkpoint (train jobs only —
-        # extraction appends shards, so a mid-write restart would
-        # double-append; its writes are atomic but not resumable)
+        # re-exec the same job without the supervisor flags; restarted
+        # train jobs auto-resume from the latest checkpoint, restarted
+        # extractions from the last extraction_progress.json cut
         child = [sys.executable, str(Path(__file__).resolve())]
         child += _strip_supervise_args(sys.argv[1:])
-        log = Path(args.output_dir) / f"{args.experiment_name}_supervisor_log.json"
+        if args.cmd == "extract":
+            log = Path(args.cache_dir) / "extract_supervisor_log.json"
+        else:
+            log = (Path(args.output_dir)
+                   / f"{args.experiment_name}_supervisor_log.json")
         sys.exit(
             _supervise(child, max_restarts=args.max_restarts,
                        backoff_s=args.restart_backoff, log_path=log)
@@ -765,6 +783,8 @@ def main() -> None:
             cache_dir=args.cache_dir,
             random_whisper=args.random_whisper,
             capture_mlp=args.capture_mlp,
+            checkpoint_every=args.checkpoint_every or None,
+            auto_resume=not args.no_resume,
         )
     elif args.cmd == "train-transcoder":
         out = train_transcoder(

@@ -108,6 +108,26 @@ class CacheWriter:
         self._shards.append(path.name)
         self._buf, self._buf_tokens = [], 0
 
+    def state(self) -> dict:
+        """Resumable-extraction cut: force-flush the buffer to a shard
+        (possibly under-sized — metadata lists shards explicitly, so
+        irregular shard lengths are fine) and return the progress needed
+        to continue appending after a restart."""
+        self._flush()
+        return {
+            "shards": list(self._shards),
+            "num_tokens": self.num_tokens,
+            "hidden_dim": self.hidden_dim,
+        }
+
+    def restore(self, state: dict) -> None:
+        """Continue a previous run from a :meth:`state` snapshot (the
+        listed shards must already be on disk)."""
+        self._shards = list(state["shards"])
+        self.num_tokens = int(state["num_tokens"])
+        self.hidden_dim = state["hidden_dim"]
+        self._buf, self._buf_tokens = [], 0
+
     def finalize(self, num_samples: int) -> CacheMetadata:
         self._flush()
         meta = CacheMetadata(
@@ -297,6 +317,8 @@ def extract_and_cache_features(
     compute_dtype=None,
     mesh=None,
     capture_mlp: bool = False,
+    checkpoint_every: int | None = None,
+    resume: bool = False,
 ) -> None:
     """Extraction loop (reference feature_cache.py:200-306, hook-free).
 
@@ -316,6 +338,14 @@ def extract_and_cache_features(
       on the host, so the cache format is unchanged;
     - the device->host pull of batch i happens AFTER batch i+1's forward
       is dispatched, so the copy overlaps the next batch's compute.
+
+    Elasticity: with ``checkpoint_every`` (samples), writer progress is
+    checkpointed to ``extraction_progress.json`` at shard-consistent
+    cuts; a restarted run with ``resume=True`` (and the same
+    deterministic dataloader + batch cadence) restores the writers and
+    skips the already-extracted samples, producing a cache identical to
+    an uninterrupted run.  The reference's Modal extract job restarts
+    from scratch on its 4 h timeout (modal_app/extract_features.py:45).
     """
     writers_e = {l: cache.writer("encoder", l) for l in encoder_layers}
     writers_d = {l: cache.writer("decoder", l) for l in decoder_layers}
@@ -329,6 +359,48 @@ def extract_and_cache_features(
                 writers_mlp[f"{comp}_{kind}"] = {
                     l: cache.writer(f"{comp}_{kind}", l) for l in layers
                 }
+
+    def _flat_writers() -> dict[str, CacheWriter]:
+        flat = {f"encoder:{l}": w for l, w in writers_e.items()}
+        flat.update({f"decoder:{l}": w for l, w in writers_d.items()})
+        for comp_kind, ws in writers_mlp.items():
+            flat.update({f"{comp_kind}:{l}": w for l, w in ws.items()})
+        return flat
+
+    progress_path = cache.cache_dir / "extraction_progress.json"
+
+    def _write_progress(samples_done: int) -> None:
+        snap = {
+            "model_name": cache.whisper_config.model_name,
+            "num_samples": samples_done,
+            "writers": {k: w.state() for k, w in _flat_writers().items()},
+        }
+        tmp = progress_path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(snap))
+        tmp.rename(progress_path)
+
+    skip_samples = 0
+    if resume and progress_path.exists():
+        snap = json.loads(progress_path.read_text())
+        flat = _flat_writers()
+        compatible = (
+            snap.get("model_name") == cache.whisper_config.model_name
+            and set(snap.get("writers", {})) == set(flat)
+            and all(
+                (cache.cache_dir / s).exists()
+                for st in snap["writers"].values() for s in st["shards"]
+            )
+        )
+        if compatible:
+            for k, w in flat.items():
+                w.restore(snap["writers"][k])
+            skip_samples = int(snap["num_samples"])
+            if progress:
+                print(f"resuming extraction at sample {skip_samples}", flush=True)
+        elif progress:
+            print("extraction progress file incompatible; starting fresh",
+                  flush=True)
+
     num_samples = 0
     target = max_samples if max_samples is not None else float("inf")
     n_data = 1
@@ -364,11 +436,25 @@ def extract_and_cache_features(
                 writers[l].append(host[j].reshape(-1, host.shape[-1]))
 
     pending = None
+    pending_upto = 0  # num_samples covered once `pending` drains
+    last_ckpt = skip_samples
     for batch in audio_dataloader:
         if num_samples >= target:
             break
         if isinstance(batch, (tuple, list)):
             batch = batch[0]
+        if skip_samples > 0:
+            # resume: these samples are already in the restored shards
+            nrows = np.asarray(batch).shape[0]
+            if nrows > skip_samples:
+                raise ValueError(
+                    f"resume cut ({skip_samples} samples left to skip) falls "
+                    f"inside a {nrows}-row batch — rerun with the original "
+                    "batch size so checkpoint cuts align with batches"
+                )
+            skip_samples -= nrows
+            num_samples += nrows
+            continue
         if transfer_bf16:
             # upload mels bf16 too: the forward casts mel to bf16 as its
             # first op, so rounding on host is bit-identical and the H2D
@@ -405,15 +491,17 @@ def extract_and_cache_features(
                 pulled.append((select(acts[comp_kind], layers, rows), layers, writers))
         if pending is not None:
             drain(pending)
+            if checkpoint_every and pending_upto - last_ckpt >= checkpoint_every:
+                _write_progress(pending_upto)
+                last_ckpt = pending_upto
         pending = pulled
         num_samples += rows
+        pending_upto = num_samples
         if progress and num_samples % (rows * 8) == 0:
             print(f"extracted {num_samples} samples", flush=True)
     if pending is not None:
         drain(pending)
 
-    all_writers = list(writers_e.values()) + list(writers_d.values())
-    for writers in writers_mlp.values():
-        all_writers.extend(writers.values())
-    for w in all_writers:
+    for w in _flat_writers().values():
         w.finalize(num_samples)
+    progress_path.unlink(missing_ok=True)

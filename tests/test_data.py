@@ -391,6 +391,109 @@ class TestExtraction:
         assert meta.num_samples == 4
 
 
+class _CrashingLoader:
+    """Yields ``batches`` but raises before batch ``crash_at`` — a
+    mid-extraction preemption."""
+
+    def __init__(self, batches, crash_at):
+        self.batches = batches
+        self.crash_at = crash_at
+
+    def __iter__(self):
+        for i, b in enumerate(self.batches):
+            if i == self.crash_at:
+                raise RuntimeError("simulated preemption")
+            yield b
+
+
+class TestResumableExtraction:
+    """Extraction elasticity: progress checkpoints + resume must yield a
+    cache bit-identical to an uninterrupted run (the reference's Modal
+    extract restarts from scratch, modal_app/extract_features.py:45)."""
+
+    ARCH = dict(
+        d_model=64, encoder_layers=1, decoder_layers=1, num_heads=2,
+        ffn_dim=128, max_source_positions=1500, max_target_positions=20,
+        vocab_size=500, decoder_start_token_id=42,
+    )
+
+    def _setup(self, rng, n_batches=6, batch=2):
+        arch = WhisperArch(**self.ARCH)
+        params = init_whisper(jax.random.PRNGKey(0), arch)
+        mels = rng.standard_normal((n_batches, batch, 80, 3000)).astype(np.float32)
+        return arch, params, list(mels)
+
+    def _fresh_cache(self, tmp_path, name):
+        return FeatureCache(
+            cache_dir=tmp_path / name,
+            whisper_config=WhisperConfig(),
+            data_config=DataConfig(max_samples=10),
+        )
+
+    def test_crash_then_resume_matches_uninterrupted(self, tmp_path, rng):
+        arch, params, batches = self._setup(rng)
+        kw = dict(encoder_layers=[0], decoder_layers=[0], progress=False)
+
+        want_cache = self._fresh_cache(tmp_path, "want")
+        extract_and_cache_features(params, arch, batches, want_cache, **kw)
+
+        got_cache = self._fresh_cache(tmp_path, "got")
+        with pytest.raises(RuntimeError, match="preemption"):
+            extract_and_cache_features(
+                params, arch, _CrashingLoader(batches, crash_at=4),
+                got_cache, checkpoint_every=4, **kw,
+            )
+        progress = got_cache.cache_dir / "extraction_progress.json"
+        assert progress.exists()
+        snap = json.loads(progress.read_text())
+        assert snap["num_samples"] == 4  # drain lags dispatch by one batch
+
+        # restart with the SAME deterministic loader: skips 4 samples,
+        # extracts the rest, finalizes — and removes the progress file
+        extract_and_cache_features(
+            params, arch, batches, got_cache, resume=True,
+            checkpoint_every=4, **kw,
+        )
+        assert not progress.exists()
+        for comp in ("encoder", "decoder"):
+            got, gm = got_cache.load(comp, 0)
+            want, wm = want_cache.load(comp, 0)
+            assert gm.num_samples == wm.num_samples == 12
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_incompatible_progress_starts_fresh(self, tmp_path, rng):
+        arch, params, batches = self._setup(rng, n_batches=2)
+        cache = self._fresh_cache(tmp_path, "c")
+        (cache.cache_dir / "extraction_progress.json").write_text(
+            json.dumps({"model_name": "other/model", "num_samples": 99,
+                        "writers": {}})
+        )
+        extract_and_cache_features(
+            params, arch, batches, cache, resume=True,
+            encoder_layers=[0], decoder_layers=[], progress=False,
+        )
+        _, meta = cache.load("encoder", 0)
+        assert meta.num_samples == 4  # full fresh run, stale progress ignored
+
+    def test_misaligned_resume_batch_raises(self, tmp_path, rng):
+        arch, params, batches = self._setup(rng, n_batches=2, batch=4)
+        cache = self._fresh_cache(tmp_path, "c")
+        w = cache.writer("encoder", 0)
+        w.append(rng.standard_normal((3 * 1500, 64)).astype(np.float32))
+        (cache.cache_dir / "extraction_progress.json").write_text(
+            json.dumps({
+                "model_name": WhisperConfig().model_name,
+                "num_samples": 3,  # not a multiple of the 4-row batches
+                "writers": {"encoder:0": w.state()},
+            })
+        )
+        with pytest.raises(ValueError, match="batch size"):
+            extract_and_cache_features(
+                params, arch, batches, cache, resume=True,
+                encoder_layers=[0], decoder_layers=[], progress=False,
+            )
+
+
 class TestLazyShardRows:
     def test_multi_shard_gather_matches_concat(self, cache, rng):
         feats = rng.standard_normal((300, 16)).astype(np.float32)
