@@ -216,6 +216,40 @@ class TestFusedMeshEpochs:
                 atol=1e-5, err_msg=name,
             )
 
+    @pytest.mark.parametrize("shape", [(8, 1), (4, 2)])
+    def test_out_of_core_chunked_epoch_under_mesh(self, data, shape):
+        """The 230 GB/layer at-scale story composes chunked out-of-core
+        epochs WITH the mesh: each byte-budgeted chunk runs as one fused
+        mesh epoch (dp or dp x tp).  Trajectory must match the
+        single-device out-of-core path exactly (same chunk order, same
+        in-chunk shuffle folds)."""
+
+        class _ArrayReader:
+            def __init__(self, arr):
+                self.arr = arr
+                self.num_rows = len(arr)
+
+            def gather(self, idx):
+                return self.arr[idx]
+
+        reader = _ArrayReader(data)
+        t_single = self._trainer(None)
+        ms_single = t_single.train_epoch_out_of_core(reader, chunk_tokens=2 * B)
+
+        t_mesh = self._trainer(make_mesh(data=shape[0], model=shape[1]))
+        ms_mesh = t_mesh.train_epoch_out_of_core(reader, chunk_tokens=2 * B)
+
+        assert len(ms_single) == len(ms_mesh) == 4  # 2 chunks x 2 steps
+        assert t_mesh.epoch == t_single.epoch == 1
+        for a, b in zip(ms_single, ms_mesh):
+            assert a.loss == pytest.approx(b.loss, rel=1e-5)
+        for name in t_single.model.params:
+            np.testing.assert_allclose(
+                np.asarray(t_single.model.params[name]),
+                np.asarray(t_mesh.model.params[name]),
+                atol=1e-5, err_msg=name,
+            )
+
     def test_train_auto_selects_fused_under_mesh(self, data, tmp_path):
         class Loader:
             def __init__(self, arr):
