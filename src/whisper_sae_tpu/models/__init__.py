@@ -6,6 +6,11 @@ from .crosscoder import (
     TopKCrossLayerCrosscoder,
     create_crosscoder,
 )
+from .hooks import (
+    ActivationCache,
+    WhisperActivationExtractor,
+    extract_features_batch,
+)
 from .sae import ReLUSAE, SAEOutput, TopKSAE, create_sae
 from .transcoder import (
     SkipTranscoder,
@@ -27,6 +32,7 @@ from .whisper import (
 )
 
 __all__ = [
+    "ActivationCache",
     "CrossLayerCrosscoder",
     "CrosscoderOutput",
     "ReLUSAE",
@@ -36,6 +42,7 @@ __all__ = [
     "TopKSAE",
     "TopKTranscoder",
     "TranscoderOutput",
+    "WhisperActivationExtractor",
     "WhisperArch",
     "arch_for",
     "create_crosscoder",
@@ -44,6 +51,7 @@ __all__ = [
     "decoder_forward",
     "encoder_forward",
     "extract_activations",
+    "extract_features_batch",
     "flatten_activations",
     "from_hf_torch",
     "greedy_decode",

@@ -230,6 +230,72 @@ class TestExtractActivations:
         assert not any(k.endswith(("mlp_in", "mlp_out")) for k in acts)
 
 
+class TestHooksFacade:
+    """Reference-shaped capture facade (hooks.py:16-210) over the
+    functional extractor."""
+
+    def test_extract_features_batch_matches_functional(self, jax_whisper, mel):
+        from whisper_sae_tpu.models.hooks import extract_features_batch
+
+        params, arch = jax_whisper
+        out = extract_features_batch(
+            params, arch, mel, encoder_layers=[0, 1], decoder_layers=[1]
+        )
+        direct = extract_activations(params, jnp.asarray(mel), arch)
+        for idx in (0, 1):
+            np.testing.assert_allclose(
+                out["encoder"][idx], np.asarray(direct["encoder"][idx]), atol=1e-6
+            )
+        np.testing.assert_allclose(
+            out["decoder"][1], np.asarray(direct["decoder"][1]), atol=1e-6
+        )
+
+    def test_matches_torch_hooked_capture(self, torch_whisper, jax_whisper, mel):
+        """Facade output == the reference's hooked capture with final-LN
+        post-processing (hooks.py:87-92)."""
+        from whisper_sae_tpu.models.hooks import extract_features_batch
+
+        params, arch = jax_whisper
+        out = extract_features_batch(params, arch, mel, encoder_layers=[1])
+        _, enc_outs, _ = torch_layer_outputs(
+            torch_whisper, mel, arch.decoder_start_token_id
+        )
+        ln = torch_whisper.model.encoder.layer_norm
+        with torch.no_grad():
+            expect = ln(torch.from_numpy(enc_outs[1])).numpy()
+        np.testing.assert_allclose(out["encoder"][1], expect, atol=ATOL)
+
+    def test_cache_concatenates_batches(self, jax_whisper, mel):
+        from whisper_sae_tpu.models.hooks import WhisperActivationExtractor
+
+        params, arch = jax_whisper
+        ex = WhisperActivationExtractor(params, arch, encoder_layers=[0])
+        with ex:
+            ex.capture(mel)
+            ex.capture(mel)
+        acts = ex.cache.get_encoder_activations(0)
+        assert acts.shape[0] == 2 * mel.shape[0]
+        np.testing.assert_array_equal(acts[: mel.shape[0]], acts[mel.shape[0] :])
+        assert ex.cache.get_encoder_activations(1) is None
+        ex.clear_cache()
+        assert ex.cache.get_encoder_activations(0) is None
+
+    def test_reference_hook_api_is_noop(self, jax_whisper):
+        from whisper_sae_tpu.models.hooks import WhisperActivationExtractor
+
+        params, arch = jax_whisper
+        ex = WhisperActivationExtractor(params, arch, encoder_layers=[0])
+        ex.register_hooks()
+        ex.remove_hooks()
+
+    def test_decoder_skipped_when_not_requested(self, jax_whisper, mel):
+        from whisper_sae_tpu.models.hooks import extract_features_batch
+
+        params, arch = jax_whisper
+        out = extract_features_batch(params, arch, mel, encoder_layers=[0])
+        assert out["decoder"] == {}
+
+
 class TestFlatten:
     def test_row_major(self):
         x = jnp.arange(2 * 3 * 4).reshape(2, 3, 4)
