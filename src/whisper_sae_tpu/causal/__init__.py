@@ -1,11 +1,12 @@
 """Causal intervention tools: activation patching, SAE substitution,
-feature ablation (implemented; the reference only declared this package,
-/root/reference/src/whisper_sae/causal/__init__.py)."""
+feature ablation and steering (implemented; the reference only declared
+this package, /root/reference/src/whisper_sae/causal/__init__.py)."""
 
 from .patching import (
     decoder_forward_patched,
     encoder_forward_patched,
     feature_ablation_patch,
+    feature_steering_patch,
     logit_kl,
     patched_logits,
     sae_reconstruction_patch,
@@ -17,6 +18,7 @@ __all__ = [
     "decoder_forward_patched",
     "encoder_forward_patched",
     "feature_ablation_patch",
+    "feature_steering_patch",
     "logit_kl",
     "patched_logits",
     "sae_reconstruction_patch",

@@ -193,6 +193,56 @@ def feature_ablation_patch(
     return patch
 
 
+def feature_steering_patch(
+    sae,
+    feature_idxs,
+    whisper_params: dict,
+    scale: float | None = None,
+    set_value: float | None = None,
+    apply_layer_norm: bool = True,
+    component: str = "encoder",
+) -> Callable[[jax.Array], jax.Array]:
+    """Steer selected SAE latent features and substitute the resulting
+    reconstruction for the layer's output.
+
+    Generalizes :func:`feature_ablation_patch` from zeroing to arbitrary
+    interventions: ``scale`` multiplies the selected features' activations
+    (``scale=0`` reproduces ablation; ``scale>1`` amplifies a feature's
+    causal contribution), ``set_value`` clamps them to a constant (the
+    classic "activation steering" probe — drive a feature regardless of
+    the input).  Exactly one of the two must be given.  The reference
+    ships no steering tooling (its causal/ package is an empty
+    ``__init__``); this extends the same intervention surface its
+    analysis pipeline would need.
+    """
+    if (scale is None) == (set_value is None):
+        raise ValueError("give exactly one of scale= or set_value=")
+    g = whisper_params[component]["ln_f_g"]
+    b = whisper_params[component]["ln_f_b"]
+    feature_idxs = jnp.asarray(feature_idxs)
+
+    def patch(h: jax.Array) -> jax.Array:
+        shape = h.shape
+        flat = h.reshape(-1, shape[-1])
+        if apply_layer_norm:
+            mean = jnp.mean(flat, axis=-1, keepdims=True)
+            var = jnp.var(flat, axis=-1, keepdims=True)
+            x = (flat - mean) * jax.lax.rsqrt(var + LN_EPS) * g + b
+        else:
+            x = flat
+        hidden = sae.encode(x)
+        if scale is not None:
+            hidden = hidden.at[:, feature_idxs].multiply(scale)
+        else:
+            hidden = hidden.at[:, feature_idxs].set(set_value)
+        recon = sae.decode(hidden)
+        if apply_layer_norm:
+            recon = (recon - b) / g * jnp.sqrt(var + LN_EPS) + mean
+        return recon.reshape(shape)
+
+    return patch
+
+
 # ---------------------------------------------------------------------------
 # effect metrics
 # ---------------------------------------------------------------------------

@@ -173,6 +173,46 @@ class TestSAEInterventions:
         b = patched_logits(params, mel, ARCH, 0, patch_abl)
         assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-4
 
+    def test_steering_scale_one_matches_substitution(self, params, mel):
+        from whisper_sae_tpu.causal import feature_steering_patch
+
+        sae, _, _ = self._good_sae(params, mel)
+        steer = feature_steering_patch(sae, [3, 7], params, scale=1.0)
+        sub = sae_reconstruction_patch(sae, params)
+        a = patched_logits(params, mel, ARCH, 0, steer)
+        b = patched_logits(params, mel, ARCH, 0, sub)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_steering_scale_zero_is_ablation(self, params, mel):
+        from whisper_sae_tpu.causal import feature_steering_patch
+
+        sae, _, _ = self._good_sae(params, mel)
+        idxs = list(range(32))
+        steer = feature_steering_patch(sae, idxs, params, scale=0.0)
+        abl = feature_ablation_patch(sae, idxs, params)
+        a = patched_logits(params, mel, ARCH, 0, steer)
+        b = patched_logits(params, mel, ARCH, 0, abl)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_steering_set_value_moves_output(self, params, mel):
+        from whisper_sae_tpu.causal import feature_steering_patch
+
+        sae, _, _ = self._good_sae(params, mel)
+        base = sae_reconstruction_patch(sae, params)
+        clamp = feature_steering_patch(sae, [5], params, set_value=25.0)
+        a = patched_logits(params, mel, ARCH, 0, base)
+        b = patched_logits(params, mel, ARCH, 0, clamp)
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-4
+
+    def test_steering_arg_validation(self, params, mel):
+        from whisper_sae_tpu.causal import feature_steering_patch
+
+        sae = TopKSAE(input_dim=64, hidden_dim=512, k=48, seed=0)
+        with pytest.raises(ValueError):
+            feature_steering_patch(sae, [0], params)
+        with pytest.raises(ValueError):
+            feature_steering_patch(sae, [0], params, scale=2.0, set_value=1.0)
+
     def test_substitution_does_not_leak_tracers_into_state(self, params, mel):
         """Regression: the patch used to call the stateful training-mode
         facade inside the traced forward, leaving DynamicJaxprTracer in
