@@ -217,9 +217,13 @@ def _supervise(
         # failed attempt's error text survives into the supervisor log
         # (a blind restart is undiagnosable after the fact)
         tail: deque[str] = deque(maxlen=40)
+        # PYTHONUNBUFFERED: the child's stdout is a pipe here, so python
+        # would block-buffer prints and the "live" tee (and the crash
+        # tail) could trail reality by kilobytes
         proc = subprocess.Popen(
             child_argv, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, errors="replace",
+            env={**os.environ, "PYTHONUNBUFFERED": "1"},
         )
         assert proc.stdout is not None
         for line in proc.stdout:
