@@ -23,6 +23,7 @@ TPU-native differences:
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Any
@@ -1103,7 +1104,15 @@ class SAETrainer:
             "resample_rng_state": self._resample_rng.bit_generator.state,
             "num_resampled_total": self.num_resampled_total,
         }
-        return save_pytree(path, self._checkpoint_tree(), meta=meta)
+        out = save_pytree(path, self._checkpoint_tree(), meta=meta)
+        # persist the metric trajectory alongside the state: a crashed
+        # attempt's per-step metrics would otherwise die with the process
+        # and the resumed run's metrics.json would hold only the final
+        # attempt's steps (observed on the 20 GB kill/resume run).  All
+        # three train paths have metrics_history current at checkpoint
+        # time (deferred fused-epoch metrics drain before returning).
+        self.save_metrics()
+        return out
 
     def load_checkpoint(self, path: str | Path) -> None:
         """Restore model/opt/step/epoch (reference training.py:341-353)."""
@@ -1121,9 +1130,32 @@ class SAETrainer:
                 self._resample_rng.bit_generator.state = meta["resample_rng_state"]
             if "num_resampled_total" in meta:  # 0 must restore too
                 self.num_resampled_total = int(meta["num_resampled_total"])
+        self._restore_metrics_history()
         self._step_fn = None
         self._epoch_fn = None
         self._mesh_placed = False
+
+    def _restore_metrics_history(self) -> None:
+        """Reload the metric prefix persisted at checkpoint time.
+
+        Entries with step > the restored global_step came from a crashed
+        attempt that progressed past this checkpoint before dying; they
+        are dropped so the resumed metrics.json is one continuous
+        trajectory (steps are 1-indexed: a metric's step equals
+        global_step right after that step ran).
+        """
+        path = self.run_dir / "metrics.json"
+        if not path.exists():
+            return
+        try:
+            with open(path) as f:
+                dicts = json.load(f)
+        except (OSError, json.JSONDecodeError):  # unreadable partial file
+            return
+        self.metrics_history = [
+            TrainingMetrics(**d) for d in dicts
+            if int(d.get("step", 0)) <= self.global_step
+        ]
 
     def save_final(self, filename_stem: str = "sae_final") -> None:
         """Write ``sae_final.npz`` (native) and ``sae_final.pt``
@@ -1154,6 +1186,11 @@ class SAETrainer:
             }
             for m in self.metrics_history
         ]
-        with open(path, "w") as f:
+        # atomic tmp -> rename: this file is now also written at every
+        # checkpoint, and a crash mid-dump must not corrupt the copy the
+        # resumed attempt restores from
+        tmp = path.with_name(path.name + ".tmp")
+        with open(tmp, "w") as f:
             json.dump(dicts, f, indent=2)
+        os.replace(tmp, path)
         return path

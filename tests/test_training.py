@@ -437,3 +437,50 @@ class TestResampleRngCheckpointed:
         np.testing.assert_array_equal(
             t1._resample_rng.permutation(50), t2._resample_rng.permutation(50)
         )
+
+
+class TestMetricsSurviveResume:
+    """A killed attempt's metrics must survive into the resumed run's
+    metrics.json (persisted at checkpoint time, restored on load) — the
+    20 GB kill/resume run lost epoch 1's 427 steps without this."""
+
+    def test_checkpoint_persists_metrics(self, tmp_path, data):
+        t = make_trainer(tmp_path)
+        loader = ActivationLoader(data, batch_size=16, seed=0)
+        t.train(loader, epochs=2, checkpoint_every=1)
+        entries = json.loads((tmp_path / "run" / "metrics.json").read_text())
+        assert [e["step"] for e in entries] == list(range(1, 17))
+        assert not (tmp_path / "run" / "metrics.json.tmp").exists()
+
+    def test_resume_restores_prefix_and_drops_crashed_tail(self, tmp_path, data):
+        t = make_trainer(tmp_path)
+        loader = ActivationLoader(data, batch_size=16, seed=0)
+        # full run writes metrics for steps 1..16; resuming from the
+        # epoch-1 checkpoint must restore exactly steps 1..8 (the entries
+        # beyond the checkpoint belong to a crashed attempt's progress)
+        t.train(loader, epochs=2, checkpoint_every=1)
+        full = json.loads((tmp_path / "run" / "metrics.json").read_text())
+
+        t2 = make_trainer(tmp_path)
+        t2.load_checkpoint(tmp_path / "run" / "checkpoint_epoch1.npz")
+        assert [m.step for m in t2.metrics_history] == list(range(1, 9))
+        for m, e in zip(t2.metrics_history, full[:8]):
+            assert m.loss == e["loss"] and m.learning_rate == e["learning_rate"]
+
+        # resumed epoch 2 reproduces the uninterrupted trajectory
+        t2.train(loader, epochs=2, checkpoint_every=1)
+        resumed = json.loads((tmp_path / "run" / "metrics.json").read_text())
+        assert [e["step"] for e in resumed] == list(range(1, 17))
+        np.testing.assert_allclose(
+            [e["loss"] for e in resumed], [e["loss"] for e in full], rtol=1e-6
+        )
+
+    def test_unreadable_metrics_file_is_ignored(self, tmp_path, data):
+        t = make_trainer(tmp_path)
+        for _ in range(2):
+            t.train_step(data[:16])
+        path = t.save_checkpoint("c.npz")
+        (tmp_path / "run" / "metrics.json").write_text("{not json")
+        t2 = make_trainer(tmp_path)
+        t2.load_checkpoint(path)  # must not raise
+        assert t2.metrics_history == []
