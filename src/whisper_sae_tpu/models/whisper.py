@@ -359,8 +359,12 @@ def extract_activations(
     return out
 
 
-def flatten_activations(acts: jax.Array) -> jax.Array:
-    """[B, S, H] -> [B*S, H] row-major (reference hooks.py:213-230)."""
+def flatten_activations(acts: jax.Array, component: str = "encoder") -> jax.Array:
+    """[B, S, H] -> [B*S, H] row-major (reference hooks.py:213-230).
+
+    ``component`` is accepted for call-site parity with the reference
+    (which takes it positionally); the reshape is identical for both.
+    """
     return acts.reshape(-1, acts.shape[-1])
 
 
