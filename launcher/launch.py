@@ -96,7 +96,8 @@ def extract_features(
         )
     else:
         ds = LibriSpeechDataset(data_cfg, n_mels=arch.n_mels)
-    loader = AudioBatchLoader(LibriSpeechFeaturesOnly(ds), batch_size=batch_size)
+    features_only = LibriSpeechFeaturesOnly(ds, record_texts=True)
+    loader = AudioBatchLoader(features_only, batch_size=batch_size)
 
     import jax.numpy as jnp
 
@@ -121,6 +122,19 @@ def extract_features(
         checkpoint_every=checkpoint_every,
         resume=auto_resume,
     )
+
+    # transcription sidecar for the analysis job (merge-preserving: a
+    # resumed extraction only touches the samples it actually pulled)
+    tpath = Path(cache_dir) / "features" / "transcripts.json"
+    if features_only.texts:
+        transcripts: dict[str, str] = {}
+        if tpath.exists():
+            try:
+                transcripts = json.loads(tpath.read_text())
+            except json.JSONDecodeError:
+                pass
+        transcripts.update({str(i): t for i, t in features_only.texts.items()})
+        tpath.write_text(json.dumps(transcripts, indent=2))
 
     log = {
         "model_name": model_name,
@@ -655,6 +669,92 @@ def train_all_layers(
     return results
 
 
+def analyze(
+    component: str = "encoder",
+    layer_idx: int = 0,
+    model_name: str = "openai/whisper-tiny",
+    run_dir: str | Path | None = None,
+    top_k: int = 20,
+    top_n: int = 100,
+    batch_samples: int = 8,
+    cache_dir: str | Path = CACHE_DIR,
+    output_dir: str | Path = OUTPUT_DIR,
+    experiment_name: str = "launch",
+) -> dict:
+    """Feature-analysis job over a trained SAE and its activation cache.
+
+    The reference runs its analysis (feature_viz.py tracker + reports)
+    as library calls only; this makes the same pipeline a one-command
+    job: stream the cached layer sample-batch-wise (host memory stays
+    bounded at any cache size — the lazy shard rows gather only the
+    current batch), encode on-device, merge into the [F, k] device-state
+    tracker, and write ``summary.json`` / ``features/*.json`` /
+    ``tracker_state.json`` into ``<run_dir>/analysis``.  Transcriptions
+    recorded at extraction time (``transcripts.json``) are attached to
+    the tracked examples, matching the reference tracker's metadata.
+    """
+    import numpy as np
+
+    from whisper_sae_tpu.analysis import FeatureReport, TopKTracker
+    from whisper_sae_tpu.config import DataConfig, WhisperConfig
+    from whisper_sae_tpu.data.feature_cache import FeatureCache
+    from whisper_sae_tpu.models.sae import load_trained_sae
+
+    t0 = time.time()
+    whisper_cfg = WhisperConfig(model_name=model_name)
+    cache = FeatureCache(Path(cache_dir) / "features", whisper_cfg, DataConfig())
+    if not cache.has_cache(component, layer_idx):
+        raise FileNotFoundError(
+            f"no cached features for {component} layer {layer_idx}; run extract first"
+        )
+    if run_dir is None:
+        run_dir = Path(output_dir) / f"{experiment_name}_{component}_layer{layer_idx}"
+    run_dir = Path(run_dir)
+    sae = load_trained_sae(run_dir)
+
+    rows, meta = cache.load_rows(component, layer_idx)
+    frames = max(meta.num_tokens // max(meta.num_samples, 1), 1)
+
+    transcripts: dict[str, str] = {}
+    tpath = Path(cache_dir) / "features" / "transcripts.json"
+    if tpath.exists():
+        try:
+            transcripts = json.loads(tpath.read_text())
+        except json.JSONDecodeError:
+            pass
+
+    tracker = TopKTracker(num_features=sae.hidden_dim, k=top_k)
+    for lo in range(0, meta.num_samples, batch_samples):
+        hi = min(lo + batch_samples, meta.num_samples)
+        chunk = np.asarray(rows[lo * frames : hi * frames], dtype=np.float32)
+        hidden = sae.encode(chunk)  # [b*frames, F] on device
+        tracker.update(
+            hidden.reshape(hi - lo, frames, sae.hidden_dim),
+            sample_indices=np.arange(lo, hi),
+            transcriptions=[transcripts.get(str(i)) for i in range(lo, hi)]
+            if transcripts
+            else None,
+        )
+
+    analysis_dir = run_dir / "analysis"
+    report = FeatureReport(tracker, analysis_dir)
+    report.save_reports(top_n=top_n)
+
+    summary = json.loads((analysis_dir / "summary.json").read_text())
+    result = {
+        "component": component,
+        "layer_idx": layer_idx,
+        "num_samples": meta.num_samples,
+        "num_tokens": meta.num_tokens,
+        "num_features": sae.hidden_dim,
+        "top_feature": summary["top_features"][0] if summary["top_features"] else None,
+        "elapsed_s": round(time.time() - t0, 1),
+        "analysis_dir": str(analysis_dir),
+    }
+    (analysis_dir / "analysis_log.json").write_text(json.dumps(result, indent=2))
+    return result
+
+
 def _add_supervise_flags(sp: argparse.ArgumentParser) -> None:
     sp.add_argument("--supervise", action="store_true",
                     help="run the job under a restart supervisor: crashed/"
@@ -760,6 +860,26 @@ def main() -> None:
                          "many GB; stream chunked beyond it")
     _add_supervise_flags(pc)
 
+    pa = sub.add_parser(
+        "analyze",
+        help="collect top-activating examples for a trained SAE over its "
+             "activation cache and write feature reports",
+    )
+    pa.add_argument("--component", default="encoder")
+    pa.add_argument("--layer-idx", type=int, default=0)
+    pa.add_argument("--model-name", default="openai/whisper-tiny")
+    pa.add_argument("--run-dir", default=None,
+                    help="trained-SAE run dir (default: "
+                         "<output-dir>/<experiment-name>_<component>_layer<N>)")
+    pa.add_argument("--top-k", type=int, default=20,
+                    help="tracked examples per feature")
+    pa.add_argument("--top-n", type=int, default=100,
+                    help="features with per-feature report files")
+    pa.add_argument("--batch-samples", type=int, default=8)
+    pa.add_argument("--cache-dir", default=str(CACHE_DIR))
+    pa.add_argument("--output-dir", default=str(OUTPUT_DIR))
+    pa.add_argument("--experiment-name", default="launch")
+
     args = p.parse_args()
     if getattr(args, "supervise", False):
         # re-exec the same job without the supervisor flags; restarted
@@ -825,6 +945,19 @@ def main() -> None:
             checkpoint_every=args.checkpoint_every,
             auto_resume=not args.no_resume,
             max_resident_bytes=int(args.max_resident_gb * (1 << 30)),
+        )
+    elif args.cmd == "analyze":
+        out = analyze(
+            component=args.component,
+            layer_idx=args.layer_idx,
+            model_name=args.model_name,
+            run_dir=args.run_dir,
+            top_k=args.top_k,
+            top_n=args.top_n,
+            batch_samples=args.batch_samples,
+            cache_dir=args.cache_dir,
+            output_dir=args.output_dir,
+            experiment_name=args.experiment_name,
         )
     else:
         common = dict(

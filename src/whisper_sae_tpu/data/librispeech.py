@@ -267,16 +267,27 @@ class SyntheticSpeechDataset:
 
 class LibriSpeechFeaturesOnly:
     """Wrapper yielding only ``input_features`` (reference
-    librispeech.py:169-187)."""
+    librispeech.py:169-187).
 
-    def __init__(self, dataset):
+    ``record_texts`` keeps each accessed sample's transcription in
+    ``self.texts`` (index -> text) so extraction can persist a
+    ``transcripts.json`` sidecar for the analysis pipeline without a
+    second pass over a streaming dataset.
+    """
+
+    def __init__(self, dataset, record_texts: bool = False):
         self.dataset = dataset
+        self.texts: dict[int, str] = {}
+        self._record = record_texts
 
     def __len__(self) -> int:
         return len(self.dataset)
 
     def __getitem__(self, i: int) -> np.ndarray:
-        return self.dataset[i]["input_features"]
+        item = self.dataset[i]
+        if self._record and isinstance(item, dict) and item.get("text"):
+            self.texts[i] = item["text"]
+        return item["input_features"]
 
 
 class AudioBatchLoader:

@@ -570,3 +570,27 @@ def create_sae(config: SAEConfig, input_dim: int, *, seed: int = 0):
         normalize_decoder=config.normalize_decoder,
         seed=seed,
     )
+
+
+def load_trained_sae(run_dir, filename_stem: str = "sae_final"):
+    """Rebuild a trained SAE from a training run directory.
+
+    Reads the embedded ``SAEConfig`` from ``training_config.json`` (every
+    launcher/scripts training job writes one) and the trained params from
+    ``{filename_stem}.npz``; the reference's analogue is torch.load of the
+    final checkpoint + ``create_sae`` (modal_app/train.py:352-366).
+    """
+    import json
+    from pathlib import Path
+
+    run_dir = Path(run_dir)
+    cfg = json.loads((run_dir / "training_config.json").read_text())
+    sae_cfg = SAEConfig(**cfg["sae"])
+    path = run_dir / f"{filename_stem}.npz"
+    with np.load(path) as z:
+        input_dim = z["w_enc"].shape[0]  # w_enc is [D, H]
+    sae = create_sae(sae_cfg, input_dim=input_dim)
+    from ..utils.checkpoint import load_pytree
+
+    sae.params, _ = load_pytree(path, sae.params)
+    return sae

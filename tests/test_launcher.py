@@ -337,3 +337,61 @@ class TestTrainTranscoder:
             (Path(res["run_dir"]) / "metrics.json").read_text()
         )
         assert len(metrics) == 6  # 600 tokens / batch 100
+
+
+class TestAnalyzeJob:
+    """`launcher analyze`: trained SAE + cache -> streamed tracker ->
+    reports.  The reference's analysis pipeline is library-only; here it
+    is a job with bounded host memory at any cache size."""
+
+    def test_reports_written_with_transcriptions(self, cache_dir, tmp_path):
+        from launch import analyze
+
+        _run(cache_dir, tmp_path / "out")
+        # extraction-side sidecar: sample_idx -> transcription
+        (cache_dir / "features" / "transcripts.json").write_text(
+            json.dumps({str(i): f"utt {i}" for i in range(4)})
+        )
+        res = analyze(
+            component="encoder",
+            layer_idx=0,
+            top_k=5,
+            top_n=10,
+            batch_samples=3,  # forces a remainder sample batch
+            cache_dir=cache_dir,
+            output_dir=tmp_path / "out",
+        )
+        adir = Path(res["analysis_dir"])
+        assert res["num_samples"] == 4 and res["num_tokens"] == 4096
+        summary = json.loads((adir / "summary.json").read_text())
+        assert len(summary["top_features"]) == 10
+        assert summary["samples_processed"] == 4
+        top = summary["top_features"][0]
+        assert top["max_activation"] == pytest.approx(
+            res["top_feature"]["max_activation"]
+        )
+        per_feature = sorted((adir / "features").glob("feature_*.json"))
+        assert len(per_feature) == 10
+        report = json.loads(per_feature[0].read_text())
+        assert report["top_examples"][0]["transcription"].startswith("utt ")
+        state = json.loads((adir / "tracker_state.json").read_text())
+        assert state["k"] == 5
+        assert json.loads((adir / "analysis_log.json").read_text()) == res
+
+    def test_load_trained_sae_round_trip(self, cache_dir, tmp_path):
+        from whisper_sae_tpu.models.sae import load_trained_sae
+
+        res = _run(cache_dir, tmp_path / "out")
+        run_dir = Path(res["run_dir"])
+        sae = load_trained_sae(run_dir)
+        saved = np.load(run_dir / "sae_final.npz")
+        assert sae.k == 32 and sae.hidden_dim == 64 * 8
+        np.testing.assert_array_equal(np.asarray(sae.params["w_enc"]),
+                                      saved["w_enc"])
+
+    def test_missing_cache_raises(self, tmp_path):
+        from launch import analyze
+
+        with pytest.raises(FileNotFoundError):
+            analyze(component="encoder", layer_idx=3,
+                    cache_dir=tmp_path / "nocache", output_dir=tmp_path)
