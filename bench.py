@@ -195,7 +195,10 @@ def bench_extraction(batch: int = 64, steps: int = 8, dtype_name: str = "bf16") 
     def run(mels):
         def body(c, mel):
             acts = extract_activations(
-                params, mel, arch, with_decoder=True, compute_dtype=compute_dtype
+                params, mel, arch, with_decoder=True,
+                compute_dtype=compute_dtype,
+                # the pipeline transfers bf16 captures in fast mode
+                capture_dtype=compute_dtype,
             )
             return c, (jnp.sum(acts["encoder"][:, :, 0, 0]), jnp.sum(acts["decoder"]))
         _, out = jax.lax.scan(body, 0, mels)

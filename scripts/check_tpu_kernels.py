@@ -349,7 +349,9 @@ def main() -> None:
     mel = jax.random.normal(jax.random.PRNGKey(4), (2, 80, 3000), bf)
 
     orig = W._use_flash_attention
+    orig_fused = W._use_fused_encoder
     W._use_flash_attention = lambda *a: False
+    W._use_fused_encoder = lambda *a: False
     ref = np.asarray(
         jax.jit(lambda p, m: W.encoder_forward(p, m, arch)[0] + 0.0)(wp16, mel)
     )
@@ -362,6 +364,32 @@ def main() -> None:
     # itself deviates from f32 truth by a similar amount)
     assert d < 5e-2, f"flash attention diff {d}"
     print(f"3. flash attention (bf16): max diff {d:.1e} vs XLA attention")
+
+    # 4. fused encoder layer blocks (LN+attn+residual / LN+MLP+residual
+    # pallas kernels, ops/pallas_encoder.py) vs the composed bf16 stack,
+    # including the captured (mlp_in, mlp_out) transcoder pair
+    W._use_fused_encoder = lambda *a: False
+    ref3 = jax.jit(
+        lambda p, m: W.encoder_forward(p, m, arch, with_mlp=True)
+    )(wp16, mel)
+    W._use_fused_encoder = orig_fused
+    assert orig_fused(1500, arch), "fused encoder gate should be on-TPU true"
+    got3 = jax.jit(
+        lambda p, m: W.encoder_forward(p, m, arch, with_mlp=True)
+    )(wp16, mel)
+    names = ["last", "layers", "mlp_in", "mlp_out"]
+    flat_ref = [ref3[0], ref3[1], ref3[2][0], ref3[2][1]]
+    flat_got = [got3[0], got3[1], got3[2][0], got3[2][1]]
+    worst = 0.0
+    for name, r, g in zip(names, flat_ref, flat_got):
+        dd = float(
+            np.abs(
+                np.asarray(g).astype(np.float32) - np.asarray(r).astype(np.float32)
+            ).max()
+        )
+        assert dd < 6e-2, f"fused encoder {name} diff {dd}"
+        worst = max(worst, dd)
+    print(f"4. fused encoder blocks (bf16): max diff {worst:.1e} vs composed stack")
     print("all TPU kernel checks passed")
 
 

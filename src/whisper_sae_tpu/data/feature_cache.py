@@ -479,6 +479,10 @@ def extract_and_cache_features(
             with_decoder=bool(decoder_layers),
             compute_dtype=compute_dtype,
             with_mlp=capture_mlp,
+            # bf16 captures straight out of the forward (bit-identical to
+            # casting f32 captures here, minus the [L,B,T,D] f32 HBM
+            # round-trip); select()'s astype becomes a no-op
+            capture_dtype=jnp.bfloat16 if transfer_bf16 else None,
         )  # async dispatch: the device starts while the host drains batch i-1
         pulled = []
         if encoder_layers:

@@ -83,6 +83,16 @@ def _layer_norm(x: jax.Array, g: jax.Array, b: jax.Array) -> jax.Array:
     return ((x32 - mean) * jax.lax.rsqrt(var + LN_EPS) * g + b).astype(x.dtype)
 
 
+def _use_fused_encoder(t: int, arch: WhisperArch) -> bool:
+    """Fused encoder layer blocks (ops/pallas_encoder.py) engage for
+    bf16 fast-extraction on TPU; the f32 parity mode and CPU tests keep
+    the composed XLA path."""
+    from ..ops import pallas_encoder
+
+    t_pad = -(-t // 128) * 128
+    return pallas_encoder.supported(t_pad, arch.d_model, arch.num_heads)
+
+
 def _use_flash_attention(tq: int, tk: int, dtype) -> bool:
     """Flash attention pays off for long self-attention (the encoder's
     1500-frame sequence, where materializing [B, H, T, T] scores is the
@@ -214,6 +224,53 @@ def _decoder_layer(
 # ---------------------------------------------------------------------------
 
 
+def _fused_encoder_layers(x, enc, arch: WhisperArch, with_mlp: bool,
+                          t_real: int | None = None):
+    """Run the encoder stack through the fused Pallas layer blocks
+    (ops/pallas_encoder.py): the sequence is padded ONCE to a lane-tile
+    multiple, every layer runs as two kernels (LN+attention+residual,
+    LN+MLP+residual) with all intermediates VMEM-resident, and the pad
+    rows are sliced off at the end.  ``t_real`` marks the valid prefix
+    when ``x`` arrives pre-padded (from the fused conv stem).  bf16-mode
+    only; numerics match the composed path to bf16 rounding."""
+    from ..ops import pallas_encoder
+
+    b, t_in, d = x.shape
+    t = t_in if t_real is None else t_real
+    t_pad = -(-t // 128) * 128 if t_real is None else t_in
+    if t_pad != t_in:
+        x = jnp.pad(x, ((0, 0), (0, t_pad - t_in), (0, 0)))
+
+    def body(h, lp):
+        h = pallas_encoder.fused_attention_block(
+            h, lp["ln1_g"], lp["ln1_b"], lp["attn"],
+            n_heads=arch.num_heads, t_real=t,
+        )
+        flat = h.reshape(b * t_pad, d)
+        if with_mlp:
+            y, mlp_in, mlp_out = pallas_encoder.fused_mlp_block(
+                flat, lp["ln2_g"], lp["ln2_b"], lp["mlp"], capture=True
+            )
+            out = y.reshape(b, t_pad, d)
+            return out, (
+                out,
+                mlp_in.reshape(b, t_pad, d),
+                mlp_out.reshape(b, t_pad, d),
+            )
+        y = pallas_encoder.fused_mlp_block(
+            flat, lp["ln2_g"], lp["ln2_b"], lp["mlp"], capture=False
+        )
+        out = y.reshape(b, t_pad, d)
+        return out, (out,)
+
+    x, captured = jax.lax.scan(body, x, enc["layers"])
+    x = x[:, :t]
+    layer_outputs = captured[0][:, :, :t]
+    if with_mlp:
+        return x, layer_outputs, (captured[1][:, :, :t], captured[2][:, :, :t])
+    return x, layer_outputs, None
+
+
 def encoder_forward(
     params: dict, mel: jax.Array, arch: WhisperArch, with_mlp: bool = False
 ):
@@ -225,7 +282,7 @@ def encoder_forward(
         with_mlp: also return per-layer (mlp_in, mlp_out) pairs — the
             transcoder's training data (post-LN2 fc1 input, pre-residual
             fc2 output).  When False the pairs are dead code and XLA
-            eliminates them.
+            eliminates them (the fused TPU path skips computing them).
 
     Returns:
         (last_hidden [B, T, D] — after the final layer_norm,
@@ -234,17 +291,40 @@ def encoder_forward(
          [, (mlp_ins, mlp_outs) each [L, B, T, D] when ``with_mlp``]).
     """
     enc = params["encoder"]
-    dn = ("NCH", "OIH", "NCH")
-    x = jax.lax.conv_general_dilated(
-        mel, enc["conv1_w"], (1,), [(1, 1)], dimension_numbers=dn
-    ) + enc["conv1_b"][None, :, None]
-    x = jax.nn.gelu(x, approximate=False)
-    x = jax.lax.conv_general_dilated(
-        x, enc["conv2_w"], (2,), [(1, 1)], dimension_numbers=dn
-    ) + enc["conv2_b"][None, :, None]
-    x = jax.nn.gelu(x, approximate=False)
-    x = x.transpose(0, 2, 1)  # [B, T, D]
-    x = x + enc["pos"][: x.shape[1]]
+    t_out = mel.shape[2] // 2
+    x = None
+    if mel.dtype == jnp.bfloat16 and _use_fused_encoder(t_out, arch):
+        from ..ops import pallas_encoder
+
+        if pallas_encoder.stem_supported(mel.shape[1], mel.shape[2], arch.d_model):
+            # fused conv stem emits the pre-padded, pos-added sequence
+            t_pad = -(-t_out // 128) * 128
+            x = pallas_encoder.fused_conv_stem(mel, enc, t_pad)
+    if x is None:
+        dn = ("NCH", "OIH", "NCH")
+        x = jax.lax.conv_general_dilated(
+            mel, enc["conv1_w"], (1,), [(1, 1)], dimension_numbers=dn
+        ) + enc["conv1_b"][None, :, None]
+        x = jax.nn.gelu(x, approximate=False)
+        x = jax.lax.conv_general_dilated(
+            x, enc["conv2_w"], (2,), [(1, 1)], dimension_numbers=dn
+        ) + enc["conv2_b"][None, :, None]
+        x = jax.nn.gelu(x, approximate=False)
+        x = x.transpose(0, 2, 1)  # [B, T, D]
+        x = x + enc["pos"][: x.shape[1]]
+        t_out = x.shape[1]
+        stem_fused = False
+    else:
+        stem_fused = True
+
+    if x.dtype == jnp.bfloat16 and _use_fused_encoder(t_out, arch):
+        x, layer_outputs, mlp_pair = _fused_encoder_layers(
+            x, enc, arch, with_mlp, t_real=t_out if stem_fused else None
+        )
+        last = _layer_norm(x, enc["ln_f_g"], enc["ln_f_b"])
+        if with_mlp:
+            return last, layer_outputs, mlp_pair
+        return last, layer_outputs
 
     def body(h, lp):
         h, mlp_in, mlp_out = _encoder_layer(h, lp, arch.num_heads)
@@ -288,7 +368,8 @@ def decoder_forward(
 @partial(
     jax.jit,
     static_argnames=(
-        "arch", "apply_layer_norm", "with_decoder", "compute_dtype", "with_mlp"
+        "arch", "apply_layer_norm", "with_decoder", "compute_dtype",
+        "with_mlp", "capture_dtype",
     ),
 )
 def extract_activations(
@@ -299,6 +380,7 @@ def extract_activations(
     with_decoder: bool = True,
     compute_dtype=None,
     with_mlp: bool = False,
+    capture_dtype=None,
 ) -> dict[str, jax.Array]:
     """Functional replacement for the reference's hook pipeline
     (hooks.py:146-210): run the encoder, then the decoder on a single
@@ -306,8 +388,13 @@ def extract_activations(
 
     ``compute_dtype=jnp.bfloat16`` runs the transformer blocks in bf16 on
     the MXU (layer norms and softmax stay f32 internally) — ~3x faster
-    extraction; captured activations are returned in f32 either way.
-    The default (None) is full f32, the parity-oracle mode.
+    extraction.  ``capture_dtype`` sets the dtype of the returned capture
+    arrays (default f32).  Passing ``jnp.bfloat16`` in bf16-compute mode
+    yields bit-identical bytes to casting the f32 returns afterwards
+    (layer norms still reduce in f32 internally) while skipping the
+    [L, B, T, D] f32 round-trip through HBM — the fast extraction
+    pipeline's default.  The all-defaults path is full f32, the
+    parity-oracle mode.
 
     Returns dict with:
         "encoder": [L_enc, B, T, D] per-layer outputs (final-LN applied
@@ -320,6 +407,7 @@ def extract_activations(
                    training data, returned RAW (no final-LN: they are
                    exactly what fc1 consumes / fc2 produces).
     """
+    out_dt = jnp.float32 if capture_dtype is None else capture_dtype
     if compute_dtype is not None:
         params = jax.tree_util.tree_map(
             lambda a: a.astype(compute_dtype)
@@ -328,18 +416,26 @@ def extract_activations(
             params,
         )
         mel = mel.astype(compute_dtype)
-    enc_last, enc_layers, (enc_min, enc_mout) = encoder_forward(
-        params, mel, arch, with_mlp=True
-    )
+    if with_mlp:
+        enc_last, enc_layers, (enc_min, enc_mout) = encoder_forward(
+            params, mel, arch, with_mlp=True
+        )
+    else:
+        enc_last, enc_layers = encoder_forward(params, mel, arch)
+        enc_min = enc_mout = None
     enc_last = enc_last.astype(jnp.float32)
-    enc_layers = enc_layers.astype(jnp.float32)
+    enc_layers = enc_layers.astype(out_dt)
     if apply_layer_norm:
+        # _layer_norm reduces in f32 internally and returns its input
+        # dtype, so a bf16 capture_dtype sees the same f32 LN values
+        # rounded once — identical bytes to an f32 capture cast later
         g, b = params["encoder"]["ln_f_g"], params["encoder"]["ln_f_b"]
-        enc_layers = _layer_norm(enc_layers, g, b)
+        enc_layers = _layer_norm(enc_layers, g.astype(jnp.float32),
+                                 b.astype(jnp.float32))
     out = {"encoder": enc_layers, "encoder_last": enc_last}
     if with_mlp:
-        out["encoder_mlp_in"] = enc_min.astype(jnp.float32)
-        out["encoder_mlp_out"] = enc_mout.astype(jnp.float32)
+        out["encoder_mlp_in"] = enc_min.astype(out_dt)
+        out["encoder_mlp_out"] = enc_mout.astype(out_dt)
     if with_decoder:
         bos = jnp.full((mel.shape[0], 1), arch.decoder_start_token_id, jnp.int32)
         enc_for_dec = (
@@ -348,14 +444,15 @@ def extract_activations(
         _, dec_layers, (dec_min, dec_mout) = decoder_forward(
             params, bos, enc_for_dec, arch, with_mlp=True
         )
-        dec_layers = dec_layers.astype(jnp.float32)
+        dec_layers = dec_layers.astype(out_dt)
         if apply_layer_norm:
             g, b = params["decoder"]["ln_f_g"], params["decoder"]["ln_f_b"]
-            dec_layers = _layer_norm(dec_layers, g, b)
+            dec_layers = _layer_norm(dec_layers, g.astype(jnp.float32),
+                                     b.astype(jnp.float32))
         out["decoder"] = dec_layers
         if with_mlp:
-            out["decoder_mlp_in"] = dec_min.astype(jnp.float32)
-            out["decoder_mlp_out"] = dec_mout.astype(jnp.float32)
+            out["decoder_mlp_in"] = dec_min.astype(out_dt)
+            out["decoder_mlp_out"] = dec_mout.astype(out_dt)
     return out
 
 

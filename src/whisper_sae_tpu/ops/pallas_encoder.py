@@ -1,0 +1,460 @@
+"""Fused Whisper-encoder layer blocks: LN + attention + residual and
+LN + MLP + residual as single Pallas kernels.
+
+Why: extraction on TPU is HBM-traffic-bound, not FLOP-bound.  The
+unfused bf16 encoder layer streams ~1.6 GB/layer per 64-clip batch
+through HBM (LN round-trips, separate q/k/v projections, head-split
+transposes into a [B, h, T, 64] layout whose 64-wide minor dim wastes
+half of every lane tile, [T, T] score materialization or flash-kernel
+staging, the [B, T, F] MLP hidden round-trips).  Measured on one v5e,
+the attention sublayer alone costs ~8.5-12 ms/layer-batch while a
+pure-copy kernel over the same blocks costs 5.4 ms — it is almost all
+data movement.  These kernels keep every intermediate in VMEM:
+
+- ``fused_attention_block``: per batch item (grid (B,)), one kernel
+  computes LN1 -> q/k/v projections -> per-head full-row softmax
+  attention (heads sliced from the folded [T, D] layout, never
+  transposed) -> output projection -> residual add.  HBM traffic is
+  one [T, D] bf16 read + one write.
+- ``fused_mlp_block``: per row block (grid (N/rows,)), LN2 -> fc1 ->
+  exact (erf) GELU -> fc2 -> residual in one pass; the [rows, F]
+  hidden never leaves VMEM.  Optionally emits (mlp_in, mlp_out) for
+  transcoder capture.
+
+Numerics match the composed bf16 XLA path (LN/softmax/GELU internals
+in f32, matmuls bf16 with f32 accumulation) to bf16 rounding; the f32
+parity mode never routes here.  Forward-only (extraction/analysis);
+training never differentiates through Whisper (reference freezes it,
+train.py:267-299).
+
+Replaces the per-op composition of the reference's hook-based capture
+path (reference src/whisper_sae/sae/hooks.py:146-210) on the hot
+extraction path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_sae import pick_block_rows
+
+LN_EPS = 1e-5
+
+
+def _ln_f32(x32, g_ref, b_ref):
+    """Row layer norm on an f32 value; params broadcast from [1, D]."""
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    return (x32 - mean) * jax.lax.rsqrt(var + LN_EPS) * g_ref[:] + b_ref[:]
+
+
+def _erf_f32(x):
+    """erf for Mosaic (no native lowering): Abramowitz & Stegun 7.1.26,
+    max abs error 1.5e-7 — three decades below the bf16 rounding the
+    fused path's outputs carry anyway.  Built from mul/add/div/exp only."""
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + np.float32(0.3275911) * ax)
+    poly = t * (
+        np.float32(0.254829592)
+        + t * (
+            np.float32(-0.284496736)
+            + t * (
+                np.float32(1.421413741)
+                + t * (np.float32(-1.453152027) + t * np.float32(1.061405429))
+            )
+        )
+    )
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.where(x < 0, -y, y)
+
+
+# ---------------------------------------------------------------------------
+# attention block
+# ---------------------------------------------------------------------------
+
+
+def _attention_block_kernel(
+    x_ref, g_ref, b_ref, wq_ref, bq_ref, wk_ref, wv_ref, bv_ref,
+    wo_ref, bo_ref, o_ref, *, n_heads: int, head_dim: int, t_real: int,
+    scale: float,
+):
+    xb = x_ref[0]  # [T_pad, D] bf16
+    xln = _ln_f32(xb.astype(jnp.float32), g_ref, b_ref).astype(jnp.bfloat16)
+
+    q = (
+        jnp.dot(xln, wq_ref[:], preferred_element_type=jnp.float32)
+        + bq_ref[:]
+    ) * scale
+    q = q.astype(jnp.bfloat16)
+    k = jnp.dot(xln, wk_ref[:], preferred_element_type=jnp.float32).astype(
+        jnp.bfloat16
+    )
+    v = (
+        jnp.dot(xln, wv_ref[:], preferred_element_type=jnp.float32)
+        + bv_ref[:]
+    ).astype(jnp.bfloat16)
+
+    outs = []
+    col = None
+    for h in range(n_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [T_pad, T_pad]
+        if col is None:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        # mask pad KEY columns; -1e30 (not -inf) keeps pad QUERY rows
+        # finite (they are sliced off by the caller)
+        s = jnp.where(col < t_real, s, -1e30)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append((o / denom).astype(jnp.bfloat16))
+    attn = jnp.concatenate(outs, axis=1)  # [T_pad, D]
+
+    y = (
+        jnp.dot(attn, wo_ref[:], preferred_element_type=jnp.float32)
+        + bo_ref[:]
+    ).astype(jnp.bfloat16)
+    o_ref[0] = xb + y
+
+
+def fused_attention_block(
+    x: jax.Array,
+    ln_g: jax.Array,
+    ln_b: jax.Array,
+    p: dict[str, jax.Array],
+    *,
+    n_heads: int,
+    t_real: int,
+) -> jax.Array:
+    """x + out_proj(attention(LN(x))) in one kernel.
+
+    x: [B, T_pad, D] bf16 with T_pad a multiple of 128; rows at
+    t >= t_real are padding (masked out of the softmax as keys; their
+    own outputs are garbage the caller slices off).  Exactly the
+    pre-LN encoder self-attention sublayer (HF Whisper semantics:
+    q/v/out biased, k unbiased, q scaled by head_dim**-0.5;
+    reference hooks capture its post-residual output, hooks.py:87-110).
+    """
+    b, t_pad, d = x.shape
+    head_dim = d // n_heads
+    kern = functools.partial(
+        _attention_block_kernel,
+        n_heads=n_heads,
+        head_dim=head_dim,
+        t_real=t_real,
+        scale=float(head_dim) ** -0.5,
+    )
+    full = lambda i: (0, 0)  # noqa: E731 — whole-array weight blocks
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, d), jnp.bfloat16),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, t_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=b * (8 * t_pad * d * d + 4 * t_pad * t_pad * d),
+            bytes_accessed=2 * b * t_pad * d * 2 + 4 * d * d * 2,
+            transcendentals=b * n_heads * t_pad * t_pad,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+            dimension_semantics=("arbitrary",),
+        ),
+    )(
+        x,
+        ln_g.reshape(1, d).astype(jnp.float32),
+        ln_b.reshape(1, d).astype(jnp.float32),
+        p["wq"].astype(jnp.bfloat16),
+        p["bq"].reshape(1, d).astype(jnp.float32),
+        p["wk"].astype(jnp.bfloat16),
+        p["wv"].astype(jnp.bfloat16),
+        p["bv"].reshape(1, d).astype(jnp.float32),
+        p["wo"].astype(jnp.bfloat16),
+        p["bo"].reshape(1, d).astype(jnp.float32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MLP block
+# ---------------------------------------------------------------------------
+
+
+def _mlp_block_kernel(
+    x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, *out_refs,
+    capture: bool,
+):
+    if capture:
+        o_ref, min_ref, mout_ref = out_refs
+    else:
+        (o_ref,) = out_refs
+    xb = x_ref[:]  # [rows, D] bf16
+    xln = _ln_f32(xb.astype(jnp.float32), g_ref, b_ref).astype(jnp.bfloat16)
+    h = (
+        jnp.dot(xln, w1_ref[:], preferred_element_type=jnp.float32)
+        + b1_ref[:]
+    )
+    # exact (erf) GELU in f32, matching jax.nn.gelu(approximate=False)
+    # to 1.5e-7 (Mosaic has no erf primitive — see _erf_f32)
+    h = h * 0.5 * (1.0 + _erf_f32(h * np.float32(2.0**-0.5)))
+    h = h.astype(jnp.bfloat16)
+    y = (
+        jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+        + b2_ref[:]
+    ).astype(jnp.bfloat16)
+    o_ref[:] = xb + y
+    if capture:
+        min_ref[:] = xln
+        mout_ref[:] = y
+
+
+def fused_mlp_block(
+    x: jax.Array,
+    ln_g: jax.Array,
+    ln_b: jax.Array,
+    p: dict[str, jax.Array],
+    *,
+    capture: bool = False,
+):
+    """x + fc2(gelu_erf(fc1(LN(x)))) in one kernel.
+
+    x: [N, D] bf16 rows (token-flattened).  With ``capture``, also
+    returns (mlp_in, mlp_out) — the post-LN fc1 input and the
+    pre-residual fc2 output, the transcoder's training pair
+    (models/whisper.py:_encoder_layer).  The [N, F] GELU hidden never
+    touches HBM.
+    """
+    n, d = x.shape
+    f = p["w1"].shape[1]
+    rows = pick_block_rows(n, f, d)
+    full = lambda i: (0, 0)  # noqa: E731
+    out_shape = [jax.ShapeDtypeStruct((n, d), jnp.bfloat16)]
+    row_spec = pl.BlockSpec((rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_specs = [row_spec]
+    if capture:
+        out_shape += [
+            jax.ShapeDtypeStruct((n, d), jnp.bfloat16),
+            jax.ShapeDtypeStruct((n, d), jnp.bfloat16),
+        ]
+        out_specs += [row_spec, row_spec]
+    outs = pl.pallas_call(
+        functools.partial(_mlp_block_kernel, capture=capture),
+        out_shape=tuple(out_shape),
+        grid=(n // rows,),
+        in_specs=[
+            row_spec,
+            pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, f), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * d * f,
+            bytes_accessed=2 * n * d * 2 + 2 * d * f * 2,
+            transcendentals=n * f,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+            dimension_semantics=("arbitrary",),
+        ),
+    )(
+        x,
+        ln_g.reshape(1, d).astype(jnp.float32),
+        ln_b.reshape(1, d).astype(jnp.float32),
+        p["w1"].astype(jnp.bfloat16),
+        p["b1"].reshape(1, f).astype(jnp.float32),
+        p["w2"].astype(jnp.bfloat16),
+        p["b2"].reshape(1, d).astype(jnp.float32),
+    )
+    if capture:
+        return outs
+    return outs[0]
+
+
+# ---------------------------------------------------------------------------
+# conv stem
+# ---------------------------------------------------------------------------
+
+
+def _shift_down(a):
+    """rows move +1 (row t holds a[t-1]); zero row enters at t=0."""
+    return jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]], axis=0)
+
+
+def _shift_up(a):
+    """rows move -1 (row t holds a[t+1]); zero row enters at the end."""
+    return jnp.concatenate([a[1:], jnp.zeros_like(a[:1])], axis=0)
+
+
+def _conv_stem_kernel(
+    even_ref, odd_ref, w1a_ref, w1b_ref, w1c_ref, b1_ref,
+    w2a_ref, w2b_ref, w2c_ref, b2_ref, pos_ref, o_ref,
+):
+    even = even_ref[0]  # [T_out_pad, n_mels] bf16 (mel columns 0,2,4,...)
+    odd = odd_ref[0]    # columns 1,3,5,...
+
+    def dot(a, w_ref):
+        return jax.lax.dot_general(
+            a, w_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def gelu(h):
+        return h * 0.5 * (1.0 + _erf_f32(h * np.float32(2.0**-0.5)))
+
+    # conv1 (k=3, pad 1, stride 1) split into even/odd output rows:
+    # h[2t]   = x[2t-1] W0 + x[2t] W1 + x[2t+1] W2
+    # h[2t+1] = x[2t]   W0 + x[2t+1] W1 + x[2t+2] W2
+    h_even = dot(_shift_down(odd), w1a_ref) + dot(even, w1b_ref) \
+        + dot(odd, w1c_ref) + b1_ref[:]
+    h_odd = dot(even, w1a_ref) + dot(odd, w1b_ref) \
+        + dot(_shift_up(even), w1c_ref) + b1_ref[:]
+    h_even = gelu(h_even).astype(jnp.bfloat16)
+    h_odd = gelu(h_odd).astype(jnp.bfloat16)
+
+    # conv2 (k=3, pad 1, stride 2): out[t] = h[2t-1] W0 + h[2t] W1 + h[2t+1] W2
+    out = dot(_shift_down(h_odd), w2a_ref) + dot(h_even, w2b_ref) \
+        + dot(h_odd, w2c_ref) + b2_ref[:]
+    out = gelu(out).astype(jnp.bfloat16)
+    o_ref[0] = out + pos_ref[:]
+
+
+def fused_conv_stem(
+    mel: jax.Array, enc: dict, t_pad: int
+) -> jax.Array:
+    """Whisper conv frontend in one kernel per clip: Conv1d(k3,p1) + GELU
+    + Conv1d(k3,s2,p1) + GELU + positional embedding.
+
+    mel: [B, n_mels, T_mel] bf16 (T_mel even).  Returns [B, t_pad, D]
+    bf16 with rows >= T_mel//2 as finite padding (zero-extended input).
+    The convs run as six shifted matmuls on even/odd column splits (the
+    stride-2 second conv consumes the interleaved halves directly), so
+    the [T_mel, D] GELU hidden never touches HBM.  Semantics match the
+    XLA stem (models/whisper.py:encoder_forward; HF conv1/conv2,
+    reference hooks capture downstream of it) to bf16 rounding.
+    """
+    b, n_mels, t_mel = mel.shape
+    t_out = t_mel // 2
+    d = enc["conv1_b"].shape[0]
+    # even/odd time-column splits, transposed to [B, T_out, n_mels] and
+    # zero-padded to t_pad rows (XLA prep, ~2 x 38 MB at whisper scale)
+    mel_t = mel.transpose(0, 2, 1)
+    even = mel_t[:, 0::2]
+    odd = mel_t[:, 1::2]
+    if t_pad != t_out:
+        pad = ((0, 0), (0, t_pad - t_out), (0, 0))
+        even = jnp.pad(even, pad)
+        odd = jnp.pad(odd, pad)
+    w1 = enc["conv1_w"].astype(jnp.bfloat16)  # [D, n_mels, 3]
+    w2 = enc["conv2_w"].astype(jnp.bfloat16)  # [D, D, 3]
+    pos = enc["pos"][:t_out].astype(jnp.bfloat16)
+    if t_pad != t_out:
+        pos = jnp.pad(pos, ((0, t_pad - t_out), (0, 0)))
+    full = lambda i: (0, 0)  # noqa: E731
+    item = lambda i: (i, 0, 0)  # noqa: E731
+    return pl.pallas_call(
+        _conv_stem_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, d), jnp.bfloat16),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, t_pad, n_mels), item, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, n_mels), item, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_mels, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_mels, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_mels, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_pad, d), full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t_pad, d), item, memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=b * t_pad * d * (6 * n_mels + 6 * d),
+            bytes_accessed=2 * b * t_pad * n_mels * 2 + b * t_pad * d * 2,
+            transcendentals=3 * b * t_pad * d,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+            dimension_semantics=("arbitrary",),
+        ),
+    )(
+        even, odd,
+        w1[:, :, 0].T, w1[:, :, 1].T, w1[:, :, 2].T,
+        enc["conv1_b"].reshape(1, d).astype(jnp.float32),
+        w2[:, :, 0].T, w2[:, :, 1].T, w2[:, :, 2].T,
+        enc["conv2_b"].reshape(1, d).astype(jnp.float32),
+        pos,
+    )
+
+
+def stem_supported(n_mels: int, t_mel: int, d: int) -> bool:
+    """The fused conv stem needs the TPU backend, an even mel length,
+    and a lane-aligned model dim (n_mels may be ragged — 80/128 both
+    pad into one lane tile)."""
+    try:
+        platform = jax.default_backend()
+    except Exception:  # pragma: no cover
+        return False
+    return platform not in ("cpu",) and t_mel % 2 == 0 and d % 128 == 0
+
+
+# ---------------------------------------------------------------------------
+# support predicate
+# ---------------------------------------------------------------------------
+
+# whole-item attention scratch: x/q/k/v/attn [T,D] bf16 + one [T,T] f32
+# score + bf16 probs per head, plus weights — bound T and D so the
+# working set stays under the 128 MB VMEM budget
+_MAX_T_PAD = 2048
+_MAX_D = 1536
+
+
+def supported(t_pad: int, d: int, n_heads: int) -> bool:
+    """Fused encoder blocks need the TPU backend, lane-aligned dims, and
+    the whole-batch-item working set within VMEM."""
+    try:
+        platform = jax.default_backend()
+    except Exception:  # pragma: no cover
+        return False
+    if platform in ("cpu",):
+        return False
+    if d % n_heads != 0:
+        return False
+    head_dim = d // n_heads
+    return (
+        head_dim % 8 == 0
+        and d % 128 == 0
+        and t_pad % 128 == 0
+        and t_pad <= _MAX_T_PAD
+        and d <= _MAX_D
+    )

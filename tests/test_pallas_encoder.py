@@ -1,0 +1,162 @@
+"""CPU guard for the fused encoder layer blocks (ops/pallas_encoder.py)
+via Pallas interpret mode, against the composed bf16 XLA encoder layer.
+
+The kernels are TPU-gated (``pallas_encoder.supported`` rejects CPU), so
+the unit suite never runs them compiled; ``scripts/check_tpu_kernels.py``
+verifies them on-chip.  Small shapes: interpret mode executes serially.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from whisper_sae_tpu.models import whisper as W
+from whisper_sae_tpu.ops import pallas_encoder as pe
+
+B, T, D, HEADS, F = 2, 100, 128, 2, 256
+T_PAD = 128
+BF = jnp.bfloat16
+
+
+@pytest.fixture(scope="module")
+def layer():
+    arch = W.WhisperArch(d_model=D, encoder_layers=1, decoder_layers=1,
+                         num_heads=HEADS, ffn_dim=F)
+    params = W.init_whisper(jax.random.PRNGKey(0), arch)
+    lp = jax.tree_util.tree_map(lambda a: a[0], params["encoder"]["layers"])
+    lp16 = jax.tree_util.tree_map(lambda a: a.astype(BF), lp)
+    x = (jax.random.normal(jax.random.PRNGKey(1), (B, T, D), jnp.float32)
+         .astype(BF))
+    return lp16, x, arch
+
+
+def _pad(x):
+    return jnp.pad(x, ((0, 0), (0, T_PAD - T), (0, 0)))
+
+
+class TestFusedAttentionBlock:
+    def test_matches_composed_attention_sublayer(self, layer):
+        lp, x, arch = layer
+        ln = W._layer_norm(x, lp["ln1_g"], lp["ln1_b"])
+        want = x + W._attention(ln, ln, lp["attn"], HEADS, causal=False)
+        with pltpu.force_tpu_interpret_mode():
+            got = pe.fused_attention_block(
+                _pad(x), lp["ln1_g"], lp["ln1_b"], lp["attn"],
+                n_heads=HEADS, t_real=T,
+            )[:, :T]
+        np.testing.assert_allclose(
+            got.astype(jnp.float32), want.astype(jnp.float32),
+            atol=3e-2, rtol=0,
+        )
+
+    def test_pad_rows_stay_finite(self, layer):
+        lp, x, _ = layer
+        with pltpu.force_tpu_interpret_mode():
+            got = pe.fused_attention_block(
+                _pad(x), lp["ln1_g"], lp["ln1_b"], lp["attn"],
+                n_heads=HEADS, t_real=T,
+            )
+        assert bool(jnp.all(jnp.isfinite(got.astype(jnp.float32))))
+
+
+class TestFusedMLPBlock:
+    def test_matches_composed_mlp_sublayer(self, layer):
+        lp, x, _ = layer
+        mlp_in = W._layer_norm(x, lp["ln2_g"], lp["ln2_b"])
+        mlp_out = W._mlp(mlp_in, lp["mlp"])
+        want = x + mlp_out
+        flat = x.reshape(B * T, D)
+        with pltpu.force_tpu_interpret_mode():
+            got, got_in, got_out = pe.fused_mlp_block(
+                flat, lp["ln2_g"], lp["ln2_b"], lp["mlp"], capture=True
+            )
+        np.testing.assert_allclose(
+            got.reshape(B, T, D).astype(jnp.float32),
+            want.astype(jnp.float32), atol=3e-2, rtol=0,
+        )
+        np.testing.assert_allclose(
+            got_in.reshape(B, T, D).astype(jnp.float32),
+            mlp_in.astype(jnp.float32), atol=1e-2, rtol=0,
+        )
+        np.testing.assert_allclose(
+            got_out.reshape(B, T, D).astype(jnp.float32),
+            mlp_out.astype(jnp.float32), atol=3e-2, rtol=0,
+        )
+
+    def test_single_output_mode(self, layer):
+        lp, x, _ = layer
+        flat = x.reshape(B * T, D)
+        with pltpu.force_tpu_interpret_mode():
+            got = pe.fused_mlp_block(
+                flat, lp["ln2_g"], lp["ln2_b"], lp["mlp"], capture=False
+            )
+        assert got.shape == (B * T, D)
+
+
+class TestFusedEncoderStack:
+    def test_matches_composed_encoder_forward(self, layer):
+        """Full fused stack (pad once -> attention+MLP kernels per layer ->
+        slice) against the composed bf16 encoder_forward."""
+        arch = W.WhisperArch(d_model=D, encoder_layers=2, decoder_layers=1,
+                             num_heads=HEADS, ffn_dim=F)
+        params = W.init_whisper(jax.random.PRNGKey(2), arch)
+        p16 = jax.tree_util.tree_map(lambda a: a.astype(BF), params)
+        x = (jax.random.normal(jax.random.PRNGKey(3), (B, T, D), jnp.float32)
+             .astype(BF) * 0.5)
+        # composed path
+        def body(h, lp):
+            h, mi, mo = W._encoder_layer(h, lp, HEADS)
+            return h, (h, mi, mo)
+        want_x, (want_layers, want_mi, want_mo) = jax.lax.scan(
+            body, x, p16["encoder"]["layers"]
+        )
+        with pltpu.force_tpu_interpret_mode():
+            got_x, got_layers, (got_mi, got_mo) = W._fused_encoder_layers(
+                x, p16["encoder"], arch, with_mlp=True
+            )
+        for got, want in [(got_x, want_x), (got_layers, want_layers),
+                          (got_mi, want_mi), (got_mo, want_mo)]:
+            np.testing.assert_allclose(
+                got.astype(jnp.float32), want.astype(jnp.float32),
+                atol=6e-2, rtol=0,
+            )
+
+    def test_supported_gates_cpu(self):
+        assert not pe.supported(1536, 384, 6)  # CPU backend in tests
+        assert not pe.stem_supported(80, 3000, 384)
+
+
+class TestFusedConvStem:
+    def test_matches_xla_stem(self):
+        """Shifted-matmul conv decomposition vs jax.lax.conv + GELU + pos."""
+        arch = W.WhisperArch(d_model=D, encoder_layers=1, decoder_layers=1,
+                             num_heads=HEADS, ffn_dim=F, n_mels=80,
+                             max_source_positions=T)
+        params = W.init_whisper(jax.random.PRNGKey(4), arch)
+        enc16 = jax.tree_util.tree_map(
+            lambda a: a.astype(BF), params["encoder"]
+        )
+        mel = (jax.random.normal(jax.random.PRNGKey(5), (B, 80, 2 * T),
+                                 jnp.float32) * 0.3).astype(BF)
+        dn = ("NCH", "OIH", "NCH")
+        x = jax.lax.conv_general_dilated(
+            mel, enc16["conv1_w"], (1,), [(1, 1)], dimension_numbers=dn
+        ) + enc16["conv1_b"][None, :, None]
+        x = jax.nn.gelu(x, approximate=False)
+        x = jax.lax.conv_general_dilated(
+            x, enc16["conv2_w"], (2,), [(1, 1)], dimension_numbers=dn
+        ) + enc16["conv2_b"][None, :, None]
+        x = jax.nn.gelu(x, approximate=False)
+        want = x.transpose(0, 2, 1) + enc16["pos"][:T]
+        with pltpu.force_tpu_interpret_mode():
+            got = pe.fused_conv_stem(mel, enc16, T_PAD)
+        assert got.shape == (B, T_PAD, D)
+        np.testing.assert_allclose(
+            got[:, :T].astype(jnp.float32), want.astype(jnp.float32),
+            atol=3e-2, rtol=0,
+        )
+        assert bool(jnp.all(jnp.isfinite(got.astype(jnp.float32))))
