@@ -680,6 +680,7 @@ def analyze(
     cache_dir: str | Path = CACHE_DIR,
     output_dir: str | Path = OUTPUT_DIR,
     experiment_name: str = "launch",
+    dashboard: bool = False,
 ) -> dict:
     """Feature-analysis job over a trained SAE and its activation cache.
 
@@ -751,6 +752,10 @@ def analyze(
         "elapsed_s": round(time.time() - t0, 1),
         "analysis_dir": str(analysis_dir),
     }
+    if dashboard:
+        from whisper_sae_tpu.analysis import generate_dashboard
+
+        result["dashboard"] = str(generate_dashboard(analysis_dir))
     (analysis_dir / "analysis_log.json").write_text(json.dumps(result, indent=2))
     return result
 
@@ -879,6 +884,9 @@ def main() -> None:
     pa.add_argument("--cache-dir", default=str(CACHE_DIR))
     pa.add_argument("--output-dir", default=str(OUTPUT_DIR))
     pa.add_argument("--experiment-name", default="launch")
+    pa.add_argument("--dashboard", action="store_true",
+                    help="also render a self-contained dashboard.html over "
+                         "the reports (audio clips linked when present)")
 
     args = p.parse_args()
     if getattr(args, "supervise", False):
@@ -958,6 +966,7 @@ def main() -> None:
             cache_dir=args.cache_dir,
             output_dir=args.output_dir,
             experiment_name=args.experiment_name,
+            dashboard=args.dashboard,
         )
     else:
         common = dict(

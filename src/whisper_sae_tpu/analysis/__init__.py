@@ -10,6 +10,7 @@ from .audio_extraction import (
     create_librispeech_audio_loader,
     create_synthetic_audio_loader,
 )
+from .dashboard import generate_dashboard
 from .feature_viz import (
     FeatureActivation,
     FeatureInterpretation,
@@ -28,5 +29,6 @@ __all__ = [
     "collect_top_activations",
     "create_indexed_audio_loader",
     "create_librispeech_audio_loader",
+    "generate_dashboard",
     "create_synthetic_audio_loader",
 ]

@@ -293,3 +293,50 @@ class TestCollectTopActivations:
             assert hidden[e.sample_idx, e.feature_idx] == pytest.approx(
                 e.activation_value, rel=1e-5
             )
+
+
+class TestDashboard:
+    def _reports(self, tmp_path):
+        tracker = TopKTracker(num_features=F, k=3)
+        acts = np.zeros((3, F), np.float32)
+        acts[0, 0] = 5.0
+        acts[1, 1] = 3.0
+        acts[2, 1] = 1.0
+        tracker.update(acts, sample_indices=[0, 1, 2],
+                       transcriptions=["hello <world>", "b", "c"])
+        report = FeatureReport(tracker, tmp_path / "analysis")
+        report.add_interpretation(0, "phonetic", "vowel onset", 0.8)
+        report.save_reports(top_n=2)
+        return tmp_path / "analysis"
+
+    def test_generates_self_contained_html(self, tmp_path):
+        from whisper_sae_tpu.analysis import generate_dashboard
+
+        adir = self._reports(tmp_path)
+        out = generate_dashboard(adir)
+        assert out == adir / "dashboard.html"
+        doc = out.read_text()
+        assert "<!doctype html>" in doc
+        assert 'id="feature-0"' in doc and 'id="feature-1"' in doc
+        assert "5.000" in doc  # max activation rendered
+        assert "vowel onset" in doc  # interpretation rendered
+        assert "hello &lt;world&gt;" in doc  # transcription escaped
+        assert "<script" not in doc  # static, no JS
+
+    def test_links_audio_clips_relative(self, tmp_path):
+        from whisper_sae_tpu.analysis import generate_dashboard
+
+        adir = self._reports(tmp_path)
+        clip = adir / "audio" / "feature_00000" / "rank00_act5.000.wav"
+        clip.parent.mkdir(parents=True)
+        clip.write_bytes(b"RIFF")
+        doc = generate_dashboard(adir).read_text()
+        assert 'src="audio/feature_00000/rank00_act5.000.wav"' in doc
+
+    def test_top_n_caps_listing(self, tmp_path):
+        from whisper_sae_tpu.analysis import generate_dashboard
+
+        adir = self._reports(tmp_path)
+        doc = generate_dashboard(adir, top_n=1).read_text()
+        assert 'id="feature-0"' in doc
+        assert 'id="feature-1"' not in doc

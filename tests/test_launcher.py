@@ -360,8 +360,12 @@ class TestAnalyzeJob:
             batch_samples=3,  # forces a remainder sample batch
             cache_dir=cache_dir,
             output_dir=tmp_path / "out",
+            dashboard=True,
         )
         adir = Path(res["analysis_dir"])
+        dash = Path(res["dashboard"])
+        assert dash == adir / "dashboard.html"
+        assert 'id="feature-' in dash.read_text()
         assert res["num_samples"] == 4 and res["num_tokens"] == 4096
         summary = json.loads((adir / "summary.json").read_text())
         assert len(summary["top_features"]) == 10
