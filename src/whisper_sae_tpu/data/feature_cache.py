@@ -483,6 +483,9 @@ def extract_and_cache_features(
             # casting f32 captures here, minus the [L,B,T,D] f32 HBM
             # round-trip); select()'s astype becomes a no-op
             capture_dtype=jnp.bfloat16 if transfer_bf16 else None,
+            # GSPMD replicates opaque pallas_calls: the sharded path keeps
+            # the composed XLA encoder, which partitions over the batch
+            use_fused_encoder=mesh is None,
         )  # async dispatch: the device starts while the host drains batch i-1
         pulled = []
         if encoder_layers:

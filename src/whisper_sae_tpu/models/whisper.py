@@ -272,7 +272,8 @@ def _fused_encoder_layers(x, enc, arch: WhisperArch, with_mlp: bool,
 
 
 def encoder_forward(
-    params: dict, mel: jax.Array, arch: WhisperArch, with_mlp: bool = False
+    params: dict, mel: jax.Array, arch: WhisperArch, with_mlp: bool = False,
+    use_fused: bool = True,
 ):
     """Encoder forward.
 
@@ -283,6 +284,11 @@ def encoder_forward(
             transcoder's training data (post-LN2 fc1 input, pre-residual
             fc2 output).  When False the pairs are dead code and XLA
             eliminates them (the fused TPU path skips computing them).
+        use_fused: allow the fused Pallas encoder blocks in bf16 on TPU.
+            Mesh-sharded extraction passes False — GSPMD treats a
+            pallas_call as opaque (replicates instead of partitioning
+            over the batch), so the sharded path keeps the composed XLA
+            stack that partitions cleanly.
 
     Returns:
         (last_hidden [B, T, D] — after the final layer_norm,
@@ -293,7 +299,7 @@ def encoder_forward(
     enc = params["encoder"]
     t_out = mel.shape[2] // 2
     x = None
-    if mel.dtype == jnp.bfloat16 and _use_fused_encoder(t_out, arch):
+    if use_fused and mel.dtype == jnp.bfloat16 and _use_fused_encoder(t_out, arch):
         from ..ops import pallas_encoder
 
         if pallas_encoder.stem_supported(mel.shape[1], mel.shape[2], arch.d_model):
@@ -317,7 +323,7 @@ def encoder_forward(
     else:
         stem_fused = True
 
-    if x.dtype == jnp.bfloat16 and _use_fused_encoder(t_out, arch):
+    if use_fused and x.dtype == jnp.bfloat16 and _use_fused_encoder(t_out, arch):
         x, layer_outputs, mlp_pair = _fused_encoder_layers(
             x, enc, arch, with_mlp, t_real=t_out if stem_fused else None
         )
@@ -369,7 +375,7 @@ def decoder_forward(
     jax.jit,
     static_argnames=(
         "arch", "apply_layer_norm", "with_decoder", "compute_dtype",
-        "with_mlp", "capture_dtype",
+        "with_mlp", "capture_dtype", "use_fused_encoder",
     ),
 )
 def extract_activations(
@@ -381,6 +387,7 @@ def extract_activations(
     compute_dtype=None,
     with_mlp: bool = False,
     capture_dtype=None,
+    use_fused_encoder: bool = True,
 ) -> dict[str, jax.Array]:
     """Functional replacement for the reference's hook pipeline
     (hooks.py:146-210): run the encoder, then the decoder on a single
@@ -418,10 +425,12 @@ def extract_activations(
         mel = mel.astype(compute_dtype)
     if with_mlp:
         enc_last, enc_layers, (enc_min, enc_mout) = encoder_forward(
-            params, mel, arch, with_mlp=True
+            params, mel, arch, with_mlp=True, use_fused=use_fused_encoder
         )
     else:
-        enc_last, enc_layers = encoder_forward(params, mel, arch)
+        enc_last, enc_layers = encoder_forward(
+            params, mel, arch, use_fused=use_fused_encoder
+        )
         enc_min = enc_mout = None
     enc_last = enc_last.astype(jnp.float32)
     enc_layers = enc_layers.astype(out_dt)
