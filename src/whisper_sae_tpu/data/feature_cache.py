@@ -473,8 +473,7 @@ def extract_and_cache_features(
         mel = jnp.asarray(batch)
         if mesh is not None:
             mel = place_mel(mesh, mel)
-        acts = extract_activations(
-            whisper_params, mel, arch,
+        capture_kwargs = dict(
             apply_layer_norm=apply_layer_norm,
             with_decoder=bool(decoder_layers),
             compute_dtype=compute_dtype,
@@ -483,10 +482,20 @@ def extract_and_cache_features(
             # casting f32 captures here, minus the [L,B,T,D] f32 HBM
             # round-trip); select()'s astype becomes a no-op
             capture_dtype=jnp.bfloat16 if transfer_bf16 else None,
-            # GSPMD replicates opaque pallas_calls: the sharded path keeps
-            # the composed XLA encoder, which partitions over the batch
-            use_fused_encoder=mesh is None,
-        )  # async dispatch: the device starts while the host drains batch i-1
+        )
+        if mesh is not None:
+            # shard_map (not GSPMD): explicit batch partitioning keeps
+            # the fused Pallas encoder blocks, which GSPMD would treat
+            # as opaque and replicate
+            from ..parallel.extraction import extract_activations_shard_map
+
+            acts = extract_activations_shard_map(
+                whisper_params, mel, arch, mesh, **capture_kwargs
+            )
+        else:
+            acts = extract_activations(
+                whisper_params, mel, arch, **capture_kwargs
+            )  # async dispatch: device starts while the host drains i-1
         pulled = []
         if encoder_layers:
             pulled.append((select(acts["encoder"], encoder_layers, rows), encoder_layers, writers_e))

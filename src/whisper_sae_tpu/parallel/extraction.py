@@ -16,6 +16,7 @@ replacement for "spin up more extraction GPUs".
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -63,3 +64,71 @@ def extract_activations_sharded(
         with_decoder=with_decoder,
         compute_dtype=compute_dtype,
     )
+
+
+@functools.lru_cache(maxsize=8)
+def _shard_map_extract_fn(
+    mesh: Mesh, arch: WhisperArch, apply_layer_norm: bool, with_decoder: bool,
+    compute_dtype, with_mlp: bool, capture_dtype,
+):
+    """Build (once per flag set) the shard_mapped capture forward.
+
+    Unlike the GSPMD path above, shard_map partitions the batch
+    EXPLICITLY: each shard runs the whole single-device program —
+    including the fused Pallas encoder blocks, which GSPMD would treat
+    as opaque and replicate (models/whisper.py:encoder_forward's
+    ``use_fused`` note).  The forward is embarrassingly batch-parallel,
+    so there are no collectives and per-shard results are bitwise
+    identical to single-device extraction on the same rows.
+    """
+    def local(params, mel):
+        return extract_activations(
+            params, mel, arch,
+            apply_layer_norm=apply_layer_norm,
+            with_decoder=with_decoder,
+            compute_dtype=compute_dtype,
+            with_mlp=with_mlp,
+            capture_dtype=capture_dtype,
+        )
+
+    batch_layered = P(None, DATA_AXIS)  # [L, B, T, D]
+    out_specs = {"encoder": batch_layered, "encoder_last": P(DATA_AXIS)}
+    if with_mlp:
+        out_specs["encoder_mlp_in"] = batch_layered
+        out_specs["encoder_mlp_out"] = batch_layered
+    if with_decoder:
+        out_specs["decoder"] = batch_layered
+        if with_mlp:
+            out_specs["decoder_mlp_in"] = batch_layered
+            out_specs["decoder_mlp_out"] = batch_layered
+    return jax.jit(jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=out_specs,
+        # the forward has no collectives; pallas calls carry no varying-
+        # manifest rules, so the static vma check is skipped
+        check_vma=False,
+    ))
+
+
+def extract_activations_shard_map(
+    params: dict,
+    mel: Any,
+    arch: WhisperArch,
+    mesh: Mesh,
+    apply_layer_norm: bool = True,
+    with_decoder: bool = True,
+    compute_dtype=None,
+    with_mlp: bool = False,
+    capture_dtype=None,
+) -> dict[str, jax.Array]:
+    """Mesh extraction through shard_map: the ``data`` axis splits the
+    batch, every shard runs the full fast path (fused encoder blocks
+    included).  B must be divisible by the data-axis size (the
+    extraction driver pads ragged batches)."""
+    fn = _shard_map_extract_fn(
+        mesh, arch, apply_layer_norm, with_decoder, compute_dtype,
+        with_mlp, capture_dtype,
+    )
+    return fn(params, mel)
