@@ -332,8 +332,8 @@ def main() -> None:
     if not args.skip_extraction:
         # SURVEY §6 demands the harness record extraction throughput too;
         # carried as extra fields so the driver still sees ONE JSON line
-        try:
-            for mode in ("bf16", "f32"):
+        for mode in ("bf16", "f32"):
+            try:
                 ext = bench_extraction(dtype_name=mode)
                 result[f"extraction_clips_per_sec_{mode}"] = round(
                     ext["clips_per_sec"], 2
@@ -341,8 +341,8 @@ def main() -> None:
                 result[f"extraction_tokens_per_sec_per_layer_{mode}"] = round(
                     ext["activation_tokens_per_sec_per_layer"], 1
                 )
-        except Exception as e:  # pragma: no cover
-            print(f"extraction bench failed: {e}", file=sys.stderr)
+            except Exception as e:  # pragma: no cover
+                print(f"extraction bench ({mode}) failed: {e}", file=sys.stderr)
     print(json.dumps(result))
 
 
