@@ -760,6 +760,114 @@ def analyze(
     return result
 
 
+def transcribe_job(
+    inputs: list[str] | None = None,
+    model_name: str = "openai/whisper-tiny",
+    random_whisper: bool = False,
+    max_len: int = 224,
+    batch_size: int = 16,
+    output: str | Path | None = None,
+    num_synthetic: int = 0,
+) -> dict:
+    """Batch ASR job: wav files -> JAX mel frontend -> encoder ->
+    KV-cached greedy decode -> transcripts.json.
+
+    The reference never decodes at all (its decoder only ever sees a BOS
+    token, hooks.py:184-195); this surfaces the framework's own
+    end-to-end ASR path (models/whisper.py:transcribe) as a job.  Inputs
+    are wav paths and/or directories (searched for ``*.wav``);
+    ``num_synthetic`` adds random clips (useful offline with
+    ``--random-whisper``).  Without a HF tokenizer (offline), raw token
+    ids are written; with one, text too.
+    """
+    import numpy as np
+
+    from whisper_sae_tpu.data.mel import SAMPLE_RATE, log_mel_spectrogram
+    from whisper_sae_tpu.models.whisper import (
+        arch_for, greedy_decode_cached, init_whisper, load_pretrained,
+    )
+    from whisper_sae_tpu.utils.wavio import read_wav, resample
+
+    t0 = time.time()
+    import jax
+
+    if random_whisper:
+        arch = arch_for(model_name)
+        params = init_whisper(jax.random.PRNGKey(0), arch)
+    else:
+        params, arch = load_pretrained(model_name)
+
+    tokenizer = None
+    forced_ids = None
+    if not random_whisper:
+        try:  # pragma: no cover - requires network/HF cache
+            from transformers import WhisperTokenizer
+
+            tokenizer = WhisperTokenizer.from_pretrained(model_name)
+            prompt = tokenizer.get_decoder_prompt_ids()
+            forced_ids = tuple(tok for _, tok in sorted(prompt))
+        except Exception as e:
+            print(f"tokenizer unavailable ({e}); writing token ids only",
+                  file=sys.stderr)
+
+    names: list[str] = []
+    clips: list[np.ndarray] = []
+    n_samples = 30 * SAMPLE_RATE
+    for spec in inputs or []:
+        p = Path(spec)
+        paths = sorted(p.glob("*.wav")) if p.is_dir() else [p]
+        for wav in paths:
+            audio, rate = read_wav(wav)
+            if rate != SAMPLE_RATE:
+                audio = resample(audio, rate, SAMPLE_RATE)
+            names.append(str(wav))
+            clips.append(np.asarray(audio, np.float32))
+    rng = np.random.default_rng(0)
+    for i in range(num_synthetic):
+        names.append(f"synthetic_{i}")
+        clips.append(rng.standard_normal(n_samples).astype(np.float32) * 0.1)
+    if not clips:
+        raise ValueError("no inputs: pass wav paths/dirs or --num-synthetic")
+
+    def pad_or_trim(a: np.ndarray) -> np.ndarray:
+        if len(a) >= n_samples:
+            return a[:n_samples]
+        return np.pad(a, (0, n_samples - len(a)))
+
+    results: dict[str, dict] = {}
+    for lo in range(0, len(clips), batch_size):
+        batch = np.stack([pad_or_trim(c) for c in clips[lo:lo + batch_size]])
+        mel = log_mel_spectrogram(batch, n_mels=arch.n_mels)
+        ids = np.asarray(greedy_decode_cached(
+            params, mel, arch, max_len=max_len, forced_ids=forced_ids
+        ))
+        texts = (
+            tokenizer.batch_decode(ids, skip_special_tokens=True)
+            if tokenizer is not None else [None] * len(ids)
+        )
+        for name, row, text in zip(names[lo:lo + batch_size], ids, texts):
+            # trim the trailing EOS run for readability
+            toks = row.tolist()
+            while len(toks) > 1 and toks[-1] == arch.eos_token_id:
+                toks.pop()
+            entry: dict = {"token_ids": toks}
+            if text is not None:
+                entry["text"] = text
+            results[name] = entry
+
+    out = {
+        "model_name": model_name,
+        "num_clips": len(clips),
+        "elapsed_s": round(time.time() - t0, 1),
+        "transcripts": results,
+    }
+    if output:
+        Path(output).parent.mkdir(parents=True, exist_ok=True)
+        Path(output).write_text(json.dumps(out, indent=2))
+        print(f"wrote {output}")
+    return out
+
+
 def _add_supervise_flags(sp: argparse.ArgumentParser) -> None:
     sp.add_argument("--supervise", action="store_true",
                     help="run the job under a restart supervisor: crashed/"
@@ -888,6 +996,21 @@ def main() -> None:
                     help="also render a self-contained dashboard.html over "
                          "the reports (audio clips linked when present)")
 
+    pr = sub.add_parser(
+        "transcribe",
+        help="batch ASR: wav files/dirs -> greedy transcripts.json "
+             "(the reference has no decoding path at all)",
+    )
+    pr.add_argument("inputs", nargs="*",
+                    help="wav files and/or directories of *.wav")
+    pr.add_argument("--model-name", default="openai/whisper-tiny")
+    pr.add_argument("--random-whisper", action="store_true")
+    pr.add_argument("--max-len", type=int, default=224)
+    pr.add_argument("--batch-size", type=int, default=16)
+    pr.add_argument("--num-synthetic", type=int, default=0)
+    pr.add_argument("--output", default=None,
+                    help="transcripts JSON path (default: print summary only)")
+
     args = p.parse_args()
     if getattr(args, "supervise", False):
         # re-exec the same job without the supervisor flags; restarted
@@ -968,6 +1091,17 @@ def main() -> None:
             experiment_name=args.experiment_name,
             dashboard=args.dashboard,
         )
+    elif args.cmd == "transcribe":
+        out = transcribe_job(
+            inputs=args.inputs,
+            model_name=args.model_name,
+            random_whisper=args.random_whisper,
+            max_len=args.max_len,
+            batch_size=args.batch_size,
+            num_synthetic=args.num_synthetic,
+            output=args.output,
+        )
+        out = {k: v for k, v in out.items() if k != "transcripts"}
     else:
         common = dict(
             model_name=args.model_name,

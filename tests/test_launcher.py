@@ -399,3 +399,30 @@ class TestAnalyzeJob:
         with pytest.raises(FileNotFoundError):
             analyze(component="encoder", layer_idx=3,
                     cache_dir=tmp_path / "nocache", output_dir=tmp_path)
+
+
+class TestTranscribeJob:
+    def test_synthetic_offline(self, tmp_path):
+        """Random-weight ASR produces garbage tokens but a working
+        pipeline: wav + synthetic inputs, EOS-trimmed ids, JSON output."""
+        from launch import transcribe_job
+
+        from whisper_sae_tpu.utils.wavio import write_wav
+
+        wav = tmp_path / "clip.wav"
+        rng = np.random.default_rng(0)
+        write_wav(wav, rng.standard_normal(16000).astype(np.float32) * 0.1)
+        out_path = tmp_path / "transcripts.json"
+        res = transcribe_job(
+            inputs=[str(tmp_path)],  # directory form
+            random_whisper=True,
+            max_len=3,
+            num_synthetic=1,
+            output=out_path,
+        )
+        assert res["num_clips"] == 2
+        saved = json.loads(out_path.read_text())
+        assert set(saved["transcripts"]) == {str(wav), "synthetic_0"}
+        ids = saved["transcripts"][str(wav)]["token_ids"]
+        assert ids[0] == 50258  # BOS
+        assert 1 <= len(ids) <= 3
