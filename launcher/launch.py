@@ -51,6 +51,7 @@ def extract_features(
     use_mesh: bool = True,
     checkpoint_every: int | None = 2048,
     auto_resume: bool = True,
+    cache_dtype: str | None = None,
 ) -> dict:
     """Extraction job (reference modal_app/extract_features.py:42-327
     surface): streams audio, one jitted capture forward per batch, atomic
@@ -121,6 +122,7 @@ def extract_features(
         capture_mlp=capture_mlp,
         checkpoint_every=checkpoint_every,
         resume=auto_resume,
+        cache_dtype=cache_dtype,
     )
 
     # transcription sidecar for the analysis job (merge-preserving: a
@@ -899,6 +901,11 @@ def main() -> None:
     pe.add_argument("--checkpoint-every", type=int, default=2048,
                     help="checkpoint extraction progress every N samples "
                          "(0 disables)")
+    pe.add_argument("--cache-dtype", default=None,
+                    choices=["float32", "bfloat16"],
+                    help="shard storage dtype (default float32; bfloat16 "
+                         "halves disk + training reads, values identical "
+                         "to widening the bf16 transfer)")
     pe.add_argument("--no-resume", action="store_true",
                     help="ignore a previous run's extraction progress")
     _add_supervise_flags(pe)
@@ -1040,6 +1047,7 @@ def main() -> None:
             capture_mlp=args.capture_mlp,
             checkpoint_every=args.checkpoint_every or None,
             auto_resume=not args.no_resume,
+            cache_dtype=args.cache_dtype,
         )
     elif args.cmd == "train-transcoder":
         out = train_transcoder(

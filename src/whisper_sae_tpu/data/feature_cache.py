@@ -146,6 +146,18 @@ class CacheWriter:
         return meta
 
 
+def _view_stored_dtype(arr: np.ndarray, dtype_name: str | None) -> np.ndarray:
+    """Re-view a loaded shard to its metadata dtype.  .npy headers cannot
+    persist third-party dtypes, so bf16 shards parse back as void-2; the
+    cache metadata carries the real element type."""
+    if not dtype_name:
+        return arr
+    want = np.dtype(dtype_name)
+    if arr.dtype == want or arr.dtype.itemsize != want.itemsize:
+        return arr
+    return arr.view(want)
+
+
 class _LazyShardRows:
     """Lazy row access over multiple ``.npy`` shards (memmap per shard).
 
@@ -154,10 +166,13 @@ class _LazyShardRows:
     is never materialized.  ``np.asarray`` materializes explicitly (small
     caches only; guarded by callers' residency thresholds)."""
 
-    def __init__(self, paths: list[Path]):
+    def __init__(self, paths: list[Path], dtype: str | None = None):
         # memmaps open lazily-on-disk anyway (no data is read until rows
         # are touched), and carry shape/dtype without private header APIs
-        self._maps = [np.load(p, mmap_mode="r") for p in paths]
+        self._maps = [
+            _view_stored_dtype(np.load(p, mmap_mode="r"), dtype)
+            for p in paths
+        ]
         self._cum = np.cumsum([0] + [m.shape[0] for m in self._maps])
         self.dtype = self._maps[0].dtype
         self.shape = (int(self._cum[-1]),) + tuple(self._maps[0].shape[1:])
@@ -251,10 +266,14 @@ class FeatureCache:
         meta = self.load_metadata(component, layer_idx)
         shards = meta.shards or []
         if len(shards) == 1 and mmap:
-            arr = np.load(self.cache_dir / shards[0], mmap_mode="r")
+            arr = _view_stored_dtype(
+                np.load(self.cache_dir / shards[0], mmap_mode="r"), meta.dtype
+            )
         else:
             arr = np.concatenate(
-                [np.load(self.cache_dir / s) for s in shards], axis=0
+                [_view_stored_dtype(np.load(self.cache_dir / s), meta.dtype)
+                 for s in shards],
+                axis=0,
             )
         return arr, meta
 
@@ -267,8 +286,13 @@ class FeatureCache:
         meta = self.load_metadata(component, layer_idx)
         shards = meta.shards or []
         if len(shards) == 1:
-            return np.load(self.cache_dir / shards[0], mmap_mode="r"), meta
-        return _LazyShardRows([self.cache_dir / s for s in shards]), meta
+            arr = _view_stored_dtype(
+                np.load(self.cache_dir / shards[0], mmap_mode="r"), meta.dtype
+            )
+            return arr, meta
+        return _LazyShardRows(
+            [self.cache_dir / s for s in shards], dtype=meta.dtype
+        ), meta
 
     def save(self, features, component: Component, layer_idx: int, num_samples: int,
              shard_tokens: int = DEFAULT_SHARD_TOKENS) -> CacheMetadata:
@@ -296,7 +320,9 @@ class FeatureCache:
         if out_of_core:
             from ..runtime.shard_reader import PrefetchLoader, ShardReader
 
-            reader = ShardReader([self.cache_dir / s for s in meta.shards])
+            reader = ShardReader(
+                [self.cache_dir / s for s in meta.shards], dtype=meta.dtype
+            )
             return PrefetchLoader(
                 reader, batch_size=batch_size, shuffle=shuffle, seed=seed
             )
@@ -319,13 +345,20 @@ def extract_and_cache_features(
     capture_mlp: bool = False,
     checkpoint_every: int | None = None,
     resume: bool = False,
+    cache_dtype: str | None = None,
 ) -> None:
     """Extraction loop (reference feature_cache.py:200-306, hook-free).
 
     One jitted forward per batch returns [L, B, T, D] for all layers; the
     requested layers are flattened to [B*T, D] and streamed to shards.
     ``compute_dtype=jnp.bfloat16`` selects fast extraction (flash
-    attention + bf16 matmuls); activations are stored f32 either way.
+    attention + bf16 matmuls); activations are stored f32 by default.
+    ``cache_dtype="bfloat16"`` (bf16 fast mode only) writes bf16 shards
+    instead: bit-identical values to the f32 widening of the same
+    transfer (the data already carries bf16 precision), half the disk
+    and half the training-time read traffic, and no per-batch host-side
+    widening cast.  The training paths consume bf16 caches natively
+    (chunked fused epochs stage them as-is; kernels cast rows on entry).
     With ``mesh``, the batch is sharded over the ``data`` axis and GSPMD
     partitions the capture forward across chips (parallel/extraction.py).
 
@@ -347,8 +380,18 @@ def extract_and_cache_features(
     an uninterrupted run.  The reference's Modal extract job restarts
     from scratch on its 4 h timeout (modal_app/extract_features.py:45).
     """
-    writers_e = {l: cache.writer("encoder", l) for l in encoder_layers}
-    writers_d = {l: cache.writer("decoder", l) for l in decoder_layers}
+    transfer_bf16 = compute_dtype == jnp.bfloat16
+    if cache_dtype is None:
+        cache_dtype = "float32"
+    if cache_dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"unsupported cache_dtype {cache_dtype!r}")
+    if cache_dtype == "bfloat16" and not transfer_bf16:
+        raise ValueError("cache_dtype='bfloat16' requires bf16 compute "
+                         "(compute_dtype=jnp.bfloat16)")
+    store_bf16 = cache_dtype == "bfloat16"
+    wkw = dict(dtype=cache_dtype)
+    writers_e = {l: cache.writer("encoder", l, **wkw) for l in encoder_layers}
+    writers_d = {l: cache.writer("decoder", l, **wkw) for l in decoder_layers}
     writers_mlp: dict[str, dict[int, CacheWriter]] = {}
     if capture_mlp:
         # (mlp_in, mlp_out) pairs — transcoder training data the
@@ -357,7 +400,7 @@ def extract_and_cache_features(
         for comp, layers in (("encoder", encoder_layers), ("decoder", decoder_layers)):
             for kind in ("mlp_in", "mlp_out"):
                 writers_mlp[f"{comp}_{kind}"] = {
-                    l: cache.writer(f"{comp}_{kind}", l) for l in layers
+                    l: cache.writer(f"{comp}_{kind}", l, **wkw) for l in layers
                 }
 
     def _flat_writers() -> dict[str, CacheWriter]:
@@ -411,8 +454,6 @@ def extract_and_cache_features(
         whisper_params = replicate_params(mesh, whisper_params)
         n_data = mesh.shape[DATA_AXIS]
 
-    transfer_bf16 = compute_dtype == jnp.bfloat16
-
     def select(stack, layers, rows):
         # slice the requested layers (and any mesh-divisibility padding
         # rows) on-device before the transfer
@@ -430,7 +471,7 @@ def extract_and_cache_features(
     def drain(pulled):
         for stack, layers, writers in pulled:
             host = np.asarray(stack)  # one D2H per component per batch
-            if host.dtype != np.float32:
+            if host.dtype != np.float32 and not store_bf16:
                 host = host.astype(np.float32)
             for j, l in enumerate(sorted(layers)):
                 writers[l].append(host[j].reshape(-1, host.shape[-1]))

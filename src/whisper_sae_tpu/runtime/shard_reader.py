@@ -113,21 +113,33 @@ def _npy_header_info(path: Path) -> tuple[int, tuple[int, ...], np.dtype]:
 class ShardReader:
     """Row-gather over a set of .npy shards forming one [N, dim] dataset."""
 
-    def __init__(self, shard_paths: list[Path | str]):
+    def __init__(self, shard_paths: list[Path | str], dtype=None):
+        """``dtype`` overrides the parsed element type BY VIEW (same
+        itemsize): .npy headers cannot persist third-party dtypes, so
+        bf16 shards parse as void-2 and the cache metadata supplies the
+        real type."""
         self.paths = [Path(p) for p in shard_paths]
         offsets, rows = [], []
         self.dim = None
         self.dtype = None
         for p in self.paths:
-            off, shape, dtype = _npy_header_info(p)
+            off, shape, parsed = _npy_header_info(p)
             if len(shape) != 2:
                 raise ValueError(f"{p}: expected 2-D shard, got {shape}")
             if self.dim is None:
-                self.dim, self.dtype = shape[1], dtype
-            elif shape[1] != self.dim or dtype != self.dtype:
+                self.dim, self.dtype = shape[1], parsed
+            elif shape[1] != self.dim or parsed != self.dtype:
                 raise ValueError(f"{p}: inconsistent shard shape/dtype")
             offsets.append(off)
             rows.append(shape[0])
+        if dtype is not None:
+            dtype = np.dtype(dtype)
+            if dtype.itemsize != self.dtype.itemsize:
+                raise ValueError(
+                    f"dtype override {dtype} itemsize {dtype.itemsize} != "
+                    f"shard itemsize {self.dtype.itemsize}"
+                )
+            self.dtype = dtype
         self.rows_per_shard = rows
         self.num_rows = int(sum(rows))
         self.row_bytes = self.dim * self.dtype.itemsize
@@ -145,8 +157,12 @@ class ShardReader:
                 c_paths, len(self.paths), c_off, c_rows, self.row_bytes
             )
         if self._handle is None:
-            # numpy fallback: lazy memmaps
-            self._mmaps = [np.load(p, mmap_mode="r") for p in self.paths]
+            # numpy fallback: lazy memmaps (re-viewed when a dtype
+            # override applies — bf16 shards parse as void-2)
+            self._mmaps = [
+                m if m.dtype == self.dtype else m.view(self.dtype)
+                for m in (np.load(p, mmap_mode="r") for p in self.paths)
+            ]
             self._cum = np.cumsum([0] + rows)
 
     @property

@@ -426,3 +426,53 @@ class TestTranscribeJob:
         ids = saved["transcripts"][str(wav)]["token_ids"]
         assert ids[0] == 50258  # BOS
         assert 1 <= len(ids) <= 3
+
+
+class TestCacheDtype:
+    def test_bf16_cache_bit_identical_and_trainable(self, tmp_path):
+        """--cache-dtype bfloat16 shards carry exactly the widened-f32
+        cache's values (the transfer is bf16 either way) at half the
+        bytes, and the training job consumes them directly."""
+        import ml_dtypes
+
+        def run(sub, cache_dtype):
+            extract_features(
+                layers_encoder="0", layers_decoder="",
+                max_samples=4, batch_size=2, dataset="synthetic",
+                cache_dir=tmp_path / sub, random_whisper=True,
+                use_mesh=False, cache_dtype=cache_dtype,
+            )
+            cache = FeatureCache(
+                tmp_path / sub / "features", WhisperConfig(), DataConfig()
+            )
+            return cache.load("encoder", 0)
+
+        f32, meta32 = run("f32", None)
+        b16, meta16 = run("b16", "bfloat16")
+        assert meta32.dtype == "float32" and meta16.dtype == "bfloat16"
+        f32 = np.asarray(f32)
+        b16 = np.asarray(b16)
+        assert b16.dtype == ml_dtypes.bfloat16
+        assert b16.nbytes * 2 == f32.nbytes
+        np.testing.assert_array_equal(f32.astype(ml_dtypes.bfloat16), b16)
+
+        res = train_sae(
+            component="encoder", layer_idx=0, batch_size=512,
+            epochs=1, warmup_steps=0, use_amp=False,
+            cache_dir=tmp_path / "b16", output_dir=tmp_path / "out",
+        )
+        assert np.isfinite(res["final_loss"])
+
+    def test_bf16_cache_requires_bf16_compute(self, tmp_path):
+        from whisper_sae_tpu.data.feature_cache import (
+            extract_and_cache_features,
+        )
+
+        with pytest.raises(ValueError, match="requires bf16 compute"):
+            extract_and_cache_features(
+                {}, None, [], FeatureCache(
+                    tmp_path / "features", WhisperConfig(), DataConfig()
+                ),
+                encoder_layers=[0], decoder_layers=[],
+                cache_dtype="bfloat16", compute_dtype=None,
+            )
