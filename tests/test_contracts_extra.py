@@ -225,3 +225,31 @@ class TestTranscribe:
         tokens = transcribe(params, arch, audio, max_len=6)
         assert tokens.shape == (1, 6)
         assert int(tokens[0, 0]) == 42
+
+
+class TestWER:
+    def test_exact_match_zero(self):
+        from whisper_sae_tpu.utils.metrics import wer
+
+        assert wer("HELLO WORLD", "hello, world!") == 0.0
+
+    def test_known_edit_counts(self):
+        from whisper_sae_tpu.utils.metrics import wer
+
+        # 1 sub + 1 del over 4 ref words
+        assert wer("a b c d", "a x c") == pytest.approx(0.5)
+        # pure insertion
+        assert wer("a b", "a b c") == pytest.approx(0.5)
+
+    def test_empty_cases(self):
+        from whisper_sae_tpu.utils.metrics import wer
+
+        assert wer("", "") == 0.0
+        assert wer("", "something") == 1.0
+        assert wer("something", "") == 1.0
+
+    def test_corpus_pools_edits_over_words(self):
+        from whisper_sae_tpu.utils.metrics import corpus_wer
+
+        pairs = [("a b c d", "a b c d"), ("x y", "x z")]
+        assert corpus_wer(pairs) == pytest.approx(1 / 6)

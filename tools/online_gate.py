@@ -188,6 +188,29 @@ def main() -> None:
             hyp = tok.batch_decode(np.asarray(ids), skip_special_tokens=True)[0]
             out["transcription"] = hyp
             out["ground_truth"] = ds[0]["text"]
+            # real-weight ASR quality over a few clips: tiny greedy
+            # no-timestamps decoding lands ~10-20% WER on clean
+            # LibriSpeech; > 50% indicates broken weights/frontend
+            from whisper_sae_tpu.utils.metrics import corpus_wer
+
+            pairs = []
+            for i in range(min(len(ds), 8)):
+                ids = greedy_decode_cached(
+                    state["params"],
+                    jnp.asarray(ds[i]["input_features"])[None],
+                    state["arch"],
+                    max_len=64,
+                    forced_ids=forced,
+                )
+                pairs.append((
+                    ds[i]["text"],
+                    tok.batch_decode(np.asarray(ids),
+                                     skip_special_tokens=True)[0],
+                ))
+            out["wer_8clip"] = round(corpus_wer(pairs), 4)
+            assert out["wer_8clip"] < 0.5, (
+                f"real-weight WER {out['wer_8clip']} — frontend/weights broken"
+            )
         return out
 
     # ---- 4. extraction -> feature cache ----
