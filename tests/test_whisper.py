@@ -168,6 +168,26 @@ class TestExtractActivations:
         assert acts["encoder"].shape == (2, 2, 75, 64)
         assert acts["encoder_last"].shape == (2, 75, 64)
 
+    def test_capture_dtype_bf16_bit_identical(self, jax_whisper, mel):
+        """bf16 captures out of the forward == f32 captures cast after
+        (layer norms reduce in f32 either way) — the fast extraction
+        pipeline's transfer bytes are unchanged by capture_dtype."""
+        params, arch = jax_whisper
+        a = extract_activations(
+            params, jnp.asarray(mel), arch, compute_dtype=jnp.bfloat16,
+            with_mlp=True,
+        )
+        b = extract_activations(
+            params, jnp.asarray(mel), arch, compute_dtype=jnp.bfloat16,
+            with_mlp=True, capture_dtype=jnp.bfloat16,
+        )
+        for k in ("encoder", "decoder", "encoder_mlp_in", "encoder_mlp_out"):
+            assert b[k].dtype == jnp.bfloat16, k
+            np.testing.assert_array_equal(
+                np.asarray(a[k]).astype(np.dtype("bfloat16")),
+                np.asarray(b[k]), err_msg=k,
+            )
+
     def test_without_decoder(self, jax_whisper, mel):
         params, arch = jax_whisper
         acts = extract_activations(
