@@ -130,6 +130,39 @@ class TestFusedEncoderStack:
         assert not pe.stem_supported(80, 3000, 384)
 
 
+class TestFusedExtractActivations:
+    def test_full_capture_dict_through_fused_path(self, monkeypatch):
+        """extract_activations wiring with BOTH fused gates forced on
+        (interpret mode): same keys/shapes/values as the composed bf16
+        path — catches pad/slice/capture-threading regressions in CI."""
+        arch = W.WhisperArch(d_model=D, encoder_layers=2, decoder_layers=1,
+                             num_heads=HEADS, ffn_dim=F, n_mels=80,
+                             max_source_positions=T, max_target_positions=8,
+                             vocab_size=64, decoder_start_token_id=1,
+                             eos_token_id=2)
+        params = W.init_whisper(jax.random.PRNGKey(6), arch)
+        mel = (jax.random.normal(jax.random.PRNGKey(7), (2, 80, 2 * T),
+                                 jnp.float32) * 0.3)
+        kw = dict(compute_dtype=BF, with_mlp=True, capture_dtype=BF)
+        want = W.extract_activations(params, mel, arch, **kw)
+        monkeypatch.setattr(W, "_use_fused_encoder", lambda *a: True)
+        monkeypatch.setattr(
+            pe, "supported", lambda *a: True
+        )
+        monkeypatch.setattr(pe, "stem_supported", lambda *a: True)
+        with pltpu.force_tpu_interpret_mode():
+            # bypass the jit cache (same static args would replay the
+            # composed trace)
+            got = W.extract_activations.__wrapped__(params, mel, arch, **kw)
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k].shape == want[k].shape, k
+            np.testing.assert_allclose(
+                np.asarray(got[k], np.float32), np.asarray(want[k], np.float32),
+                atol=6e-2, err_msg=k,
+            )
+
+
 class TestFusedConvStem:
     def test_matches_xla_stem(self):
         """Shifted-matmul conv decomposition vs jax.lax.conv + GELU + pos."""
