@@ -683,6 +683,7 @@ def analyze(
     output_dir: str | Path = OUTPUT_DIR,
     experiment_name: str = "launch",
     dashboard: bool = False,
+    job_type: str = "sae",
 ) -> dict:
     """Feature-analysis job over a trained SAE and its activation cache.
 
@@ -701,21 +702,39 @@ def analyze(
     from whisper_sae_tpu.analysis import FeatureReport, TopKTracker
     from whisper_sae_tpu.config import DataConfig, WhisperConfig
     from whisper_sae_tpu.data.feature_cache import FeatureCache
-    from whisper_sae_tpu.models.sae import load_trained_sae
 
+    if job_type not in ("sae", "transcoder"):
+        raise ValueError(f"unsupported job_type {job_type!r}")
     t0 = time.time()
     whisper_cfg = WhisperConfig(model_name=model_name)
     cache = FeatureCache(Path(cache_dir) / "features", whisper_cfg, DataConfig())
-    if not cache.has_cache(component, layer_idx):
+    # transcoder features are functions of the MLP INPUT (fc1's operand),
+    # so the tracker streams the mlp_in cache through the trained encoder
+    cache_component = (
+        component if job_type == "sae" else f"{component}_mlp_in"
+    )
+    if not cache.has_cache(cache_component, layer_idx):
         raise FileNotFoundError(
-            f"no cached features for {component} layer {layer_idx}; run extract first"
+            f"no cached features for {cache_component} layer {layer_idx}; "
+            "run extract first"
+            + (" (with --capture-mlp)" if job_type == "transcoder" else "")
         )
     if run_dir is None:
-        run_dir = Path(output_dir) / f"{experiment_name}_{component}_layer{layer_idx}"
+        kind = "" if job_type == "sae" else "_transcoder"
+        run_dir = Path(output_dir) / (
+            f"{experiment_name}_{component}{kind}_layer{layer_idx}"
+        )
     run_dir = Path(run_dir)
-    sae = load_trained_sae(run_dir)
+    if job_type == "sae":
+        from whisper_sae_tpu.models.sae import load_trained_sae
 
-    rows, meta = cache.load_rows(component, layer_idx)
+        sae = load_trained_sae(run_dir)
+    else:
+        from whisper_sae_tpu.models.transcoder import load_trained_transcoder
+
+        sae = load_trained_transcoder(run_dir)
+
+    rows, meta = cache.load_rows(cache_component, layer_idx)
     frames = max(meta.num_tokens // max(meta.num_samples, 1), 1)
 
     transcripts: dict[str, str] = {}
@@ -747,6 +766,7 @@ def analyze(
     result = {
         "component": component,
         "layer_idx": layer_idx,
+        "job_type": job_type,
         "num_samples": meta.num_samples,
         "num_tokens": meta.num_tokens,
         "num_features": sae.hidden_dim,
@@ -999,6 +1019,10 @@ def main() -> None:
     pa.add_argument("--cache-dir", default=str(CACHE_DIR))
     pa.add_argument("--output-dir", default=str(OUTPUT_DIR))
     pa.add_argument("--experiment-name", default="launch")
+    pa.add_argument("--job-type", default="sae",
+                    choices=["sae", "transcoder"],
+                    help="analyze a trained SAE over its layer cache, or a "
+                         "trained transcoder over the mlp_in cache")
     pa.add_argument("--dashboard", action="store_true",
                     help="also render a self-contained dashboard.html over "
                          "the reports (audio clips linked when present)")
@@ -1098,6 +1122,7 @@ def main() -> None:
             output_dir=args.output_dir,
             experiment_name=args.experiment_name,
             dashboard=args.dashboard,
+            job_type=args.job_type,
         )
     elif args.cmd == "transcribe":
         out = transcribe_job(

@@ -363,3 +363,28 @@ def create_transcoder(
     return cls(
         input_dim=input_dim, output_dim=output_dim, hidden_dim=hidden_dim, k=k, **kwargs
     )
+
+
+def load_trained_transcoder(run_dir, filename_stem: str = "transcoder_final"):
+    """Rebuild a trained transcoder from a ``launcher train-transcoder``
+    run directory (mirrors :func:`whisper_sae_tpu.models.sae.load_trained_sae`):
+    the embedded config comes from ``training_config.json``, params from
+    ``{filename_stem}.npz``."""
+    import json
+    from pathlib import Path
+
+    import numpy as np
+
+    from ..utils.checkpoint import load_pytree
+
+    run_dir = Path(run_dir)
+    cfg = json.loads((run_dir / "training_config.json").read_text())["transcoder"]
+    model = create_transcoder(
+        input_dim=cfg["input_dim"],
+        output_dim=cfg["output_dim"],
+        hidden_dim=cfg["hidden_dim"],
+        k=cfg["k"],
+        use_skip=cfg["use_skip"],
+    )
+    model.params, _ = load_pytree(run_dir / f"{filename_stem}.npz", model.params)
+    return model.eval()

@@ -311,6 +311,37 @@ class TestTrainTranscoder:
         # (no monotonicity check: the post-step decoder renorm rescales a
         # near-zero-init model, so the loss first jumps then relearns)
 
+    def test_analyze_transcoder_features(self, mlp_cache, tmp_path):
+        """analyze --job-type transcoder: trained transcoder latents
+        tracked over the mlp_in cache, same report layout."""
+        from launch import analyze, train_transcoder
+
+        train_transcoder(
+            component="encoder", layer_idx=0, expansion_factor=4, k=8,
+            batch_size=256, epochs=1, warmup_steps=0, use_amp=False,
+            cache_dir=mlp_cache, output_dir=tmp_path / "out",
+        )
+        res = analyze(
+            component="encoder", layer_idx=0, job_type="transcoder",
+            top_k=4, top_n=5, batch_samples=3,
+            cache_dir=mlp_cache, output_dir=tmp_path / "out",
+            dashboard=True,
+        )
+        assert res["job_type"] == "transcoder"
+        assert res["num_features"] == 256
+        adir = Path(res["analysis_dir"])
+        assert adir == tmp_path / "out" / "launch_encoder_transcoder_layer0" / "analysis"
+        summary = json.loads((adir / "summary.json").read_text())
+        assert len(summary["top_features"]) == 5
+        assert (adir / "dashboard.html").exists()
+
+    def test_analyze_transcoder_requires_mlp_cache(self, cache_dir, tmp_path):
+        from launch import analyze
+
+        with pytest.raises(FileNotFoundError, match="capture-mlp"):
+            analyze(component="encoder", layer_idx=0, job_type="transcoder",
+                    cache_dir=cache_dir, output_dir=tmp_path)
+
     def test_out_of_core_chunked_fused(self, mlp_cache, tmp_path):
         """max_resident_bytes=1 forces the lazy path: chunked fused epochs
         through the pair reader (never per-step dispatch), bounded-memory
