@@ -684,8 +684,9 @@ def analyze(
     experiment_name: str = "launch",
     dashboard: bool = False,
     job_type: str = "sae",
+    layers: str = "0,1,2,3",
 ) -> dict:
-    """Feature-analysis job over a trained SAE and its activation cache.
+    """Feature-analysis job over a trained coder and its activation cache.
 
     The reference runs its analysis (feature_viz.py tracker + reports)
     as library calls only; this makes the same pipeline a one-command
@@ -696,6 +697,11 @@ def analyze(
     ``tracker_state.json`` into ``<run_dir>/analysis``.  Transcriptions
     recorded at extraction time (``transcripts.json``) are attached to
     the tracked examples, matching the reference tracker's metadata.
+
+    ``job_type`` selects the trained model: "sae" (layer cache),
+    "transcoder" (the layer's mlp_in cache through the trained encoder),
+    or "crosscoder" (``layers`` row-aligned layer caches stacked to
+    [B, L, D]; must match the train-crosscoder run).
     """
     import numpy as np
 
@@ -703,7 +709,7 @@ def analyze(
     from whisper_sae_tpu.config import DataConfig, WhisperConfig
     from whisper_sae_tpu.data.feature_cache import FeatureCache
 
-    if job_type not in ("sae", "transcoder"):
+    if job_type not in ("sae", "transcoder", "crosscoder"):
         raise ValueError(f"unsupported job_type {job_type!r}")
     t0 = time.time()
     whisper_cfg = WhisperConfig(model_name=model_name)
@@ -711,31 +717,59 @@ def analyze(
     # transcoder features are functions of the MLP INPUT (fc1's operand),
     # so the tracker streams the mlp_in cache through the trained encoder
     cache_component = (
-        component if job_type == "sae" else f"{component}_mlp_in"
+        f"{component}_mlp_in" if job_type == "transcoder" else component
     )
-    if not cache.has_cache(cache_component, layer_idx):
-        raise FileNotFoundError(
-            f"no cached features for {cache_component} layer {layer_idx}; "
-            "run extract first"
-            + (" (with --capture-mlp)" if job_type == "transcoder" else "")
-        )
+    layer_list = (
+        _parse_layers(layers) if job_type == "crosscoder" else [layer_idx]
+    )
+    for l in layer_list:
+        if not cache.has_cache(cache_component, l):
+            raise FileNotFoundError(
+                f"no cached features for {cache_component} layer {l}; "
+                "run extract first"
+                + (" (with --capture-mlp)" if job_type == "transcoder" else "")
+            )
     if run_dir is None:
-        kind = "" if job_type == "sae" else "_transcoder"
-        run_dir = Path(output_dir) / (
-            f"{experiment_name}_{component}{kind}_layer{layer_idx}"
-        )
+        if job_type == "crosscoder":
+            name = (f"{experiment_name}_{component}_crosscoder_"
+                    f"l{'-'.join(map(str, layer_list))}")
+        else:
+            kind = "" if job_type == "sae" else "_transcoder"
+            name = f"{experiment_name}_{component}{kind}_layer{layer_idx}"
+        run_dir = Path(output_dir) / name
     run_dir = Path(run_dir)
     if job_type == "sae":
         from whisper_sae_tpu.models.sae import load_trained_sae
 
         sae = load_trained_sae(run_dir)
-    else:
+        num_features = sae.hidden_dim
+    elif job_type == "transcoder":
         from whisper_sae_tpu.models.transcoder import load_trained_transcoder
 
         sae = load_trained_transcoder(run_dir)
+        num_features = sae.hidden_dim
+    else:
+        from whisper_sae_tpu.models.crosscoder import load_trained_crosscoder
 
-    rows, meta = cache.load_rows(cache_component, layer_idx)
+        sae = load_trained_crosscoder(run_dir)
+        num_features = sae.d_sae
+
+    rows_list = [cache.load_rows(cache_component, l)[0] for l in layer_list]
+    meta = cache.load_metadata(cache_component, layer_list[0])
     frames = max(meta.num_tokens // max(meta.num_samples, 1), 1)
+
+    def encode_chunk(lo: int, hi: int):
+        if job_type == "crosscoder":
+            chunk = np.stack(
+                [np.asarray(r[lo * frames: hi * frames], dtype=np.float32)
+                 for r in rows_list],
+                axis=1,
+            )  # [b*frames, L, D]
+        else:
+            chunk = np.asarray(
+                rows_list[0][lo * frames: hi * frames], dtype=np.float32
+            )
+        return sae.encode(chunk)  # [b*frames, F] on device
 
     transcripts: dict[str, str] = {}
     tpath = Path(cache_dir) / "features" / "transcripts.json"
@@ -745,13 +779,12 @@ def analyze(
         except json.JSONDecodeError:
             pass
 
-    tracker = TopKTracker(num_features=sae.hidden_dim, k=top_k)
+    tracker = TopKTracker(num_features=num_features, k=top_k)
     for lo in range(0, meta.num_samples, batch_samples):
         hi = min(lo + batch_samples, meta.num_samples)
-        chunk = np.asarray(rows[lo * frames : hi * frames], dtype=np.float32)
-        hidden = sae.encode(chunk)  # [b*frames, F] on device
+        hidden = encode_chunk(lo, hi)
         tracker.update(
-            hidden.reshape(hi - lo, frames, sae.hidden_dim),
+            hidden.reshape(hi - lo, frames, num_features),
             sample_indices=np.arange(lo, hi),
             transcriptions=[transcripts.get(str(i)) for i in range(lo, hi)]
             if transcripts
@@ -769,7 +802,7 @@ def analyze(
         "job_type": job_type,
         "num_samples": meta.num_samples,
         "num_tokens": meta.num_tokens,
-        "num_features": sae.hidden_dim,
+        "num_features": num_features,
         "top_feature": summary["top_features"][0] if summary["top_features"] else None,
         "elapsed_s": round(time.time() - t0, 1),
         "analysis_dir": str(analysis_dir),
@@ -1020,9 +1053,12 @@ def main() -> None:
     pa.add_argument("--output-dir", default=str(OUTPUT_DIR))
     pa.add_argument("--experiment-name", default="launch")
     pa.add_argument("--job-type", default="sae",
-                    choices=["sae", "transcoder"],
-                    help="analyze a trained SAE over its layer cache, or a "
-                         "trained transcoder over the mlp_in cache")
+                    choices=["sae", "transcoder", "crosscoder"],
+                    help="analyze a trained SAE over its layer cache, a "
+                         "trained transcoder over the mlp_in cache, or a "
+                         "trained crosscoder over stacked layer caches")
+    pa.add_argument("--layers", default="0,1,2,3",
+                    help="crosscoder analysis: the run's layer list")
     pa.add_argument("--dashboard", action="store_true",
                     help="also render a self-contained dashboard.html over "
                          "the reports (audio clips linked when present)")
@@ -1123,6 +1159,7 @@ def main() -> None:
             experiment_name=args.experiment_name,
             dashboard=args.dashboard,
             job_type=args.job_type,
+            layers=args.layers,
         )
     elif args.cmd == "transcribe":
         out = transcribe_job(

@@ -423,3 +423,26 @@ def create_crosscoder(
             d_model=d_model, n_layers=n_layers, d_sae=d_sae, k=k or 32, **kwargs
         )
     return CrossLayerCrosscoder(d_model=d_model, n_layers=n_layers, d_sae=d_sae, **kwargs)
+
+
+def load_trained_crosscoder(run_dir, filename_stem: str = "crosscoder_final"):
+    """Rebuild a trained crosscoder from a ``launcher train-crosscoder``
+    run directory (mirrors the SAE/transcoder loaders): embedded config
+    from ``training_config.json``, params from ``{filename_stem}.npz``."""
+    import json
+    from pathlib import Path
+
+    from ..utils.checkpoint import load_pytree
+
+    run_dir = Path(run_dir)
+    cfg = json.loads((run_dir / "training_config.json").read_text())["crosscoder"]
+    model = create_crosscoder(
+        d_model=cfg["d_model"],
+        n_layers=cfg["n_layers"],
+        d_sae=cfg["d_sae"],
+        k=cfg.get("k"),
+        use_topk=cfg.get("use_topk", True),
+        layer_indices=cfg.get("layer_indices"),
+    )
+    model.params, _ = load_pytree(run_dir / f"{filename_stem}.npz", model.params)
+    return model.eval()

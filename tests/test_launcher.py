@@ -342,6 +342,31 @@ class TestTrainTranscoder:
             analyze(component="encoder", layer_idx=0, job_type="transcoder",
                     cache_dir=cache_dir, output_dir=tmp_path)
 
+    def test_analyze_crosscoder_features(self, mlp_cache, tmp_path):
+        """analyze --job-type crosscoder: trained crosscoder latents over
+        stacked row-aligned layer caches."""
+        from launch import analyze, train_crosscoder
+
+        # the mlp_cache fixture also cached encoder layer 0; train a
+        # 1-layer crosscoder on it (cross-layer mechanics identical)
+        train_crosscoder(
+            component="encoder", layers="0", expansion_factor=4, k=8,
+            batch_size=256, epochs=1, warmup_steps=0, use_amp=False,
+            cache_dir=mlp_cache, output_dir=tmp_path / "out",
+        )
+        res = analyze(
+            component="encoder", job_type="crosscoder", layers="0",
+            top_k=4, top_n=5, batch_samples=3,
+            cache_dir=mlp_cache, output_dir=tmp_path / "out",
+        )
+        assert res["job_type"] == "crosscoder"
+        assert res["num_features"] == 256
+        adir = Path(res["analysis_dir"])
+        assert adir == (tmp_path / "out" / "launch_encoder_crosscoder_l0"
+                        / "analysis")
+        summary = json.loads((adir / "summary.json").read_text())
+        assert len(summary["top_features"]) == 5
+
     def test_out_of_core_chunked_fused(self, mlp_cache, tmp_path):
         """max_resident_bytes=1 forces the lazy path: chunked fused epochs
         through the pair reader (never per-step dispatch), bounded-memory
