@@ -20,6 +20,8 @@ import importlib
 import sys
 from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "src"))
+
 REF = Path("/root/reference/src/whisper_sae")
 
 # reference module -> whisper_sae_tpu module(s) to search, in order.
