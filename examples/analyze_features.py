@@ -105,10 +105,6 @@ def main() -> None:
     top = summary["top_features"][0]
     print(f"4. reports written; top feature {top['feature_idx']} "
           f"max act {top['max_activation']:.3f}")
-    from whisper_sae_tpu.analysis import generate_dashboard
-
-    dash = generate_dashboard(out / "reports", audio_dir=out / "clips")
-    print(f"4b. dashboard: {dash}")
 
     # 5. audio clips for the top 5 features
     extractor = AudioClipExtractor(

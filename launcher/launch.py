@@ -753,6 +753,13 @@ def analyze(
 
         sae = load_trained_crosscoder(run_dir)
         num_features = sae.d_sae
+        if layer_list != list(sae.layer_indices):
+            raise ValueError(
+                f"--layers {layer_list} does not match the trained "
+                f"crosscoder's layer order {list(sae.layer_indices)} "
+                "(training_config.json); a reordered stack would encode "
+                "layers with the wrong weights"
+            )
 
     rows_list = [cache.load_rows(cache_component, l)[0] for l in layer_list]
     meta = cache.load_metadata(cache_component, layer_list[0])
@@ -891,11 +898,18 @@ def transcribe_job(
 
     results: dict[str, dict] = {}
     for lo in range(0, len(clips), batch_size):
-        batch = np.stack([pad_or_trim(c) for c in clips[lo:lo + batch_size]])
+        rows = [pad_or_trim(c) for c in clips[lo:lo + batch_size]]
+        n_real = len(rows)
+        # pad the ragged final batch with silence: greedy_decode_cached is
+        # jitted with a static batch shape, and compiles are multi-minute
+        # on this host — one shape, one compile
+        if n_real < batch_size and lo > 0:
+            rows += [np.zeros(n_samples, np.float32)] * (batch_size - n_real)
+        batch = np.stack(rows)
         mel = log_mel_spectrogram(batch, n_mels=arch.n_mels)
         ids = np.asarray(greedy_decode_cached(
             params, mel, arch, max_len=max_len, forced_ids=forced_ids
-        ))
+        ))[:n_real]
         texts = (
             tokenizer.batch_decode(ids, skip_special_tokens=True)
             if tokenizer is not None else [None] * len(ids)

@@ -19,6 +19,7 @@ from __future__ import annotations
 import html
 import json
 import os
+import re
 from pathlib import Path
 
 _CSS = """
@@ -68,8 +69,12 @@ def _feature_panel(report: dict, out_dir: Path, clip_dir: Path | None) -> str:
     if clip_dir is not None:
         fdir = clip_dir / f"feature_{fi:05d}"
         if fdir.is_dir():
-            for r, wav in enumerate(sorted(fdir.glob("rank*.wav"))):
-                clips[r] = os.path.relpath(wav, out_dir)
+            # the extractor skips ranks whose audio failed to load, so the
+            # rank comes from the filename, not enumeration order
+            for wav in sorted(fdir.glob("rank*.wav")):
+                m = re.match(r"rank(\d+)", wav.name)
+                if m:
+                    clips[int(m.group(1))] = os.path.relpath(wav, out_dir)
     for rank, ex in enumerate(report.get("top_examples", [])):
         audio = ""
         if rank in clips:

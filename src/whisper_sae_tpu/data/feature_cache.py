@@ -153,8 +153,14 @@ def _view_stored_dtype(arr: np.ndarray, dtype_name: str | None) -> np.ndarray:
     if not dtype_name:
         return arr
     want = np.dtype(dtype_name)
-    if arr.dtype == want or arr.dtype.itemsize != want.itemsize:
+    if arr.dtype == want:
         return arr
+    if arr.dtype.itemsize != want.itemsize:
+        raise ValueError(
+            f"cache metadata dtype {want} (itemsize {want.itemsize}) does "
+            f"not match shard dtype {arr.dtype} (itemsize "
+            f"{arr.dtype.itemsize}) — mixed-dtype or corrupt cache"
+        )
     return arr.view(want)
 
 
@@ -415,6 +421,7 @@ def extract_and_cache_features(
     def _write_progress(samples_done: int) -> None:
         snap = {
             "model_name": cache.whisper_config.model_name,
+            "cache_dtype": cache_dtype,
             "num_samples": samples_done,
             "writers": {k: w.state() for k, w in _flat_writers().items()},
         }
@@ -428,6 +435,9 @@ def extract_and_cache_features(
         flat = _flat_writers()
         compatible = (
             snap.get("model_name") == cache.whisper_config.model_name
+            # a dtype change mid-cache would append shards of a second
+            # dtype onto the restored ones (metadata records only one)
+            and snap.get("cache_dtype", "float32") == cache_dtype
             and set(snap.get("writers", {})) == set(flat)
             and all(
                 (cache.cache_dir / s).exists()

@@ -333,6 +333,30 @@ class TestDashboard:
         doc = generate_dashboard(adir).read_text()
         assert 'src="audio/feature_00000/rank00_act5.000.wav"' in doc
 
+    def test_skipped_clip_ranks_stay_aligned(self, tmp_path):
+        """The extractor skips ranks whose audio failed; surviving clips
+        must attach to their OWN rank, not shift up."""
+        from whisper_sae_tpu.analysis import generate_dashboard
+
+        adir = self._reports(tmp_path)
+        fdir = adir / "audio" / "feature_00000"
+        fdir.mkdir(parents=True)
+        (fdir / "rank00_act5.000.wav").write_bytes(b"RIFF")
+        (fdir / "rank02_act1.000.wav").write_bytes(b"RIFF")  # rank 1 skipped
+        doc = generate_dashboard(adir).read_text()
+        assert 'rank00_act5.000.wav' in doc
+        assert 'rank02_act1.000.wav' not in doc  # feature 0 has < 3 examples
+        # with 3 tracked examples the rank-2 row would get rank02; pin the
+        # mapping directly on the helper
+        from whisper_sae_tpu.analysis.dashboard import _feature_panel
+        report = {"feature_idx": 0, "stats": {},
+                  "top_examples": [{}, {}, {}]}
+        html_out = _feature_panel(report, adir, adir / "audio")
+        assert "rank00_act5.000.wav" in html_out
+        assert "rank02_act1.000.wav" in html_out
+        # the skipped rank-1 row has no player
+        assert html_out.count("<audio") == 2
+
     def test_top_n_caps_listing(self, tmp_path):
         from whisper_sae_tpu.analysis import generate_dashboard
 

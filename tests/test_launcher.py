@@ -483,6 +483,19 @@ class TestTranscribeJob:
         assert ids[0] == 50258  # BOS
         assert 1 <= len(ids) <= 3
 
+    def test_ragged_final_batch_padded_not_recompiled(self, tmp_path):
+        """3 clips at batch 2: the final batch pads to the SAME decode
+        shape (one compile) and the pad row's transcript is dropped."""
+        from launch import transcribe_job
+
+        res = transcribe_job(
+            random_whisper=True, max_len=3, num_synthetic=3, batch_size=2,
+        )
+        assert res["num_clips"] == 3
+        assert set(res["transcripts"]) == {
+            "synthetic_0", "synthetic_1", "synthetic_2"
+        }
+
 
 class TestCacheDtype:
     def test_bf16_cache_bit_identical_and_trainable(self, tmp_path):

@@ -178,39 +178,41 @@ def main() -> None:
 
             tok = state["processor"].tokenizer
             forced = tuple(t for _, t in sorted(tok.get_decoder_prompt_ids()))
-            ids = greedy_decode_cached(
-                state["params"],
-                jnp.asarray(ds[0]["input_features"])[None],
-                state["arch"],
-                max_len=48,
-                forced_ids=forced,
+            # ONE batched decode at ONE static max_len serves both the
+            # display transcript and the WER gate (greedy_decode_cached
+            # compiles per (batch, max_len) shape and compiles are
+            # multi-minute on this host); 160 tokens clears dev-clean's
+            # longest ~30 s utterances so truncation never inflates WER
+            n_wer = min(len(ds), 8)
+            mels = jnp.stack(
+                [jnp.asarray(ds[i]["input_features"]) for i in range(n_wer)]
             )
-            hyp = tok.batch_decode(np.asarray(ids), skip_special_tokens=True)[0]
-            out["transcription"] = hyp
+            ids = np.asarray(greedy_decode_cached(
+                state["params"], mels, state["arch"],
+                max_len=160, forced_ids=forced,
+            ))
+            hyps = tok.batch_decode(ids, skip_special_tokens=True)
+            out["transcription"] = hyps[0]
             out["ground_truth"] = ds[0]["text"]
-            # real-weight ASR quality over a few clips: tiny greedy
-            # no-timestamps decoding lands ~10-20% WER on clean
-            # LibriSpeech; > 50% indicates broken weights/frontend
+            # real-weight ASR quality: tiny greedy no-timestamps decoding
+            # lands ~10-20% WER on clean LibriSpeech; > 50% indicates
+            # broken weights/frontend.  Clips whose decode hit the token
+            # ceiling without EOS are skipped (their tail would count as
+            # deletions).
             from whisper_sae_tpu.utils.metrics import corpus_wer
 
-            pairs = []
-            for i in range(min(len(ds), 8)):
-                ids = greedy_decode_cached(
-                    state["params"],
-                    jnp.asarray(ds[i]["input_features"])[None],
-                    state["arch"],
-                    max_len=64,
-                    forced_ids=forced,
+            eos = state["arch"].eos_token_id
+            pairs = [
+                (ds[i]["text"], hyps[i])
+                for i in range(n_wer)
+                if eos in ids[i, 1:]
+            ]
+            if pairs:
+                out["wer_clips"] = len(pairs)
+                out["wer"] = round(corpus_wer(pairs), 4)
+                assert out["wer"] < 0.5, (
+                    f"real-weight WER {out['wer']} — frontend/weights broken"
                 )
-                pairs.append((
-                    ds[i]["text"],
-                    tok.batch_decode(np.asarray(ids),
-                                     skip_special_tokens=True)[0],
-                ))
-            out["wer_8clip"] = round(corpus_wer(pairs), 4)
-            assert out["wer_8clip"] < 0.5, (
-                f"real-weight WER {out['wer_8clip']} — frontend/weights broken"
-            )
         return out
 
     # ---- 4. extraction -> feature cache ----
