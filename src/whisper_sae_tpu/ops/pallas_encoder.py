@@ -420,7 +420,12 @@ def fused_conv_stem(
 def stem_supported(n_mels: int, t_mel: int, d: int) -> bool:
     """The fused conv stem needs the TPU backend, an even mel length,
     and a lane-aligned model dim (n_mels may be ragged — 80/128 both
-    pad into one lane tile)."""
+    pad into one lane tile).  ``WST_DISABLE_FUSED_STEM=1`` falls back to
+    the XLA stem (A/B benchmarking / emergency escape hatch)."""
+    import os
+
+    if os.environ.get("WST_DISABLE_FUSED_STEM"):
+        return False
     try:
         platform = jax.default_backend()
     except Exception:  # pragma: no cover
@@ -441,7 +446,13 @@ _MAX_D = 1536
 
 def supported(t_pad: int, d: int, n_heads: int) -> bool:
     """Fused encoder blocks need the TPU backend, lane-aligned dims, and
-    the whole-batch-item working set within VMEM."""
+    the whole-batch-item working set within VMEM.
+    ``WST_DISABLE_FUSED_ENCODER=1`` falls back to the composed XLA stack
+    (A/B benchmarking / emergency escape hatch)."""
+    import os
+
+    if os.environ.get("WST_DISABLE_FUSED_ENCODER"):
+        return False
     try:
         platform = jax.default_backend()
     except Exception:  # pragma: no cover
