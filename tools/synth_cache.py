@@ -32,14 +32,19 @@ def main() -> None:
     p.add_argument("--layer-idx", type=int, default=0)
     p.add_argument("--cache-dir", default="cache/features")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="shard dtype (bfloat16 = half the bytes per token, "
+                        "matching extract --cache-dtype bfloat16)")
     args = p.parse_args()
 
     from whisper_sae_tpu.config import DataConfig, WhisperConfig
     from whisper_sae_tpu.data.feature_cache import DEFAULT_SHARD_TOKENS, FeatureCache
 
-    tokens = int(args.gb * (1 << 30) / (args.d * 4))
+    itemsize = 4 if args.dtype == "float32" else 2
+    tokens = int(args.gb * (1 << 30) / (args.d * itemsize))
     cache = FeatureCache(Path(args.cache_dir), WhisperConfig(), DataConfig())
-    writer = cache.writer(args.component, args.layer_idx)
+    writer = cache.writer(args.component, args.layer_idx, dtype=args.dtype)
     rng = np.random.default_rng(args.seed)
     t0 = time.time()
     written = 0
@@ -58,7 +63,7 @@ def main() -> None:
         writer.append(block)
         written += n
         shard_no += 1
-        gb = written * args.d * 4 / (1 << 30)
+        gb = written * args.d * itemsize / (1 << 30)
         print(f"{gb:.1f} / {args.gb} GB ({written:,} tokens, "
               f"{gb / (time.time() - t0):.2f} GB/s)", flush=True)
     meta = writer.finalize(num_samples=tokens // 1500)
