@@ -144,6 +144,7 @@ def extract_features(
         "decoder_layers": dec_layers,
         "max_samples": max_samples,
         "dataset": dataset,
+        "seed": seed,
         "capture_mlp": capture_mlp,
         "elapsed_s": round(time.time() - t0, 1),
         "finished_at": datetime.now().isoformat(),
@@ -685,6 +686,8 @@ def analyze(
     dashboard: bool = False,
     job_type: str = "sae",
     layers: str = "0,1,2,3",
+    clips: int = 0,
+    clips_per_feature: int = 3,
 ) -> dict:
     """Feature-analysis job over a trained coder and its activation cache.
 
@@ -803,6 +806,48 @@ def analyze(
     report.save_reports(top_n=top_n)
 
     summary = json.loads((analysis_dir / "summary.json").read_text())
+    clip_count = 0
+    if clips:
+        # audio clips for the top features, straight into the directory
+        # the dashboard auto-links (<analysis>/audio).  The original audio
+        # comes from the dataset recorded at extraction time
+        # (extraction_log.json) — synthetic rebuilds offline from the
+        # logged seed; librispeech re-streams (network).
+        from whisper_sae_tpu.analysis import AudioClipExtractor
+
+        elog = {}
+        epath = Path(cache_dir) / "features" / "extraction_log.json"
+        if epath.exists():
+            try:
+                elog = json.loads(epath.read_text())
+            except json.JSONDecodeError:
+                pass
+        if elog.get("dataset") == "synthetic":
+            from whisper_sae_tpu.analysis import create_synthetic_audio_loader
+            from whisper_sae_tpu.data.librispeech import SyntheticSpeechDataset
+
+            ds = SyntheticSpeechDataset(
+                num_samples=elog.get("max_samples", meta.num_samples),
+                seed=elog.get("seed", 42),
+            )
+            audio_loader = create_synthetic_audio_loader(ds)
+        else:
+            from whisper_sae_tpu.analysis import create_librispeech_audio_loader
+
+            audio_loader = create_librispeech_audio_loader()
+        extractor = AudioClipExtractor(
+            tracker, audio_loader, analysis_dir / "audio"
+        )
+        top_feats = [
+            f["feature_idx"] for f in summary["top_features"][:clips]
+        ]
+        written = extractor.extract_all_clips(
+            feature_indices=top_feats,
+            max_clips_per_feature=clips_per_feature,
+        )
+        extractor.save_manifest()
+        clip_count = sum(len(v) for v in written.values())
+
     result = {
         "component": component,
         "layer_idx": layer_idx,
@@ -814,6 +859,8 @@ def analyze(
         "elapsed_s": round(time.time() - t0, 1),
         "analysis_dir": str(analysis_dir),
     }
+    if clips:
+        result["clips_written"] = clip_count
     if dashboard:
         from whisper_sae_tpu.analysis import generate_dashboard
 
@@ -1076,6 +1123,10 @@ def main() -> None:
     pa.add_argument("--dashboard", action="store_true",
                     help="also render a self-contained dashboard.html over "
                          "the reports (audio clips linked when present)")
+    pa.add_argument("--clips", type=int, default=0,
+                    help="also extract audio clips for the top N features "
+                         "into <analysis>/audio (the dashboard links them)")
+    pa.add_argument("--clips-per-feature", type=int, default=3)
 
     pr = sub.add_parser(
         "transcribe",
@@ -1174,6 +1225,8 @@ def main() -> None:
             dashboard=args.dashboard,
             job_type=args.job_type,
             layers=args.layers,
+            clips=args.clips,
+            clips_per_feature=args.clips_per_feature,
         )
     elif args.cmd == "transcribe":
         out = transcribe_job(

@@ -335,6 +335,36 @@ class TestTrainTranscoder:
         assert len(summary["top_features"]) == 5
         assert (adir / "dashboard.html").exists()
 
+    def test_analyze_clips_complete_the_dashboard(self, tmp_path):
+        """analyze --clips: audio clips for the top features land in
+        <analysis>/audio and the dashboard links them (one command from
+        cache to listenable report)."""
+        from launch import analyze, extract_features, train_sae
+
+        extract_features(
+            layers_encoder="0", layers_decoder="", max_samples=6,
+            batch_size=3, dataset="synthetic", cache_dir=tmp_path / "c",
+            random_whisper=True, use_mesh=False, seed=7,
+        )
+        train_sae(
+            component="encoder", layer_idx=0, batch_size=512, epochs=1,
+            warmup_steps=0, use_amp=False, cache_dir=tmp_path / "c",
+            output_dir=tmp_path / "o",
+        )
+        res = analyze(
+            component="encoder", layer_idx=0, top_k=3, top_n=4,
+            batch_samples=3, cache_dir=tmp_path / "c",
+            output_dir=tmp_path / "o", dashboard=True, clips=2,
+            clips_per_feature=2,
+        )
+        assert res["clips_written"] > 0
+        adir = Path(res["analysis_dir"])
+        wavs = list((adir / "audio").glob("feature_*/rank*.wav"))
+        assert len(wavs) == res["clips_written"]
+        assert (adir / "audio" / "manifest.json").exists()
+        doc = (adir / "dashboard.html").read_text()
+        assert "<audio" in doc and "audio/feature_" in doc
+
     def test_analyze_transcoder_requires_mlp_cache(self, cache_dir, tmp_path):
         from launch import analyze
 
