@@ -806,6 +806,28 @@ def analyze(
     report.save_reports(top_n=top_n)
 
     summary = json.loads((analysis_dir / "summary.json").read_text())
+    cross_layer_count = None
+    if job_type == "crosscoder":
+        # decoder-norm layer profiles: which layers each latent writes to
+        # (reference crosscoder.py:253-284 exposes these as library calls;
+        # here they land next to the reports)
+        norms = np.asarray(sae.get_feature_layer_norms())  # [S, L]
+        cross = np.asarray(sae.get_cross_layer_features())
+        cross_layer_count = int(cross.sum())
+        payload = {
+            "layer_indices": list(map(int, sae.layer_indices)),
+            "num_cross_layer_features": cross_layer_count,
+            "cross_layer_fraction": round(float(cross.mean()), 5),
+            "top_feature_layer_profiles": {
+                str(f["feature_idx"]): [
+                    round(float(x), 5) for x in norms[f["feature_idx"]]
+                ]
+                for f in summary["top_features"]
+            },
+        }
+        (analysis_dir / "cross_layer.json").write_text(
+            json.dumps(payload, indent=2)
+        )
     clip_count = 0
     if clips:
         # audio clips for the top features, straight into the directory
@@ -861,6 +883,8 @@ def analyze(
     }
     if clips:
         result["clips_written"] = clip_count
+    if cross_layer_count is not None:
+        result["cross_layer_features"] = cross_layer_count
     if dashboard:
         from whisper_sae_tpu.analysis import generate_dashboard
 

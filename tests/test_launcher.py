@@ -396,6 +396,14 @@ class TestTrainTranscoder:
                         / "analysis")
         summary = json.loads((adir / "summary.json").read_text())
         assert len(summary["top_features"]) == 5
+        cross = json.loads((adir / "cross_layer.json").read_text())
+        assert cross["layer_indices"] == [0]
+        assert 0 <= cross["cross_layer_fraction"] <= 1
+        profile = cross["top_feature_layer_profiles"][
+            str(summary["top_features"][0]["feature_idx"])
+        ]
+        assert len(profile) == 1  # one layer in this run
+        assert res["cross_layer_features"] == cross["num_cross_layer_features"]
 
     def test_out_of_core_chunked_fused(self, mlp_cache, tmp_path):
         """max_resident_bytes=1 forces the lazy path: chunked fused epochs
