@@ -688,6 +688,7 @@ def analyze(
     layers: str = "0,1,2,3",
     clips: int = 0,
     clips_per_feature: int = 3,
+    coactivation: int = 0,
 ) -> dict:
     """Feature-analysis job over a trained coder and its activation cache.
 
@@ -828,6 +829,20 @@ def analyze(
         (analysis_dir / "cross_layer.json").write_text(
             json.dumps(payload, indent=2)
         )
+    if coactivation:
+        # second streaming pass over the cache: [M, M] co-occurrence of
+        # the report's top features, one jitted matmul per batch
+        from whisper_sae_tpu.analysis import (
+            compute_coactivation, save_coactivation,
+        )
+
+        co_feats = [
+            f["feature_idx"] for f in summary["top_features"][:coactivation]
+        ]
+        co = compute_coactivation(
+            encode_chunk, meta.num_samples, batch_samples, co_feats
+        )
+        save_coactivation(co, analysis_dir / "coactivation.json")
     clip_count = 0
     if clips:
         # audio clips for the top features, straight into the directory
@@ -885,6 +900,10 @@ def analyze(
         result["clips_written"] = clip_count
     if cross_layer_count is not None:
         result["cross_layer_features"] = cross_layer_count
+    if coactivation:
+        result["coactivation_features"] = min(
+            coactivation, len(summary["top_features"])
+        )
     if dashboard:
         from whisper_sae_tpu.analysis import generate_dashboard
 
@@ -1151,6 +1170,9 @@ def main() -> None:
                     help="also extract audio clips for the top N features "
                          "into <analysis>/audio (the dashboard links them)")
     pa.add_argument("--clips-per-feature", type=int, default=3)
+    pa.add_argument("--coactivation", type=int, default=0,
+                    help="also compute co-activation (Jaccard) stats for "
+                         "the top N features -> coactivation.json")
 
     pr = sub.add_parser(
         "transcribe",
@@ -1251,6 +1273,7 @@ def main() -> None:
             layers=args.layers,
             clips=args.clips,
             clips_per_feature=args.clips_per_feature,
+            coactivation=args.coactivation,
         )
     elif args.cmd == "transcribe":
         out = transcribe_job(

@@ -10,6 +10,7 @@ from .audio_extraction import (
     create_librispeech_audio_loader,
     create_synthetic_audio_loader,
 )
+from .coactivation import compute_coactivation, save_coactivation
 from .dashboard import generate_dashboard
 from .feature_viz import (
     FeatureActivation,
@@ -27,8 +28,10 @@ __all__ = [
     "FeatureReport",
     "TopKTracker",
     "collect_top_activations",
+    "compute_coactivation",
     "create_indexed_audio_loader",
     "create_librispeech_audio_loader",
     "generate_dashboard",
+    "save_coactivation",
     "create_synthetic_audio_loader",
 ]

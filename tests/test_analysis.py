@@ -295,6 +295,47 @@ class TestCollectTopActivations:
             )
 
 
+class TestCoactivation:
+    def test_counts_and_jaccard_match_bruteforce(self):
+        from whisper_sae_tpu.analysis import compute_coactivation
+
+        rng = np.random.default_rng(0)
+        hidden = (rng.standard_normal((40, 16)) > 0.8).astype(np.float32)
+        hidden *= rng.random((40, 16)).astype(np.float32)  # positive acts
+
+        def encode_chunk(lo, hi):
+            return hidden[lo * 4 : hi * 4]  # 4 frames per "sample"
+
+        feats = [2, 5, 11]
+        out = compute_coactivation(encode_chunk, 10, 3, feats, top_pairs=3)
+        assert out["num_tokens"] == 40
+        act = hidden[:, feats] > 0
+        for i, f in enumerate(feats):
+            assert out["firing_rate"][str(f)] == pytest.approx(
+                act[:, i].mean(), abs=1e-6
+            )
+        for pair in out["top_pairs"]:
+            a = feats.index(pair["feature_a"])
+            b = feats.index(pair["feature_b"])
+            inter = int((act[:, a] & act[:, b]).sum())
+            union = int((act[:, a] | act[:, b]).sum())
+            assert pair["co_count"] == inter
+            assert pair["jaccard"] == pytest.approx(inter / union, abs=1e-4)
+        # sorted by jaccard descending
+        js = [p["jaccard"] for p in out["top_pairs"]]
+        assert js == sorted(js, reverse=True)
+
+    def test_empty_overlap_yields_no_pairs(self):
+        from whisper_sae_tpu.analysis import compute_coactivation
+
+        hidden = np.zeros((8, 4), np.float32)
+        hidden[:4, 0] = 1.0
+        hidden[4:, 1] = 1.0  # never co-fire
+
+        out = compute_coactivation(lambda lo, hi: hidden[lo:hi], 8, 8, [0, 1])
+        assert out["top_pairs"] == []
+
+
 class TestDashboard:
     def _reports(self, tmp_path):
         tracker = TopKTracker(num_features=F, k=3)

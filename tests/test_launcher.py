@@ -455,6 +455,7 @@ class TestAnalyzeJob:
             cache_dir=cache_dir,
             output_dir=tmp_path / "out",
             dashboard=True,
+            coactivation=6,
         )
         adir = Path(res["analysis_dir"])
         dash = Path(res["dashboard"])
@@ -475,6 +476,10 @@ class TestAnalyzeJob:
         state = json.loads((adir / "tracker_state.json").read_text())
         assert state["k"] == 5
         assert json.loads((adir / "analysis_log.json").read_text()) == res
+        co = json.loads((adir / "coactivation.json").read_text())
+        assert co["num_tokens"] == 4096
+        assert len(co["features"]) == 6
+        assert all(0 <= r <= 1 for r in map(float, co["firing_rate"].values()))
 
     def test_load_trained_sae_round_trip(self, cache_dir, tmp_path):
         from whisper_sae_tpu.models.sae import load_trained_sae
