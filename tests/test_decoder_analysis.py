@@ -65,3 +65,46 @@ class TestCrossAttentionMaps:
         assert ent.shape == (2, 2, 2, 1)
         assert float(ent.min()) >= 0.0
         assert float(ent.max()) <= np.log(75) + 1e-5
+
+
+class TestLogitLens:
+    def test_last_layer_matches_production_logits(self, params, mel):
+        """The lens at the final layer IS the model head: same final LN,
+        same tied projection — must match decoder_logits on the real
+        forward exactly (up to f32 determinism)."""
+        from whisper_sae_tpu.decoder_analysis import logit_lens
+        from whisper_sae_tpu.models.whisper import decoder_logits
+
+        res = logit_lens(params, mel, ARCH, top=3)
+        enc_hidden, _ = encoder_forward(params, mel, ARCH)
+        bos = jnp.full((2, 1), ARCH.decoder_start_token_id, jnp.int32)
+        hidden, _ = decoder_forward(params, bos, enc_hidden, ARCH)
+        want = decoder_logits(params, hidden[:, -1, :])
+        np.testing.assert_allclose(
+            np.asarray(res["logits_last"]), np.asarray(want),
+            rtol=1e-5, atol=1e-5,
+        )
+        # top-1 of the last lens layer == argmax of the true logits
+        np.testing.assert_array_equal(
+            np.asarray(res["token_ids"][-1, :, 0]),
+            np.asarray(jnp.argmax(want, axis=-1)),
+        )
+
+    def test_shapes_and_prob_ordering(self, params, mel):
+        from whisper_sae_tpu.decoder_analysis import lens_agreement, logit_lens
+
+        res = logit_lens(params, mel, ARCH, top=4)
+        assert res["token_ids"].shape == (2, 2, 4)  # [L_dec, B, top]
+        assert res["probs"].shape == (2, 2, 4)
+        p = np.asarray(res["probs"])
+        assert (np.diff(p, axis=-1) <= 1e-7).all()  # descending
+        agree = np.asarray(lens_agreement(res))
+        assert agree.shape == (2,)
+        assert agree[-1] == 1.0  # the last layer trivially agrees
+
+    def test_multi_token_prompt_position(self, params, mel):
+        from whisper_sae_tpu.decoder_analysis import logit_lens
+
+        ids = jnp.array([[42, 5, 9], [42, 7, 11]], jnp.int32)
+        res = logit_lens(params, mel, ARCH, token_ids=ids, top=2, position=1)
+        assert res["token_ids"].shape == (2, 2, 2)
