@@ -689,6 +689,7 @@ def analyze(
     clips: int = 0,
     clips_per_feature: int = 3,
     coactivation: int = 0,
+    auto_label: bool = False,
 ) -> dict:
     """Feature-analysis job over a trained coder and its activation cache.
 
@@ -804,6 +805,16 @@ def analyze(
 
     analysis_dir = run_dir / "analysis"
     report = FeatureReport(tracker, analysis_dir)
+    labeled = 0
+    if auto_label and transcripts:
+        from whisper_sae_tpu.analysis import auto_label_features
+
+        # label only the reported features (a python pass over all F
+        # would be minutes at whisper-large widths)
+        tops = report.generate_summary_report(top_n=top_n)["top_features"]
+        labeled = len(auto_label_features(
+            tracker, report, feature_indices=[f["feature_idx"] for f in tops]
+        ))
     report.save_reports(top_n=top_n)
 
     summary = json.loads((analysis_dir / "summary.json").read_text())
@@ -904,6 +915,8 @@ def analyze(
         result["coactivation_features"] = min(
             coactivation, len(summary["top_features"])
         )
+    if auto_label:
+        result["auto_labeled_features"] = labeled
     if dashboard:
         from whisper_sae_tpu.analysis import generate_dashboard
 
@@ -1173,6 +1186,9 @@ def main() -> None:
     pa.add_argument("--coactivation", type=int, default=0,
                     help="also compute co-activation (Jaccard) stats for "
                          "the top N features -> coactivation.json")
+    pa.add_argument("--auto-label", action="store_true",
+                    help="attach lexical auto-labels (distinctive words "
+                         "from top-example transcriptions) to the reports")
 
     pr = sub.add_parser(
         "transcribe",
@@ -1274,6 +1290,7 @@ def main() -> None:
             clips=args.clips,
             clips_per_feature=args.clips_per_feature,
             coactivation=args.coactivation,
+            auto_label=args.auto_label,
         )
     elif args.cmd == "transcribe":
         out = transcribe_job(

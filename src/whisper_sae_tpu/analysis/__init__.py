@@ -10,6 +10,7 @@ from .audio_extraction import (
     create_librispeech_audio_loader,
     create_synthetic_audio_loader,
 )
+from .auto_label import auto_label_features
 from .coactivation import compute_coactivation, save_coactivation
 from .dashboard import generate_dashboard
 from .feature_viz import (
@@ -22,6 +23,7 @@ from .feature_viz import (
 
 __all__ = [
     "AudioClipConfig",
+    "auto_label_features",
     "AudioClipExtractor",
     "FeatureActivation",
     "FeatureInterpretation",

@@ -405,3 +405,34 @@ class TestDashboard:
         doc = generate_dashboard(adir, top_n=1).read_text()
         assert 'id="feature-0"' in doc
         assert 'id="feature-1"' not in doc
+
+
+class TestAutoLabel:
+    def test_distinctive_words_surface(self):
+        from whisper_sae_tpu.analysis import auto_label_features
+
+        tracker = TopKTracker(num_features=2, k=8)
+        # feature 0 fires on "cat"-ish clips, feature 1 on "dog"-ish
+        for i, text in enumerate(
+            ["the cat sat", "a cat ran", "cat on a mat",
+             "the dog barked", "a dog ran", "dog in the park"]
+        ):
+            acts = np.zeros((1, 2), np.float32)
+            acts[0, 0 if i < 3 else 1] = 1.0 + i
+            tracker.update(acts, sample_indices=[i], transcriptions=[text])
+        report = FeatureReport(tracker, "/tmp/unused_auto_label")
+        labels = auto_label_features(tracker, report, min_examples=3)
+        assert "cat" in labels[0] and "dog" in labels[1]
+        interp = report.interpretations[0]
+        assert interp.category == "auto/lexical"
+        assert 0 < interp.confidence <= 1
+        assert "cat" in interp.description
+
+    def test_skips_sparse_features(self):
+        from whisper_sae_tpu.analysis import auto_label_features
+
+        tracker = TopKTracker(num_features=1, k=4)
+        acts = np.ones((1, 1), np.float32)
+        tracker.update(acts, sample_indices=[0], transcriptions=["hello"])
+        report = FeatureReport(tracker, "/tmp/unused_auto_label2")
+        assert auto_label_features(tracker, report, min_examples=3) == {}
