@@ -117,6 +117,31 @@ def _feature_panel(report: dict, out_dir: Path, clip_dir: Path | None) -> str:
     )
 
 
+def _coactivation_section(co: dict | None) -> str:
+    if not co or not co.get("top_pairs"):
+        return ""
+    rows = "".join(
+        "<tr>"
+        f'<td class="num"><a href="#feature-{p["feature_a"]}">'
+        f'{p["feature_a"]}</a></td>'
+        f'<td class="num"><a href="#feature-{p["feature_b"]}">'
+        f'{p["feature_b"]}</a></td>'
+        f'<td class="num">{p["jaccard"]:.3f}</td>'
+        f'<td class="num">{p["co_count"]}</td>'
+        "</tr>"
+        for p in co["top_pairs"][:20]
+    )
+    return (
+        "<h2>Co-activating feature pairs</h2>"
+        '<p class="muted">Jaccard overlap of firing sets over '
+        f'{co.get("num_tokens", "?")} tokens — high overlap suggests '
+        "feature splitting or composition.</p>"
+        "<table><tr><th class=num>feature a</th><th class=num>feature b"
+        "</th><th class=num>jaccard</th><th class=num>co-count</th></tr>"
+        f"{rows}</table>"
+    )
+
+
 def generate_dashboard(
     analysis_dir: str | Path,
     output: str | Path | None = None,
@@ -144,6 +169,14 @@ def generate_dashboard(
     if clip_dir is None:
         default_clips = analysis_dir / "audio"
         clip_dir = default_clips if default_clips.is_dir() else None
+
+    co = None
+    co_path = analysis_dir / "coactivation.json"
+    if co_path.exists():
+        try:
+            co = json.loads(co_path.read_text())
+        except json.JSONDecodeError:
+            co = None
 
     feats = summary.get("top_features", [])
     if top_n is not None:
@@ -189,7 +222,7 @@ def generate_dashboard(
 <table><tr><th class=num>feature</th><th class=num>max act</th>
 <th class=num>mean act</th><th class=num>examples</th><th></th></tr>
 {"".join(table_rows)}</table>
-<h2>Per-feature top examples</h2>
+{_coactivation_section(co)}<h2>Per-feature top examples</h2>
 {"".join(panels)}
 </body></html>
 """

@@ -436,3 +436,25 @@ class TestAutoLabel:
         tracker.update(acts, sample_indices=[0], transcriptions=["hello"])
         report = FeatureReport(tracker, "/tmp/unused_auto_label2")
         assert auto_label_features(tracker, report, min_examples=3) == {}
+
+
+class TestDashboardCoactivation:
+    def test_pairs_table_rendered_when_present(self, tmp_path):
+        from whisper_sae_tpu.analysis import generate_dashboard
+
+        tracker = TopKTracker(num_features=F, k=3)
+        acts = np.zeros((2, F), np.float32)
+        acts[0, 0] = 2.0
+        acts[1, 1] = 1.0
+        tracker.update(acts, sample_indices=[0, 1])
+        report = FeatureReport(tracker, tmp_path / "analysis")
+        report.save_reports(top_n=2)
+        (tmp_path / "analysis" / "coactivation.json").write_text(json.dumps({
+            "num_tokens": 100,
+            "top_pairs": [
+                {"feature_a": 0, "feature_b": 1, "jaccard": 0.25, "co_count": 5}
+            ],
+        }))
+        doc = generate_dashboard(tmp_path / "analysis").read_text()
+        assert "Co-activating feature pairs" in doc
+        assert "0.250" in doc
