@@ -6,6 +6,7 @@ from .patching import (
     decoder_forward_patched,
     encoder_forward_patched,
     feature_ablation_patch,
+    feature_ablation_sweep,
     feature_steering_patch,
     logit_kl,
     patched_logits,
@@ -18,6 +19,7 @@ __all__ = [
     "decoder_forward_patched",
     "encoder_forward_patched",
     "feature_ablation_patch",
+    "feature_ablation_sweep",
     "feature_steering_patch",
     "logit_kl",
     "patched_logits",

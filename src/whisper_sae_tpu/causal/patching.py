@@ -295,3 +295,42 @@ def substitution_effect(
         "logit_kl": float(logit_kl(clean, subbed)),
         "token_agreement": float(token_agreement(clean_tokens, patched_tokens)),
     }
+
+
+def feature_ablation_sweep(
+    params: dict,
+    mel: jax.Array,
+    arch: WhisperArch,
+    sae,
+    layer_idx: int,
+    feature_indices,
+    apply_layer_norm: bool = True,
+) -> list[dict[str, float]]:
+    """Causal importance ranking: ablate each feature in turn (zero its
+    latent inside the SAE substitution) and measure the marginal logit-KL
+    beyond the substitution's own reconstruction error.
+
+    Returns one record per feature, sorted by ``marginal_logit_kl``
+    descending: features whose removal moves the downstream logits most
+    are the causally load-bearing ones — the quantitative follow-up to
+    the report's activation ranking (which is correlational only).
+    """
+    clean = patched_logits(params, mel, arch, layer_idx, lambda h: h)
+    base_patch = sae_reconstruction_patch(sae, params, apply_layer_norm)
+    base = patched_logits(params, mel, arch, layer_idx, base_patch)
+    base_kl = float(logit_kl(clean, base))
+
+    out = []
+    for fi in feature_indices:
+        patch = feature_ablation_patch(
+            sae, [int(fi)], params, apply_layer_norm
+        )
+        abl = patched_logits(params, mel, arch, layer_idx, patch)
+        kl = float(logit_kl(clean, abl))
+        out.append({
+            "feature_idx": int(fi),
+            "logit_kl": kl,
+            "marginal_logit_kl": kl - base_kl,
+        })
+    out.sort(key=lambda r: r["marginal_logit_kl"], reverse=True)
+    return out

@@ -281,3 +281,20 @@ class TestDecoderPatching:
         want, _ = decoder_forward(params, ids, enc, ARCH)
         got, _ = decoder_forward_patched(params, ids, enc, ARCH, 1, patch)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
+
+
+class TestAblationSweep:
+    def test_ranked_marginal_effects(self, params, mel):
+        from whisper_sae_tpu.causal import feature_ablation_sweep
+
+        sae, _, acts = TestSAEInterventions()._good_sae(params, mel)
+        # the most-active features should carry most of the causal load
+        hidden = np.asarray(sae.encode(np.asarray(acts)))
+        top = np.argsort(hidden.sum(axis=0))[-4:]
+        out = feature_ablation_sweep(params, mel, ARCH, sae, 0, top)
+        assert len(out) == 4
+        kls = [r["marginal_logit_kl"] for r in out]
+        assert kls == sorted(kls, reverse=True)
+        # ablating an active feature must hurt (positive marginal KL)
+        assert kls[0] > 0
+        assert {r["feature_idx"] for r in out} == set(int(i) for i in top)
