@@ -1040,6 +1040,108 @@ def transcribe_job(
     return out
 
 
+def causal_validate(
+    component: str = "encoder",
+    layer_idx: int = 0,
+    model_name: str = "openai/whisper-tiny",
+    run_dir: str | Path | None = None,
+    num_samples: int = 4,
+    sweep_features: int = 0,
+    random_whisper: bool = False,
+    seed: int = 42,
+    cache_dir: str | Path = CACHE_DIR,
+    output_dir: str | Path = OUTPUT_DIR,
+    experiment_name: str = "launch",
+) -> dict:
+    """Causal validation job over a trained SAE: substitution effect
+    (logit KL + greedy-token agreement when the layer is replaced by the
+    SAE reconstruction) and, with ``sweep_features``, a per-feature
+    ablation sweep ranked by marginal logit KL.
+
+    Audio replays the dataset recorded at extraction time
+    (extraction_log.json; synthetic rebuilds offline from the logged
+    seed).  The reference declares causal/ as an empty package — this is
+    the job surface for the interventions it never implemented.  Writes
+    ``causal_validation.json`` into ``<run_dir>/analysis``.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from whisper_sae_tpu.causal import (
+        feature_ablation_sweep, substitution_effect,
+    )
+    from whisper_sae_tpu.models.sae import load_trained_sae
+    from whisper_sae_tpu.models.whisper import arch_for, init_whisper, load_pretrained
+
+    if component != "encoder":
+        raise ValueError("causal patching intervenes on encoder layers")
+    t0 = time.time()
+    if run_dir is None:
+        run_dir = Path(output_dir) / f"{experiment_name}_{component}_layer{layer_idx}"
+    run_dir = Path(run_dir)
+    sae = load_trained_sae(run_dir)
+
+    arch = arch_for(model_name)
+    if random_whisper:
+        params = init_whisper(jax.random.PRNGKey(seed), arch)
+    else:
+        try:
+            params, arch = load_pretrained(model_name)
+        except Exception:
+            print("pretrained load failed; using random weights", file=sys.stderr)
+            params = init_whisper(jax.random.PRNGKey(seed), arch)
+
+    elog = {}
+    epath = Path(cache_dir) / "features" / "extraction_log.json"
+    if epath.exists():
+        try:
+            elog = json.loads(epath.read_text())
+        except json.JSONDecodeError:
+            pass
+    from whisper_sae_tpu.data.librispeech import (
+        LibriSpeechDataset, SyntheticSpeechDataset,
+    )
+
+    if elog.get("dataset", "synthetic") == "synthetic":
+        ds = SyntheticSpeechDataset(
+            num_samples=max(num_samples, 1), seed=elog.get("seed", seed),
+            n_mels=arch.n_mels,
+        )
+    else:
+        from whisper_sae_tpu.config import DataConfig
+
+        ds = LibriSpeechDataset(
+            DataConfig(dataset_name=elog["dataset"], max_samples=num_samples),
+            n_mels=arch.n_mels,
+        )
+    mels = jnp.stack([
+        jnp.asarray(ds[i]["input_features"]) for i in range(num_samples)
+    ])
+
+    result = {
+        "component": component,
+        "layer_idx": layer_idx,
+        "num_samples": num_samples,
+        **substitution_effect(params, mels, arch, sae, layer_idx),
+    }
+    if sweep_features:
+        # rank the report's top features when available, else 0..N-1
+        feats = list(range(sweep_features))
+        spath = run_dir / "analysis" / "summary.json"
+        if spath.exists():
+            tops = json.loads(spath.read_text())["top_features"]
+            feats = [f["feature_idx"] for f in tops[:sweep_features]]
+        result["ablation_sweep"] = feature_ablation_sweep(
+            params, mels, arch, sae, layer_idx, feats
+        )
+    result["elapsed_s"] = round(time.time() - t0, 1)
+    out_dir = run_dir / "analysis"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / "causal_validation.json").write_text(json.dumps(result, indent=2))
+    return result
+
+
 def _add_supervise_flags(sp: argparse.ArgumentParser) -> None:
     sp.add_argument("--supervise", action="store_true",
                     help="run the job under a restart supervisor: crashed/"
@@ -1190,6 +1292,23 @@ def main() -> None:
                     help="attach lexical auto-labels (distinctive words "
                          "from top-example transcriptions) to the reports")
 
+    pc = sub.add_parser(
+        "causal-validate",
+        help="substitution effect + optional per-feature ablation sweep "
+             "for a trained SAE (writes causal_validation.json)",
+    )
+    pc.add_argument("--component", default="encoder")
+    pc.add_argument("--layer-idx", type=int, default=0)
+    pc.add_argument("--model-name", default="openai/whisper-tiny")
+    pc.add_argument("--run-dir", default=None)
+    pc.add_argument("--num-samples", type=int, default=4)
+    pc.add_argument("--sweep-features", type=int, default=0,
+                    help="also ablate the top N features one at a time")
+    pc.add_argument("--random-whisper", action="store_true")
+    pc.add_argument("--cache-dir", default=str(CACHE_DIR))
+    pc.add_argument("--output-dir", default=str(OUTPUT_DIR))
+    pc.add_argument("--experiment-name", default="launch")
+
     pr = sub.add_parser(
         "transcribe",
         help="batch ASR: wav files/dirs -> greedy transcripts.json "
@@ -1292,6 +1411,20 @@ def main() -> None:
             coactivation=args.coactivation,
             auto_label=args.auto_label,
         )
+    elif args.cmd == "causal-validate":
+        out = causal_validate(
+            component=args.component,
+            layer_idx=args.layer_idx,
+            model_name=args.model_name,
+            run_dir=args.run_dir,
+            num_samples=args.num_samples,
+            sweep_features=args.sweep_features,
+            random_whisper=args.random_whisper,
+            cache_dir=args.cache_dir,
+            output_dir=args.output_dir,
+            experiment_name=args.experiment_name,
+        )
+        out = {k: v for k, v in out.items() if k != "ablation_sweep"}
     elif args.cmd == "transcribe":
         out = transcribe_job(
             inputs=args.inputs,

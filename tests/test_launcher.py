@@ -540,6 +540,48 @@ class TestTranscribeJob:
         }
 
 
+class TestCausalValidate:
+    def test_substitution_and_sweep(self, tmp_path):
+        from launch import analyze, causal_validate, extract_features, train_sae
+
+        extract_features(
+            layers_encoder="0", layers_decoder="", max_samples=4,
+            batch_size=2, dataset="synthetic", cache_dir=tmp_path / "c",
+            random_whisper=True, use_mesh=False, seed=5,
+        )
+        train_sae(
+            component="encoder", layer_idx=0, batch_size=512, epochs=1,
+            warmup_steps=0, use_amp=False, cache_dir=tmp_path / "c",
+            output_dir=tmp_path / "o",
+        )
+        analyze(
+            component="encoder", layer_idx=0, top_k=3, top_n=4,
+            batch_samples=2, cache_dir=tmp_path / "c",
+            output_dir=tmp_path / "o",
+        )
+        res = causal_validate(
+            component="encoder", layer_idx=0, num_samples=2,
+            sweep_features=3, random_whisper=True,
+            cache_dir=tmp_path / "c", output_dir=tmp_path / "o",
+        )
+        assert np.isfinite(res["logit_kl"])
+        assert 0.0 <= res["token_agreement"] <= 1.0
+        assert len(res["ablation_sweep"]) == 3
+        kls = [r["marginal_logit_kl"] for r in res["ablation_sweep"]]
+        assert kls == sorted(kls, reverse=True)
+        saved = json.loads(
+            (tmp_path / "o" / "launch_encoder_layer0" / "analysis"
+             / "causal_validation.json").read_text()
+        )
+        assert saved["layer_idx"] == 0
+
+    def test_decoder_component_rejected(self, tmp_path):
+        from launch import causal_validate
+
+        with pytest.raises(ValueError, match="encoder"):
+            causal_validate(component="decoder", output_dir=tmp_path)
+
+
 class TestCacheDtype:
     def test_bf16_cache_bit_identical_and_trainable(self, tmp_path):
         """--cache-dtype bfloat16 shards carry exactly the widened-f32
