@@ -359,6 +359,10 @@ def decoder_forward(
     dec = params["decoder"]
     t = token_ids.shape[1]
     x = dec["tok"][token_ids] + dec["pos"][:t]
+    # cross-attention K/V must match the decoder's compute dtype, or the
+    # residual add promotes the scan carry (bf16 params + f32 enc_hidden
+    # would flip the carry to f32 mid-layer and fail the scan)
+    enc_hidden = enc_hidden.astype(x.dtype)
 
     def body(h, lp):
         h, mlp_in, mlp_out = _decoder_layer(h, enc_hidden, lp, arch.num_heads)

@@ -188,6 +188,20 @@ class TestExtractActivations:
                 np.asarray(b[k]), err_msg=k,
             )
 
+    def test_bf16_params_f32_enc_hidden(self, jax_whisper, mel):
+        """Pre-cast bf16 params with compute_dtype=None must not trip the
+        decoder scan's carry-dtype check (enc_last is f32 there; the
+        cross-attention K/V cast keeps the carry bf16)."""
+        params, arch = jax_whisper
+        p16 = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            params,
+        )
+        acts = extract_activations(
+            p16, jnp.asarray(mel).astype(jnp.bfloat16), arch, with_mlp=True
+        )
+        assert acts["decoder"].shape == (2, 2, 1, 64)
+
     def test_without_decoder(self, jax_whisper, mel):
         params, arch = jax_whisper
         acts = extract_activations(
