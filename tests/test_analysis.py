@@ -191,7 +191,10 @@ class TestFeatureReport:
         t0 = time.time()
         report.save_reports(top_n=100)
         elapsed = time.time() - t0
-        assert elapsed < 60, f"save_reports took {elapsed:.1f}s at F=40960"
+        # typical: ~17 s on the 1-core dev host; the regression this guards
+        # (per-feature Python loops) took minutes.  120 s leaves headroom
+        # for a loaded host (e.g. a concurrent TPU bench on the same core).
+        assert elapsed < 120, f"save_reports took {elapsed:.1f}s at F=40960"
         assert (tmp_path / "reports" / "tracker_state.json").exists()
         files = list((tmp_path / "reports" / "features").glob("*.json"))
         assert len(files) == 100
