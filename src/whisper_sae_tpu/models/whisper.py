@@ -158,6 +158,32 @@ def _attention(
     scale = hd**-0.5
 
     q = (x_q @ p["wq"] + p["bq"]) * scale
+
+    if not causal and tq * num_heads * 2 <= d and tk >= 8 * tq:
+        # Few-query cross-attention — the BOS capture pass (reference
+        # hooks.py:184-195 only ever decodes one BOS token).  Projecting
+        # the tk-frame memory through Wk/Wv costs O(tk*d^2) FLOPs plus
+        # two [B, tk, d] HBM round-trips per layer, all to answer tq << hd
+        # queries.  Reassociate exactly:
+        #   scores_h = q_h (enc Wk_h)^T = (q_h Wk_h^T) enc^T
+        #   attn_h (enc Wv_h + bv_h) = (attn_h enc) Wv_h + bv_h
+        # (the key has no bias, matching HF; the value bias folds out
+        # because softmax rows sum to 1) — O(tk*d*heads) with no K/V
+        # materialization.  Same algebra, so the f32 parity mode keeps
+        # its budget; dtype handling mirrors the composed path (scores
+        # and softmax in f32, everything else in the input dtype).
+        q4 = q.reshape(b, tq, num_heads, hd)
+        wk4 = p["wk"].reshape(d, num_heads, hd)
+        u = jnp.einsum("bqhe,dhe->bqhd", q4, wk4)
+        scores = jnp.einsum(
+            "bqhd,bkd->bhqk", u, x_kv, preferred_element_type=jnp.float32
+        )
+        attn = jax.nn.softmax(scores, axis=-1).astype(x_kv.dtype)
+        c = jnp.einsum("bhqk,bkd->bqhd", attn, x_kv)
+        wv4 = p["wv"].reshape(d, num_heads, hd)
+        out = jnp.einsum("bqhd,dhe->bqhe", c, wv4).reshape(b, tq, d) + p["bv"]
+        return out @ p["wo"] + p["bo"]
+
     k = x_kv @ p["wk"]
     v = x_kv @ p["wv"] + p["bv"]
 

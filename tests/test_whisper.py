@@ -378,3 +378,66 @@ class TestArchTable:
         params = init_whisper(jax.random.PRNGKey(0), arch)
         acts = extract_activations(params, jnp.asarray(mel), arch)
         assert acts["encoder"].shape == (2, 2, 75, 64)
+
+
+class TestFewQueryCrossAttention:
+    """The reassociated few-query cross-attention (whisper.py:_attention
+    fast path) is exact algebra — pin it against the composed
+    project-K/V-then-attend formulation at f32 tolerance."""
+
+    def _params(self, rng, d):
+        def w():
+            return jnp.asarray(rng.standard_normal((d, d)).astype(np.float32) / d**0.5)
+
+        def bias():
+            return jnp.asarray(rng.standard_normal((d,)).astype(np.float32))
+
+        return {
+            "wq": w(), "bq": bias(), "wk": w(), "wv": w(), "bv": bias(),
+            "wo": w(), "bo": bias(),
+        }
+
+    def _composed(self, x_q, x_kv, p, num_heads):
+        b, tq, d = x_q.shape
+        tk = x_kv.shape[1]
+        hd = d // num_heads
+        q = (x_q @ p["wq"] + p["bq"]) * hd**-0.5
+        k = x_kv @ p["wk"]
+        v = x_kv @ p["wv"] + p["bv"]
+        q = q.reshape(b, tq, num_heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, tk, num_heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, tk, num_heads, hd).transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, tq, d)
+        return out @ p["wo"] + p["bo"]
+
+    @pytest.mark.parametrize("tq", [1, 3])
+    def test_matches_composed(self, rng, tq):
+        from whisper_sae_tpu.models.whisper import _attention
+
+        b, tk, d, heads = 2, 64, 48, 4
+        p = self._params(rng, d)
+        x_q = jnp.asarray(rng.standard_normal((b, tq, d)).astype(np.float32))
+        x_kv = jnp.asarray(rng.standard_normal((b, tk, d)).astype(np.float32))
+        assert tq * heads * 2 <= d and tk >= 8 * tq  # fast path engages
+        got = _attention(x_q, x_kv, p, heads, causal=False)
+        want = self._composed(x_q, x_kv, p, heads)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def test_value_bias_folds_exactly(self, rng):
+        # the fast path relies on softmax rows summing to 1 to add bv
+        # post-contraction; a large bias magnifies any folding error
+        from whisper_sae_tpu.models.whisper import _attention
+
+        b, tq, tk, d, heads = 1, 1, 32, 16, 2
+        p = self._params(rng, d)
+        p["bv"] = p["bv"] + 100.0
+        x_q = jnp.asarray(rng.standard_normal((b, tq, d)).astype(np.float32))
+        x_kv = jnp.asarray(rng.standard_normal((b, tk, d)).astype(np.float32))
+        got = _attention(x_q, x_kv, p, heads, causal=False)
+        want = self._composed(x_q, x_kv, p, heads)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-5
+        )
