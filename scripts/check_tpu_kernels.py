@@ -390,6 +390,29 @@ def main() -> None:
         assert dd < 6e-2, f"fused encoder {name} diff {dd}"
         worst = max(worst, dd)
     print(f"4. fused encoder blocks (bf16): max diff {worst:.1e} vs composed stack")
+
+    # 4b. in-kernel capture final-LN fold: extract_activations' LN'd bf16
+    # captures must be BYTE-identical to LN-ing the same fused forward's
+    # raw captures externally (the pre-fold pipeline) — same kernels, so
+    # equality is exact, not a tolerance
+    acts = jax.jit(
+        lambda p, m: W.extract_activations(
+            p, m, arch, compute_dtype=bf, capture_dtype=bf
+        )
+    )(wp, mel.astype(jnp.float32))
+    raw_last, raw_layers = jax.jit(
+        lambda p, m: W.encoder_forward(p, m, arch)
+    )(wp16, mel)
+    g32 = wp16["encoder"]["ln_f_g"].astype(jnp.float32)
+    b32 = wp16["encoder"]["ln_f_b"].astype(jnp.float32)
+    want_enc = np.asarray(W._layer_norm(raw_layers.astype(bf), g32, b32), np.float32)
+    got_enc = np.asarray(acts["encoder"], np.float32)
+    assert np.array_equal(got_enc, want_enc), "capture final-LN fold not byte-identical"
+    assert np.array_equal(
+        np.asarray(acts["encoder_last"], np.float32),
+        np.asarray(raw_last, np.float32).astype(np.float32),
+    ), "encoder_last (last LN'd capture) mismatch"
+    print("4b. capture final-LN fold: byte-identical to external LN")
     print("all TPU kernel checks passed")
 
 

@@ -251,14 +251,23 @@ def _decoder_layer(
 
 
 def _fused_encoder_layers(x, enc, arch: WhisperArch, with_mlp: bool,
-                          t_real: int | None = None):
+                          t_real: int | None = None,
+                          final_ln: tuple | None = None,
+                          capture_dtype=jnp.bfloat16):
     """Run the encoder stack through the fused Pallas layer blocks
     (ops/pallas_encoder.py): the sequence is padded ONCE to a lane-tile
     multiple, every layer runs as two kernels (LN+attention+residual,
     LN+MLP+residual) with all intermediates VMEM-resident, and the pad
     rows are sliced off at the end.  ``t_real`` marks the valid prefix
     when ``x`` arrives pre-padded (from the fused conv stem).  bf16-mode
-    only; numerics match the composed path to bf16 rounding."""
+    only; numerics match the composed path to bf16 rounding.
+
+    ``final_ln=(ln_f_g, ln_f_b)`` makes the captured layer outputs come
+    back already final-LN'd at ``capture_dtype`` (applied in-kernel on
+    the bf16-rounded layer output — byte-identical to LN-ing the stacked
+    raw captures afterwards, ops/pallas_encoder.py:fused_mlp_block),
+    skipping the extraction pipeline's whole-[L, B, T, D] LN HBM
+    round-trip.  The carry/last-hidden ``x`` stays raw either way."""
     from ..ops import pallas_encoder
 
     b, t_in, d = x.shape
@@ -273,21 +282,22 @@ def _fused_encoder_layers(x, enc, arch: WhisperArch, with_mlp: bool,
             n_heads=arch.num_heads, t_real=t,
         )
         flat = h.reshape(b * t_pad, d)
+        outs = pallas_encoder.fused_mlp_block(
+            flat, lp["ln2_g"], lp["ln2_b"], lp["mlp"], capture=with_mlp,
+            final_ln=final_ln, capture_dtype=capture_dtype,
+        )
+        if not (with_mlp or final_ln is not None):
+            outs = (outs,)
+        out = outs[0].reshape(b, t_pad, d)
+        cap = outs[1].reshape(b, t_pad, d) if final_ln is not None else out
+        stacked = (cap,)
         if with_mlp:
-            y, mlp_in, mlp_out = pallas_encoder.fused_mlp_block(
-                flat, lp["ln2_g"], lp["ln2_b"], lp["mlp"], capture=True
-            )
-            out = y.reshape(b, t_pad, d)
-            return out, (
-                out,
+            mlp_in, mlp_out = outs[-2], outs[-1]
+            stacked += (
                 mlp_in.reshape(b, t_pad, d),
                 mlp_out.reshape(b, t_pad, d),
             )
-        y = pallas_encoder.fused_mlp_block(
-            flat, lp["ln2_g"], lp["ln2_b"], lp["mlp"], capture=False
-        )
-        out = y.reshape(b, t_pad, d)
-        return out, (out,)
+        return out, stacked
 
     x, captured = jax.lax.scan(body, x, enc["layers"])
     x = x[:, :t]
@@ -299,7 +309,8 @@ def _fused_encoder_layers(x, enc, arch: WhisperArch, with_mlp: bool,
 
 def encoder_forward(
     params: dict, mel: jax.Array, arch: WhisperArch, with_mlp: bool = False,
-    use_fused: bool = True,
+    use_fused: bool = True, capture_final_ln: bool = False,
+    capture_dtype=None,
 ):
     """Encoder forward.
 
@@ -315,11 +326,21 @@ def encoder_forward(
             pallas_call as opaque (replicates instead of partitioning
             over the batch), so the sharded path keeps the composed XLA
             stack that partitions cleanly.
+        capture_final_ln: return ``layer_outputs`` with the encoder's
+            final layer_norm already applied at ``capture_dtype`` (the
+            aiOla capture trick, reference hooks.py:87-92).  On the
+            fused path the LN runs in-kernel while the layer output is
+            still in VMEM (byte-identical to LN-ing the stacked
+            ``capture_dtype`` captures afterwards); the composed path
+            applies the same cast-then-LN in XLA.  MLP pairs stay raw.
+        capture_dtype: dtype of the returned captures when
+            ``capture_final_ln`` (default: the compute dtype).
 
     Returns:
         (last_hidden [B, T, D] — after the final layer_norm,
-         layer_outputs [L, B, T, D] — each layer's output, pre-final-LN,
-         i.e. exactly what the reference's forward hooks capture
+         layer_outputs [L, B, T, D] — each layer's output: pre-final-LN
+         (exactly what the reference's forward hooks capture) by
+         default, post-final-LN when ``capture_final_ln``
          [, (mlp_ins, mlp_outs) each [L, B, T, D] when ``with_mlp``]).
     """
     enc = params["encoder"]
@@ -349,11 +370,23 @@ def encoder_forward(
     else:
         stem_fused = True
 
+    cap_dt = capture_dtype if capture_dtype is not None else x.dtype
     if use_fused and x.dtype == jnp.bfloat16 and _use_fused_encoder(t_out, arch):
-        x, layer_outputs, mlp_pair = _fused_encoder_layers(
-            x, enc, arch, with_mlp, t_real=t_out if stem_fused else None
+        final_ln = (
+            (enc["ln_f_g"].astype(jnp.float32), enc["ln_f_b"].astype(jnp.float32))
+            if capture_final_ln
+            else None
         )
-        last = _layer_norm(x, enc["ln_f_g"], enc["ln_f_b"])
+        x, layer_outputs, mlp_pair = _fused_encoder_layers(
+            x, enc, arch, with_mlp, t_real=t_out if stem_fused else None,
+            final_ln=final_ln, capture_dtype=cap_dt,
+        )
+        if capture_final_ln and cap_dt == x.dtype:
+            # the last layer's LN'd capture IS the final hidden state
+            # (same bf16-rounded input, same f32 LN) — skip re-LN-ing x
+            last = layer_outputs[-1]
+        else:
+            last = _layer_norm(x, enc["ln_f_g"], enc["ln_f_b"])
         if with_mlp:
             return last, layer_outputs, mlp_pair
         return last, layer_outputs
@@ -364,6 +397,15 @@ def encoder_forward(
 
     x, (layer_outputs, mlp_ins, mlp_outs) = jax.lax.scan(body, x, enc["layers"])
     last = _layer_norm(x, enc["ln_f_g"], enc["ln_f_b"])
+    if capture_final_ln:
+        # same cast-then-LN order as the fused path / the pre-fold
+        # extraction pipeline (capture cast to its dtype, then LN with
+        # f32 internals)
+        layer_outputs = _layer_norm(
+            layer_outputs.astype(cap_dt),
+            enc["ln_f_g"].astype(jnp.float32),
+            enc["ln_f_b"].astype(jnp.float32),
+        )
     if with_mlp:
         return last, layer_outputs, (mlp_ins, mlp_outs)
     return last, layer_outputs
@@ -453,24 +495,26 @@ def extract_activations(
             params,
         )
         mel = mel.astype(compute_dtype)
+    # capture_final_ln pushes the final-LN of the captures into the
+    # fused MLP kernels (in-VMEM, byte-identical to LN-ing the stacked
+    # captures here — _layer_norm reduces in f32 internally and returns
+    # its input dtype, so a bf16 capture_dtype sees the same f32 LN
+    # values rounded once); the composed path applies the identical
+    # cast-then-LN inside encoder_forward
+    fwd_kw = dict(
+        use_fused=use_fused_encoder,
+        capture_final_ln=apply_layer_norm,
+        capture_dtype=out_dt,
+    )
     if with_mlp:
         enc_last, enc_layers, (enc_min, enc_mout) = encoder_forward(
-            params, mel, arch, with_mlp=True, use_fused=use_fused_encoder
+            params, mel, arch, with_mlp=True, **fwd_kw
         )
     else:
-        enc_last, enc_layers = encoder_forward(
-            params, mel, arch, use_fused=use_fused_encoder
-        )
+        enc_last, enc_layers = encoder_forward(params, mel, arch, **fwd_kw)
         enc_min = enc_mout = None
     enc_last = enc_last.astype(jnp.float32)
     enc_layers = enc_layers.astype(out_dt)
-    if apply_layer_norm:
-        # _layer_norm reduces in f32 internally and returns its input
-        # dtype, so a bf16 capture_dtype sees the same f32 LN values
-        # rounded once — identical bytes to an f32 capture cast later
-        g, b = params["encoder"]["ln_f_g"], params["encoder"]["ln_f_b"]
-        enc_layers = _layer_norm(enc_layers, g.astype(jnp.float32),
-                                 b.astype(jnp.float32))
     out = {"encoder": enc_layers, "encoder_last": enc_last}
     if with_mlp:
         out["encoder_mlp_in"] = enc_min.astype(out_dt)

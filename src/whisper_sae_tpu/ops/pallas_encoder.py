@@ -238,13 +238,19 @@ def fused_attention_block(
 
 
 def _mlp_block_kernel(
-    x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, *out_refs,
-    capture: bool,
+    x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, *refs,
+    capture: bool, final_ln: bool,
 ):
-    if capture:
-        o_ref, min_ref, mout_ref = out_refs
+    if final_ln:
+        fg_ref, fb_ref, *out_refs = refs
     else:
-        (o_ref,) = out_refs
+        out_refs = refs
+    i = 0
+    o_ref = out_refs[i]; i += 1
+    if final_ln:
+        cap_ref = out_refs[i]; i += 1
+    if capture:
+        min_ref, mout_ref = out_refs[i:]
     xb = x_ref[:]  # [rows, D] bf16
     xln = _ln_f32(xb.astype(jnp.float32), g_ref, b_ref).astype(jnp.bfloat16)
     h = (
@@ -259,7 +265,14 @@ def _mlp_block_kernel(
         jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
         + b2_ref[:]
     ).astype(jnp.bfloat16)
-    o_ref[:] = xb + y
+    out = xb + y
+    o_ref[:] = out
+    if final_ln:
+        # the capture LN consumes the bf16-ROUNDED layer output (matching
+        # _layer_norm applied to the stacked bf16 captures byte-for-byte)
+        cap_ref[:] = _ln_f32(
+            out.astype(jnp.float32), fg_ref, fb_ref
+        ).astype(cap_ref.dtype)
     if capture:
         min_ref[:] = xln
         mout_ref[:] = y
@@ -272,6 +285,8 @@ def fused_mlp_block(
     p: dict[str, jax.Array],
     *,
     capture: bool = False,
+    final_ln: tuple[jax.Array, jax.Array] | None = None,
+    capture_dtype=jnp.bfloat16,
 ):
     """x + fc2(gelu_erf(fc1(LN(x)))) in one kernel.
 
@@ -280,6 +295,16 @@ def fused_mlp_block(
     pre-residual fc2 output, the transcoder's training pair
     (models/whisper.py:_encoder_layer).  The [N, F] GELU hidden never
     touches HBM.
+
+    ``final_ln=(g, b)`` additionally emits ``ln_f(out)`` at
+    ``capture_dtype`` while the layer output rows are still in VMEM —
+    the final-LN'd capture the extraction pipeline wants (the aiOla
+    trick, reference hooks.py:87-92), computed on the bf16-rounded
+    output so it is byte-identical to running ``_layer_norm`` over the
+    stacked bf16 captures afterwards.  Saves the extraction pipeline's
+    whole-[L, B, T, D] LN round-trip through HBM.
+
+    Returns: out [, ln_f(out)] [, mlp_in, mlp_out].
     """
     n, d = x.shape
     f = p["w1"].shape[1]
@@ -288,25 +313,50 @@ def fused_mlp_block(
     out_shape = [jax.ShapeDtypeStruct((n, d), jnp.bfloat16)]
     row_spec = pl.BlockSpec((rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out_specs = [row_spec]
+    if final_ln is not None:
+        out_shape.append(jax.ShapeDtypeStruct((n, d), capture_dtype))
+        out_specs.append(row_spec)
     if capture:
         out_shape += [
             jax.ShapeDtypeStruct((n, d), jnp.bfloat16),
             jax.ShapeDtypeStruct((n, d), jnp.bfloat16),
         ]
         out_specs += [row_spec, row_spec]
+    in_specs = [
+        row_spec,
+        pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, f), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, f), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((f, d), full, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
+    ]
+    inputs = [
+        x,
+        ln_g.reshape(1, d).astype(jnp.float32),
+        ln_b.reshape(1, d).astype(jnp.float32),
+        p["w1"].astype(jnp.bfloat16),
+        p["b1"].reshape(1, f).astype(jnp.float32),
+        p["w2"].astype(jnp.bfloat16),
+        p["b2"].reshape(1, d).astype(jnp.float32),
+    ]
+    if final_ln is not None:
+        fg, fb = final_ln
+        in_specs += [
+            pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
+        ]
+        inputs += [
+            fg.reshape(1, d).astype(jnp.float32),
+            fb.reshape(1, d).astype(jnp.float32),
+        ]
     outs = pl.pallas_call(
-        functools.partial(_mlp_block_kernel, capture=capture),
+        functools.partial(
+            _mlp_block_kernel, capture=capture, final_ln=final_ln is not None
+        ),
         out_shape=tuple(out_shape),
         grid=(n // rows,),
-        in_specs=[
-            row_spec,
-            pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, f), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((f, d), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), full, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=tuple(out_specs),
         cost_estimate=pl.CostEstimate(
             flops=4 * n * d * f,
@@ -317,16 +367,8 @@ def fused_mlp_block(
             vmem_limit_bytes=128 * 1024 * 1024,
             dimension_semantics=("arbitrary",),
         ),
-    )(
-        x,
-        ln_g.reshape(1, d).astype(jnp.float32),
-        ln_b.reshape(1, d).astype(jnp.float32),
-        p["w1"].astype(jnp.bfloat16),
-        p["b1"].reshape(1, f).astype(jnp.float32),
-        p["w2"].astype(jnp.bfloat16),
-        p["b2"].reshape(1, d).astype(jnp.float32),
-    )
-    if capture:
+    )(*inputs)
+    if capture or final_ln is not None:
         return outs
     return outs[0]
 

@@ -96,6 +96,45 @@ class TestFusedMLPBlock:
             )
         assert got.shape == (B * T, D)
 
+    @pytest.mark.parametrize("cap_dt", [jnp.bfloat16, jnp.float32])
+    def test_final_ln_capture_matches_external_ln(self, layer, cap_dt):
+        """final_ln=(g, b) emits ln_f(out) in-kernel, matching
+        _layer_norm applied to the kernel's own bf16 output afterwards
+        (the pre-fold extraction pipeline).
+
+        Interpret mode carries bf16 intermediates at f32 precision, so
+        the kernel's LN input (the residual sum before its store-
+        rounding) can sit 1 bf16 ulp off the stored capture — this test
+        pins values at the file's bf16 tolerance; BYTE-identity on real
+        hardware (where the bf16 vector add rounds) is pinned by
+        scripts/check_tpu_kernels.py check 4b."""
+        lp, x, _ = layer
+        rng = np.random.default_rng(9)
+        fg = jnp.asarray(rng.standard_normal(D).astype(np.float32))
+        fb = jnp.asarray(rng.standard_normal(D).astype(np.float32))
+        flat = x.reshape(B * T, D)
+        with pltpu.force_tpu_interpret_mode():
+            out, cap, mi, mo = pe.fused_mlp_block(
+                flat, lp["ln2_g"], lp["ln2_b"], lp["mlp"], capture=True,
+                final_ln=(fg, fb), capture_dtype=cap_dt,
+            )
+        assert cap.dtype == cap_dt
+        want = np.asarray(W._layer_norm(out.astype(cap_dt), fg, fb), np.float32)
+        got = np.asarray(cap, np.float32)
+        np.testing.assert_allclose(got, want, atol=5e-2, rtol=0)
+
+    def test_final_ln_without_capture(self, layer):
+        lp, x, _ = layer
+        flat = x.reshape(B * T, D)
+        fg = lp["ln2_g"].astype(jnp.float32)
+        fb = lp["ln2_b"].astype(jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            out, cap = pe.fused_mlp_block(
+                flat, lp["ln2_g"], lp["ln2_b"], lp["mlp"], capture=False,
+                final_ln=(fg, fb),
+            )
+        assert out.shape == cap.shape == (B * T, D)
+
 
 class TestFusedEncoderStack:
     def test_matches_composed_encoder_forward(self, layer):

@@ -113,6 +113,27 @@ class TestEncoderParity:
         assert last.shape == (2, 75, 64)
         assert layers.shape == (2, 2, 75, 64)
 
+    @pytest.mark.parametrize("cap_dt", [jnp.float32, jnp.bfloat16])
+    def test_capture_final_ln_matches_manual(self, jax_whisper, mel, cap_dt):
+        """capture_final_ln returns captures with the final LN already
+        applied at capture_dtype — byte-identical to casting the raw
+        captures and LN-ing them (the pre-fold extraction pipeline)."""
+        from whisper_sae_tpu.models.whisper import _layer_norm
+
+        params, arch = jax_whisper
+        _, raw = encoder_forward(params, jnp.asarray(mel), arch)
+        got_last, got = encoder_forward(
+            params, jnp.asarray(mel), arch,
+            capture_final_ln=True, capture_dtype=cap_dt,
+        )
+        g = params["encoder"]["ln_f_g"].astype(jnp.float32)
+        b = params["encoder"]["ln_f_b"].astype(jnp.float32)
+        want = _layer_norm(raw.astype(cap_dt), g, b)
+        assert got.dtype == cap_dt
+        np.testing.assert_array_equal(
+            np.asarray(got, np.float32), np.asarray(want, np.float32)
+        )
+
 
 class TestDecoderParity:
     def test_decoder_layers_with_bos(self, torch_whisper, jax_whisper, mel):
