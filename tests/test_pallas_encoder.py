@@ -38,6 +38,31 @@ def _pad(x):
     return jnp.pad(x, ((0, 0), (0, T_PAD - T), (0, 0)))
 
 
+class TestErfPolynomial:
+    def test_matches_scipy_erf(self):
+        """_erf_f32 (transcendental-free odd polynomial, input clamped
+        at +-3.2) vs the exact erf: max abs err must stay ~3.4e-5,
+        three decades under the bf16 rounding the fused outputs carry."""
+        xs = jnp.asarray(np.linspace(-12.0, 12.0, 100001, dtype=np.float32))
+        got = np.asarray(pe._erf_f32(xs), np.float64)
+        want = np.asarray(jax.scipy.special.erf(xs), np.float64)
+        assert np.abs(got - want).max() < 5e-5
+
+    def test_gelu_absolute_error(self):
+        """GELU built on the polynomial erf: the absolute error bound
+        0.5*|x|*erf_err (the quantity bf16 rounding of the layer values
+        is compared against; relative error is meaningless in the
+        negative tail where exact gelu nearly cancels)."""
+        xs = jnp.asarray(np.linspace(-8.0, 8.0, 50001, dtype=np.float32))
+        got = np.asarray(
+            xs * 0.5 * (1.0 + pe._erf_f32(xs * np.float32(2.0**-0.5))),
+            np.float64,
+        )
+        want = np.asarray(jax.nn.gelu(xs, approximate=False), np.float64)
+        bound = 6e-5 * (1.0 + np.abs(np.asarray(xs, np.float64)))
+        assert (np.abs(got - want) <= bound).all()
+
+
 class TestFusedAttentionBlock:
     def test_matches_composed_attention_sublayer(self, layer):
         lp, x, arch = layer
