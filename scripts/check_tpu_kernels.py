@@ -413,6 +413,45 @@ def main() -> None:
         np.asarray(raw_last, np.float32).astype(np.float32),
     ), "encoder_last (last LN'd capture) mismatch"
     print("4b. capture final-LN fold: byte-identical to external LN")
+
+    # 5. large-v3 geometry through the fused encoder blocks: d_model=1280,
+    # 20 heads, ffn 5120, n_mels=128 (the 128-bin conv stem).  The VMEM
+    # budgets in _pick_attention_gb / the MLP row picker were derived at
+    # tiny geometry; this pins that the kernels actually fit and match the
+    # composed bf16 stack at whisper-large scale (layer count reduced to 2
+    # to bound compile time — per-layer shapes are what matter).
+    arch_l = W.WhisperArch(
+        d_model=1280, encoder_layers=2, decoder_layers=1, num_heads=20,
+        ffn_dim=5120, n_mels=128, max_source_positions=1500,
+        max_target_positions=8, vocab_size=100, decoder_start_token_id=1,
+    )
+    wl = W.init_whisper(jax.random.PRNGKey(5), arch_l)
+    wl16 = jax.tree_util.tree_map(
+        lambda a: a.astype(bf) if a.dtype == jnp.float32 else a, wl
+    )
+    mel_l = jax.random.normal(jax.random.PRNGKey(6), (2, 128, 3000), bf)
+    W._use_fused_encoder = lambda *a: False  # also gates the fused stem
+    ref_l = jax.jit(
+        lambda p, m: W.encoder_forward(p, m, arch_l, with_mlp=True)
+    )(wl16, mel_l)
+    W._use_fused_encoder = orig_fused
+    got_l = jax.jit(
+        lambda p, m: W.encoder_forward(p, m, arch_l, with_mlp=True)
+    )(wl16, mel_l)
+    flat_ref = [ref_l[0], ref_l[1], ref_l[2][0], ref_l[2][1]]
+    flat_got = [got_l[0], got_l[1], got_l[2][0], got_l[2][1]]
+    worst_l = 0.0
+    for name, r, g in zip(names, flat_ref, flat_got):
+        dd = float(
+            np.abs(
+                np.asarray(g).astype(np.float32) - np.asarray(r).astype(np.float32)
+            ).max()
+        )
+        # wider than check 4's 6e-2: reductions are 3.3x longer (d=1280)
+        # and the composed bf16 reference carries its own rounding
+        assert dd < 1.5e-1, f"fused encoder large-v3 {name} diff {dd}"
+        worst_l = max(worst_l, dd)
+    print(f"5. fused encoder at large-v3 geometry: max diff {worst_l:.1e}")
     print("all TPU kernel checks passed")
 
 
