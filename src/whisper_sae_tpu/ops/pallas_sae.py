@@ -21,6 +21,7 @@ matmul consumes bf16 under AMP anyway).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -753,7 +754,14 @@ fused_relu_crosscoder_loss.defvjp(_fused_relu_cc_vjp_fwd, _fused_relu_cc_vjp_bwd
 def fused_coder_supported(x_shape, out_dim: int, hidden_dim: int,
                           with_skip: bool = False) -> bool:
     """Transcoder fused-loss geometry: all weights VMEM-resident, lane-
-    aligned dims, and a row count the block size divides."""
+    aligned dims, and a row count the block size divides.
+
+    ``WST_DISABLE_FUSED_CODER=1`` forces the composed XLA path for every
+    fused training forward (SAE / transcoder / ReLU / crosscoder) — the
+    A/B lever that separates "bf16 numerics" from "fused-kernel
+    specifics" in the quality gates (tools/quality_gate.py)."""
+    if os.environ.get("WST_DISABLE_FUSED_CODER"):
+        return False
     if not supported(x_shape, hidden_dim) or out_dim % 128 != 0:
         return False
     d = x_shape[1]

@@ -2,129 +2,447 @@
 """Quality gate: train the REFERENCE implementation and this framework on
 identical activations with identical configs, compare recon MSE and L0.
 
-This is BASELINE.json's quality clause made executable offline: the
-reference's own ``TopKSAE`` + ``SAETrainer`` (imported at runtime from
+This is BASELINE.json's quality clause made executable offline, at the
+blueprint's actual scale (reference configs/tiny_test.yaml: 500 clips x
+1500 tokens = 750k activations, 3 epochs, batch 64, k=32, 8x expansion,
+encoder layer 0): the reference's own models (imported at runtime from
 /root/reference — used as an oracle, not copied) train on activations
-extracted by this framework's pipeline; our trainer runs the same config
+extracted by this framework's pipeline; our trainers run the same config
 on the same data from the same initial parameters.
 
-    JAX_PLATFORMS=cpu python tools/quality_gate.py
-    python tools/quality_gate.py --epochs 3 --tokens 12000
+Families (--family):
+  sae         reference TopKSAE + its own SAETrainer (training.py:161-217)
+  transcoder  reference TopKTranscoder (transcoder.py:139-175) under the
+              same training contract our trainer applies (AdamW +
+              global-norm clip + post-step decoder renorm) — the
+              reference ships no trainer for it
+  crosscoder  reference TopKCrossLayerCrosscoder (crosscoder.py:287-379),
+              same contract
+
+Modes (--modes, comma list) run OUR side repeatedly against ONE oracle
+run, isolating where any AMP quality delta comes from:
+  f32          composed XLA forward, f32 throughout
+  amp          bf16 AMP with the fused Pallas training forward (the
+               production configuration)
+  amp-nofused  bf16 AMP with the fused kernels disabled
+               (WST_DISABLE_FUSED_CODER=1) — composed XLA bf16; if this
+               matches `amp`, the delta is bf16 numerics, not the kernel
+
+    python tools/quality_gate.py --family sae --modes f32,amp --out quality_gate_sae.json
+    python tools/quality_gate.py --family transcoder --tokens 750000
 
 Prints one JSON line:
-    {"reference": {"mse": ..., "l0": ...}, "tpu": {"mse": ..., "l0": ...},
-     "mse_ratio": ..., "pass": true}
+    {"family": ..., "config": {...}, "reference": {"mse": ..., "l0": ...},
+     "modes": {"f32": {"mse": ..., "l0": ..., "mse_ratio": ..., "pass": true}, ...},
+     "pass": true}
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+import tempfile
+import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO / "src"))
 REFERENCE = Path("/root/reference/src")
 
+EVAL_CHUNK = 65_536  # rows per eval forward (the dense [B, H] latent at
+# 750k rows would be ~9 GB — chunk on both frameworks)
 
-def main() -> None:
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--epochs", type=int, default=3)
-    parser.add_argument("--tokens", type=int, default=12_000)
-    parser.add_argument("--batch-size", type=int, default=64)
-    parser.add_argument("--k", type=int, default=32)
-    parser.add_argument("--expansion", type=int, default=8)
-    parser.add_argument("--lr", type=float, default=1e-4)
-    parser.add_argument("--amp", action="store_true",
-                        help="train THIS framework in bf16 AMP (engages the "
-                             "fused Pallas forward on TPU); the reference "
-                             "oracle stays f32")
-    args = parser.parse_args()
 
+def log(msg: str) -> None:
+    print(f"[gate +{time.perf_counter() - T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+T0 = time.perf_counter()
+
+
+# ---------------------------------------------------------------------------
+# data: identical activations from OUR extraction pipeline, chunked so the
+# gate scales to 500+ clips (device-side layer slicing keeps D2H small)
+# ---------------------------------------------------------------------------
+
+def extract_tokens(family: str, tokens: int, n_layers: int):
     import numpy as np
 
     import jax
     import jax.numpy as jnp
 
-    # ---- 1. identical activation data from OUR extraction pipeline ----
     from whisper_sae_tpu.data.librispeech import SyntheticSpeechDataset
-    from whisper_sae_tpu.models.whisper import WhisperArch, extract_activations, init_whisper
+    from whisper_sae_tpu.models.whisper import (
+        WhisperArch,
+        extract_activations,
+        init_whisper,
+    )
 
     arch = WhisperArch()
     params = init_whisper(jax.random.PRNGKey(0), arch)
-    n_clips = max(1, args.tokens // 1500)
+    n_clips = max(1, -(-tokens // 1500))
     ds = SyntheticSpeechDataset(num_samples=n_clips, seed=0)
-    mels = jnp.stack([jnp.asarray(ds[i]["input_features"]) for i in range(n_clips)])
-    acts = extract_activations(params, mels, arch, with_decoder=False)
-    tokens = np.asarray(acts["encoder"][0]).reshape(-1, arch.d_model)[: args.tokens]
-    d = tokens.shape[1]
-    h = d * args.expansion
-    print(f"activations: {tokens.shape} from {n_clips} clips", file=sys.stderr)
 
-    # ---- 2. the reference implementation (oracle, imported at runtime) ----
+    chunks = []
+    chunk = 50
+    for start in range(0, n_clips, chunk):
+        idx = range(start, min(start + chunk, n_clips))
+        mels = jnp.stack([jnp.asarray(ds[i]["input_features"]) for i in idx])
+        acts = extract_activations(
+            params, mels, arch, with_decoder=False,
+            with_mlp=family == "transcoder",
+        )
+        if family == "sae":
+            # encoder layer 0 (tiny_test.yaml: encoder_layers: [0])
+            chunks.append(np.asarray(acts["encoder"][0]).reshape(-1, arch.d_model))
+        elif family == "transcoder":
+            chunks.append((
+                np.asarray(acts["encoder_mlp_in"][0]).reshape(-1, arch.d_model),
+                np.asarray(acts["encoder_mlp_out"][0]).reshape(-1, arch.d_model),
+            ))
+        else:  # crosscoder: all encoder layers, token-major [N, L, D]
+            enc = np.asarray(acts["encoder"][:n_layers])  # [L, B, T, D]
+            chunks.append(
+                enc.transpose(1, 2, 0, 3).reshape(-1, enc.shape[0], arch.d_model)
+            )
+        log(f"extracted clips {start}..{idx[-1]}")
+
+    if family == "transcoder":
+        x = np.concatenate([c[0] for c in chunks])[:tokens]
+        y = np.concatenate([c[1] for c in chunks])[:tokens]
+        return (x, y)
+    return np.concatenate(chunks)[:tokens]
+
+
+# ---------------------------------------------------------------------------
+# reference oracles (torch, imported at runtime from /root/reference)
+# ---------------------------------------------------------------------------
+
+def _torch_contract_loop(model, params_t, batches_fn, epochs, lr, renorm,
+                         total_steps, warmup_steps):
+    """The training contract both repos share for coder families (AdamW,
+    wd=0, global-norm clip 1.0, post-step decoder renorm, warmup+cosine
+    LR — reference training.py:136-217 semantics; the reference has no
+    coder trainer, so this loop applies its SAE trainer's contract to the
+    reference coder models)."""
+    import torch
+    from torch.optim.lr_scheduler import CosineAnnealingLR, LinearLR, SequentialLR
+
+    opt = torch.optim.AdamW(params_t, lr=lr, weight_decay=0.0)
+    warmup = min(warmup_steps, total_steps // 10)
+    sched = SequentialLR(
+        opt,
+        schedulers=[
+            LinearLR(opt, start_factor=0.01, end_factor=1.0, total_iters=warmup),
+            CosineAnnealingLR(opt, T_max=total_steps - warmup, eta_min=lr * 0.1),
+        ],
+        milestones=[warmup],
+    )
+    for ep in range(epochs):
+        for loss in batches_fn(ep, model):
+            opt.zero_grad()
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(params_t, 1.0)
+            opt.step()
+            sched.step()
+            with torch.no_grad():
+                renorm()
+        log(f"oracle epoch {ep + 1}/{epochs} done")
+
+
+def run_reference(family: str, data, args):
+    import numpy as np
+
     sys.path.insert(0, str(REFERENCE))
     import torch
-    from whisper_sae.config import TrainingConfig as RefTrainingConfig
-    from whisper_sae.sae.model import TopKSAE as RefTopKSAE
-    from whisper_sae.sae.training import SAETrainer as RefSAETrainer
 
     torch.manual_seed(0)
-    ref_model = RefTopKSAE(input_dim=d, hidden_dim=h, k=args.k)
-    init_sd = {k2: v.detach().clone() for k2, v in ref_model.state_dict().items()}
-    ref_cfg = RefTrainingConfig(
-        batch_size=args.batch_size, learning_rate=args.lr, epochs=args.epochs,
-        warmup_steps=100, use_amp=False,
-    )
-    import tempfile
+    if family == "sae":
+        from whisper_sae.config import TrainingConfig as RefTrainingConfig
+        from whisper_sae.sae.model import TopKSAE as RefTopKSAE
+        from whisper_sae.sae.training import SAETrainer as RefSAETrainer
 
-    with tempfile.TemporaryDirectory() as td:
-        trainer = RefSAETrainer(ref_model, ref_cfg, device="cpu", run_dir=Path(td))
+        d = data.shape[1]
+        ref_model = RefTopKSAE(input_dim=d, hidden_dim=d * args.expansion, k=args.k)
+        init_sd = {k: v.detach().clone() for k, v in ref_model.state_dict().items()}
+        ref_cfg = RefTrainingConfig(
+            batch_size=args.batch_size, learning_rate=args.lr, epochs=args.epochs,
+            warmup_steps=args.warmup_steps, use_amp=False,
+        )
         from torch.utils.data import DataLoader, TensorDataset
 
-        loader = DataLoader(
-            TensorDataset(torch.from_numpy(tokens)),
-            batch_size=args.batch_size, shuffle=True,
-        )
-        trainer.train(loader, epochs=args.epochs, checkpoint_every=10_000)
+        with tempfile.TemporaryDirectory() as td:
+            trainer = RefSAETrainer(ref_model, ref_cfg, device="cpu", run_dir=Path(td))
+            loader = DataLoader(
+                TensorDataset(torch.from_numpy(data)),
+                batch_size=args.batch_size, shuffle=True,
+            )
+            trainer.train(loader, epochs=args.epochs, checkpoint_every=10_000_000)
 
+        ref_model.eval()
+        with torch.no_grad():
+            mses, l0s = [], []
+            for s in range(0, len(data), EVAL_CHUNK):
+                out = ref_model(torch.from_numpy(data[s : s + EVAL_CHUNK]))
+                mses.append(float(out.reconstruction_loss) * (min(s + EVAL_CHUNK, len(data)) - s))
+                l0s.append(float(out.l0) * (min(s + EVAL_CHUNK, len(data)) - s))
+        return init_sd, {"mse": sum(mses) / len(data), "l0": sum(l0s) / len(data)}
+
+    if family == "transcoder":
+        from whisper_sae.sae.transcoder import TopKTranscoder as RefTranscoder
+
+        x, y = data
+        d = x.shape[1]
+        ref_model = RefTranscoder(
+            input_dim=d, output_dim=y.shape[1], hidden_dim=d * args.expansion, k=args.k
+        )
+        init_sd = {k: v.detach().clone() for k, v in ref_model.state_dict().items()}
+        params_t = list(ref_model.parameters())
+        rng = np.random.default_rng(0)
+
+        def batches(ep, m):
+            # drop_last=False like the reference DataLoader default
+            perm = rng.permutation(len(x))
+            for s in range(0, len(x), args.batch_size):
+                i = perm[s : s + args.batch_size]
+                out = m(torch.from_numpy(x[i]), torch.from_numpy(y[i]))
+                yield out.loss
+
+        _torch_contract_loop(
+            ref_model, params_t, batches, args.epochs, args.lr,
+            ref_model.normalize_decoder_weights,
+            total_steps=args.epochs * -(-len(x) // args.batch_size),
+            warmup_steps=args.warmup_steps,
+        )
+        ref_model.eval()
+        with torch.no_grad():
+            mses, l0s = [], []
+            for s in range(0, len(x), EVAL_CHUNK):
+                n = min(s + EVAL_CHUNK, len(x)) - s
+                out = ref_model(
+                    torch.from_numpy(x[s : s + EVAL_CHUNK]),
+                    torch.from_numpy(y[s : s + EVAL_CHUNK]),
+                )
+                mses.append(float(out.reconstruction_loss) * n)
+                l0s.append(float(out.l0) * n)
+        return init_sd, {"mse": sum(mses) / len(x), "l0": sum(l0s) / len(x)}
+
+    # crosscoder
+    from whisper_sae.sae.crosscoder import TopKCrossLayerCrosscoder as RefCrosscoder
+
+    n, n_layers, d = data.shape
+    ref_model = RefCrosscoder(
+        d_model=d, n_layers=n_layers, d_sae=d * args.expansion, k=args.k
+    )
+    init_sd = {k: v.detach().clone() for k, v in ref_model.state_dict().items()}
+    params_t = list(ref_model.parameters())
+    rng = np.random.default_rng(0)
+
+    def cc_batches(ep, m):
+        # drop_last=False like the reference DataLoader default
+        perm = rng.permutation(n)
+        for s in range(0, n, args.batch_size):
+            i = perm[s : s + args.batch_size]
+            acts = {
+                li: torch.from_numpy(data[i, li]) for li in range(n_layers)
+            }
+            out = m(acts)
+            yield out.loss
+
+    _torch_contract_loop(
+        ref_model, params_t, cc_batches, args.epochs, args.lr,
+        ref_model.normalize_decoder_weights,
+        total_steps=args.epochs * -(-n // args.batch_size),
+        warmup_steps=args.warmup_steps,
+    )
     ref_model.eval()
     with torch.no_grad():
-        out = ref_model(torch.from_numpy(tokens))
-        ref_mse = float(out.reconstruction_loss)
-        ref_l0 = float(out.l0)
+        mses, l0s = [], []
+        for s in range(0, n, EVAL_CHUNK):
+            rows = min(s + EVAL_CHUNK, n) - s
+            acts = {
+                li: torch.from_numpy(data[s : s + EVAL_CHUNK, li])
+                for li in range(n_layers)
+            }
+            out = ref_model(acts)
+            mses.append(float(out.reconstruction_loss) * rows)
+            l0s.append(float(out.l0) * rows)
+    return init_sd, {"mse": sum(mses) / n, "l0": sum(l0s) / n}
 
-    # ---- 3. this framework, same config, same initial parameters ----
+
+# ---------------------------------------------------------------------------
+# our side, one run per mode (same init, same config)
+# ---------------------------------------------------------------------------
+
+def run_ours(family: str, data, init_sd, args, mode: str):
+    import numpy as np
+
+    import jax.numpy as jnp
+
     from whisper_sae_tpu.config import TrainingConfig
-    from whisper_sae_tpu.data.loader import ActivationLoader
-    from whisper_sae_tpu.models.sae import TopKSAE
-    from whisper_sae_tpu.training.trainer import SAETrainer
     from whisper_sae_tpu.utils.checkpoint import import_torch_state_dict
 
-    jparams = import_torch_state_dict(init_sd)
-    jparams["b_pre"] = jnp.zeros((d,), jnp.float32)
-    model = TopKSAE(input_dim=d, hidden_dim=h, k=args.k, params=jparams)
+    if mode == "amp-nofused":
+        os.environ["WST_DISABLE_FUSED_CODER"] = "1"
+    else:
+        os.environ.pop("WST_DISABLE_FUSED_CODER", None)
+    use_amp = mode.startswith("amp")
     cfg = TrainingConfig(
         batch_size=args.batch_size, learning_rate=args.lr, epochs=args.epochs,
-        warmup_steps=100, use_amp=args.amp,
+        warmup_steps=args.warmup_steps, use_amp=use_amp,
     )
-    with tempfile.TemporaryDirectory() as td:
-        trainer = SAETrainer(model, cfg, run_dir=Path(td))
-        trainer.train(ActivationLoader(tokens, args.batch_size, seed=0), epochs=args.epochs)
 
-    model.eval()
-    out = model(jnp.asarray(tokens))
-    tpu_mse = float(out.reconstruction_loss)
-    tpu_l0 = float(out.l0)
+    if family == "sae":
+        from whisper_sae_tpu.data.loader import ActivationLoader
+        from whisper_sae_tpu.models.sae import TopKSAE
+        from whisper_sae_tpu.training.trainer import SAETrainer
 
-    ratio = tpu_mse / ref_mse if ref_mse > 0 else float("inf")
-    result = {
-        "reference": {"mse": round(ref_mse, 6), "l0": round(ref_l0, 3)},
-        "tpu": {"mse": round(tpu_mse, 6), "l0": round(tpu_l0, 3)},
-        "mse_ratio": round(ratio, 4),
-        "pass": bool(0.95 <= ratio <= 1.05 and abs(tpu_l0 - ref_l0) < 0.5),
+        d = data.shape[1]
+        jparams = import_torch_state_dict(init_sd)
+        jparams["b_pre"] = jnp.zeros((d,), jnp.float32)
+        model = TopKSAE(input_dim=d, hidden_dim=d * args.expansion, k=args.k,
+                        params=jparams)
+        with tempfile.TemporaryDirectory() as td:
+            trainer = SAETrainer(model, cfg, run_dir=Path(td))
+            trainer.train(
+                ActivationLoader(data, args.batch_size, seed=0), epochs=args.epochs
+            )
+        model.eval()
+        mses, l0s = [], []
+        for s in range(0, len(data), EVAL_CHUNK):
+            rows = min(s + EVAL_CHUNK, len(data)) - s
+            out = model(jnp.asarray(data[s : s + EVAL_CHUNK]))
+            mses.append(float(out.reconstruction_loss) * rows)
+            l0s.append(float(out.l0) * rows)
+        return {"mse": sum(mses) / len(data), "l0": sum(l0s) / len(data)}
+
+    if family == "transcoder":
+        from whisper_sae_tpu.models.transcoder import TopKTranscoder
+        from whisper_sae_tpu.training.coder_trainers import TranscoderTrainer
+
+        x, y = data
+        d = x.shape[1]
+        init = {
+            "w_enc": jnp.array(np.asarray(init_sd["encoder.weight"]).T),
+            "b_enc": jnp.array(np.asarray(init_sd["encoder.bias"])),
+            # reference decoder: nn.Linear(H, D) -> weight [D, H]; ours [H, D]
+            "w_dec": jnp.array(np.asarray(init_sd["decoder.weight"]).T),
+            "b_dec": jnp.array(np.asarray(init_sd["decoder.bias"])),
+        }
+        model = TopKTranscoder(d, y.shape[1], d * args.expansion, k=args.k, params=init)
+        from whisper_sae_tpu.data.loader import PairedActivationLoader
+
+        with tempfile.TemporaryDirectory() as td:
+            trainer = TranscoderTrainer(model, cfg, run_dir=Path(td))
+            trainer.train(
+                PairedActivationLoader(x, y, args.batch_size, seed=0),
+                epochs=args.epochs,
+            )
+        model.eval()
+        mses, l0s = [], []
+        for s in range(0, len(x), EVAL_CHUNK):
+            rows = min(s + EVAL_CHUNK, len(x)) - s
+            out = model(jnp.asarray(x[s : s + EVAL_CHUNK]),
+                        jnp.asarray(y[s : s + EVAL_CHUNK]))
+            mses.append(float(out.reconstruction_loss) * rows)
+            l0s.append(float(out.l0) * rows)
+        return {"mse": sum(mses) / len(x), "l0": sum(l0s) / len(x)}
+
+    # crosscoder (reference parameter names: W_enc/b_enc/W_dec/b_dec)
+    from whisper_sae_tpu.models.crosscoder import TopKCrossLayerCrosscoder
+    from whisper_sae_tpu.training.coder_trainers import CrosscoderTrainer
+
+    n, n_layers, d = data.shape
+    init = {
+        "w_enc": jnp.array(np.asarray(init_sd["W_enc"])),
+        "b_enc": jnp.array(np.asarray(init_sd["b_enc"])),
+        "w_dec": jnp.array(np.asarray(init_sd["W_dec"])),
+        "b_dec": jnp.array(np.asarray(init_sd["b_dec"])),
     }
-    print(json.dumps(result))
+    model = TopKCrossLayerCrosscoder(
+        d_model=d, n_layers=n_layers, d_sae=d * args.expansion, k=args.k, params=init
+    )
+    from whisper_sae_tpu.data.loader import ActivationLoader
+
+    with tempfile.TemporaryDirectory() as td:
+        trainer = CrosscoderTrainer(model, cfg, run_dir=Path(td))
+        trainer.train(
+            ActivationLoader(data, args.batch_size, seed=0), epochs=args.epochs
+        )
+    model.eval()
+    mses, l0s = [], []
+    for s in range(0, n, EVAL_CHUNK):
+        rows = min(s + EVAL_CHUNK, n) - s
+        out = model(jnp.asarray(data[s : s + EVAL_CHUNK]))
+        mses.append(float(out.reconstruction_loss) * rows)
+        l0s.append(float(out.l0) * rows)
+    return {"mse": sum(mses) / n, "l0": sum(l0s) / n}
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--family", choices=["sae", "transcoder", "crosscoder"],
+                        default="sae")
+    parser.add_argument("--modes", default="f32,amp",
+                        help="comma list of f32|amp|amp-nofused")
+    # defaults = reference configs/tiny_test.yaml (500 clips x 1500 tokens)
+    parser.add_argument("--epochs", type=int, default=3)
+    parser.add_argument("--tokens", type=int, default=750_000)
+    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--warmup-steps", type=int, default=100)
+    parser.add_argument("--k", type=int, default=32)
+    parser.add_argument("--expansion", type=int, default=8)
+    parser.add_argument("--n-layers", type=int, default=4,
+                        help="encoder layers stacked for the crosscoder family")
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--out", type=Path, default=None,
+                        help="also write the JSON result here")
+    parser.add_argument("--amp", action="store_true",
+                        help="legacy flag: equivalent to --modes amp")
+    args = parser.parse_args()
+    if args.amp:
+        args.modes = "amp"
+    modes = [m.strip() for m in args.modes.split(",") if m.strip()]
+
+    data = extract_tokens(args.family, args.tokens, args.n_layers)
+    n_tok = len(data[0]) if args.family == "transcoder" else len(data)
+    log(f"activations ready: {n_tok} tokens, family={args.family}")
+
+    init_sd, ref = run_reference(args.family, data, args)
+    log(f"reference oracle: mse={ref['mse']:.6f} l0={ref['l0']:.2f}")
+
+    result = {
+        "family": args.family,
+        "config": {
+            "tokens": n_tok, "epochs": args.epochs, "batch_size": args.batch_size,
+            "k": args.k, "expansion": args.expansion, "lr": args.lr,
+            "warmup_steps": args.warmup_steps,
+            **({"n_layers": args.n_layers} if args.family == "crosscoder" else {}),
+            "note": "reference configs/tiny_test.yaml scale; oracle = f32 torch "
+                    "reference implementation imported from /root/reference",
+        },
+        "reference": {"mse": round(ref["mse"], 6), "l0": round(ref["l0"], 3)},
+        "modes": {},
+    }
+    ok = True
+    for mode in modes:
+        ours = run_ours(args.family, data, init_sd, args, mode)
+        ratio = ours["mse"] / ref["mse"] if ref["mse"] > 0 else float("inf")
+        passed = bool(0.95 <= ratio <= 1.05 and abs(ours["l0"] - ref["l0"]) < 0.5)
+        ok = ok and passed
+        result["modes"][mode] = {
+            "mse": round(ours["mse"], 6), "l0": round(ours["l0"], 3),
+            "mse_ratio": round(ratio, 4), "pass": passed,
+        }
+        log(f"mode {mode}: mse={ours['mse']:.6f} ratio={ratio:.4f} pass={passed}")
+    result["pass"] = ok
+
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        args.out.write_text(line + "\n")
 
 
 if __name__ == "__main__":
