@@ -430,6 +430,14 @@ def main() -> None:
         lambda a: a.astype(bf) if a.dtype == jnp.float32 else a, wl
     )
     mel_l = jax.random.normal(jax.random.PRNGKey(6), (2, 128, 3000), bf)
+    # guard against the check passing vacuously: the fused gates must
+    # actually accept large-v3 geometry, or both sides below would take
+    # the composed path and diff 0 proves nothing (ADVICE r3)
+    assert orig_fused(1500, arch_l), \
+        "fused encoder gate should accept large-v3 geometry"
+    from whisper_sae_tpu.ops import pallas_encoder as _pe
+    assert _pe.stem_supported(128, 3000, 1280), \
+        "fused conv stem gate should accept large-v3 geometry"
     W._use_fused_encoder = lambda *a: False  # also gates the fused stem
     ref_l = jax.jit(
         lambda p, m: W.encoder_forward(p, m, arch_l, with_mlp=True)
