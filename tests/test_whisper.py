@@ -462,3 +462,92 @@ class TestFewQueryCrossAttention:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-5
         )
+
+
+class TestGreedyDecodeHFParity:
+    """Token-for-token parity of our greedy decode against HF
+    ``generate(do_sample=False)`` on the same random weights — the oracle
+    the reference never has (it ships no decode at all); our ``transcribe``
+    job and the causal KL/agreement metrics sit on this loop.  Same
+    random-weight-oracle style as TestEncoderParity above (reference
+    tests/test_hooks.py:27-33 runs the pretrained flavor online)."""
+
+    MAX_NEW = 12
+
+    def _hf_tokens(self, torch_whisper, mel, forced=None):
+        kwargs = {}
+        if forced is not None:
+            # transformers >= 4.50 dropped forced_decoder_ids; priming
+            # decoder_input_ids with [start, *forced] is the equivalent
+            start = torch_whisper.config.decoder_start_token_id
+            prompt = torch.tensor(
+                [[start, *forced]] * mel.shape[0], dtype=torch.long
+            )
+            kwargs["decoder_input_ids"] = prompt
+        with torch.no_grad():
+            out = torch_whisper.generate(
+                input_features=torch.from_numpy(mel),
+                do_sample=False,
+                max_new_tokens=self.MAX_NEW,
+                # the tiny vocab (500) makes HF's default whisper
+                # begin-suppression list ([220, 50256]) partly in-vocab;
+                # disable suppression on both sides
+                suppress_tokens=None,
+                begin_suppress_tokens=None,
+                **kwargs,
+            )
+        return np.asarray(out)
+
+    def _mask_after_eos(self, toks, eos):
+        """Zero everything after (and including) the first EOS per row so
+        padding conventions don't leak into the comparison."""
+        toks = toks.copy()
+        for r in range(toks.shape[0]):
+            hits = np.where(toks[r] == eos)[0]
+            if len(hits):
+                toks[r, hits[0]:] = eos
+        return toks
+
+    @pytest.mark.parametrize("cached", [False, True])
+    def test_tokens_match_hf_generate(self, torch_whisper, jax_whisper, mel, cached):
+        from whisper_sae_tpu.models.whisper import greedy_decode, greedy_decode_cached
+
+        params, arch = jax_whisper
+        hf = self._hf_tokens(torch_whisper, mel)
+        fn = greedy_decode_cached if cached else greedy_decode
+        ours = np.asarray(fn(params, jnp.asarray(mel), arch, max_len=self.MAX_NEW + 1))
+        assert (ours[:, 0] == arch.decoder_start_token_id).all()
+        # HF strips the decoder-start token from the returned sequences
+        # when it emits exactly max_new_tokens columns; align on content
+        ours_new = ours[:, 1:]
+        if hf.shape[1] == self.MAX_NEW + 1:
+            assert (hf[:, 0] == arch.decoder_start_token_id).all()
+            hf = hf[:, 1:]
+        n = min(hf.shape[1], ours_new.shape[1])
+        eos = arch.eos_token_id
+        np.testing.assert_array_equal(
+            self._mask_after_eos(ours_new[:, :n], eos),
+            self._mask_after_eos(hf[:, :n], eos),
+        )
+
+    def test_forced_ids_match_hf_generate(self, torch_whisper, jax_whisper, mel):
+        from whisper_sae_tpu.models.whisper import greedy_decode_cached
+
+        params, arch = jax_whisper
+        forced = (7, 11, 13)
+        hf = self._hf_tokens(torch_whisper, mel, forced=forced)
+        ours = np.asarray(
+            greedy_decode_cached(
+                params, jnp.asarray(mel), arch,
+                max_len=self.MAX_NEW + len(forced) + 1, forced_ids=forced,
+            )
+        )
+        # HF generate returns only the continuation after the primed
+        # prompt [start, *forced]; align our buffer the same way
+        ours_new = ours[:, 1 + len(forced):]
+        n = min(hf.shape[1], ours_new.shape[1])
+        eos = arch.eos_token_id
+        np.testing.assert_array_equal(
+            self._mask_after_eos(ours_new[:, :n], eos),
+            self._mask_after_eos(hf[:, :n], eos),
+        )
