@@ -28,6 +28,9 @@ Families (each a :class:`TPFamily` built by a ``*_family`` constructor):
 - TopK crosscoder    — the flattened [B, L*D] transcoder-with-y=x view
                        (models/crosscoder.py:163-201); S sharded over
                        ``model``
+- ReLU crosscoder    — same layout, elementwise activation (no threshold
+                       collective) + sharded decoder-norm-weighted L1
+                       (reference crosscoder.py:204-236)
 
 The replicated-leaf trick: decoder-path terms that involve replicated
 params (b_dec, b_pre, w_skip, b_skip) ride INSIDE the model psum at
@@ -279,6 +282,81 @@ def crosscoder_family(k: int) -> TPFamily:
     )
 
 
+def relu_crosscoder_family(sparsity_weight: float) -> TPFamily:
+    """ReLU cross-layer crosscoder (decoder-norm-weighted L1, reference
+    crosscoder.py:204-236) on token-major [B, L, D] batches.
+
+    Unlike the TopK families, ReLU needs NO distributed threshold — the
+    activation is elementwise, so the encode/activation stage is entirely
+    local on the S-sharded feature dim.  The communication is exactly the
+    TopK crosscoder's: one [B, L*D] psum for the reconstruction.  The
+    sparsity term mean_B(|hidden| @ decoder_norms) splits per feature
+    shard: each shard differentiates its own partial (its hidden columns
+    and decoder rows are complete locally), and the DATA-axis gradient
+    psum in the step body completes the batch mean; only the *metric*
+    value needs the (DATA, MODEL) psum."""
+
+    def forward(p, batch, compute_dtype, n_data, n_model):
+        b, l, d = batch.shape
+        x2d = batch.reshape(b, l * d)
+        w_enc = p["w_enc"].reshape(l * d, -1)  # [L*D, S_local]
+        pre = (
+            jnp.dot(
+                x2d.astype(compute_dtype),
+                w_enc.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + p["b_enc"]
+        )
+        hidden = jax.nn.relu(pre)  # elementwise: no cross-shard threshold
+        w_dec = p["w_dec"].reshape(p["w_dec"].shape[0], l * d)  # [S_local, L*D]
+        recon_part = jnp.dot(
+            hidden.astype(compute_dtype),
+            w_dec.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        recon = psum_identity_vjp(
+            recon_part + p["b_dec"].reshape(l * d) / n_model, MODEL_AXIS
+        )
+        sq = jnp.sum(jnp.square(recon - x2d))
+        n_global = b * n_data * d  # sum of per-layer means == sq/(B_global*D)
+        # local sparsity partial: this shard's features only; dividing by
+        # the GLOBAL row count makes the DATA-axis grad psum exact
+        norms_local = jnp.linalg.norm(
+            p["w_dec"].reshape(p["w_dec"].shape[0], -1), axis=1
+        )
+        sp_local = jnp.sum(jnp.abs(hidden) @ norms_local) / (b * n_data)
+        loss = sq / n_global + sparsity_weight * sp_local
+        metrics = _metric_collectives(hidden, sq, n_global, b, n_data)
+        sp_global = jax.lax.psum(
+            jax.lax.stop_gradient(sp_local), (DATA_AXIS, MODEL_AXIS)
+        )
+        metrics["recon_metric"] = metrics["loss_metric"]
+        metrics["sparsity_loss"] = sp_global
+        metrics["loss_metric"] = (
+            metrics["loss_metric"] + sparsity_weight * sp_global
+        )
+        return loss, metrics
+
+    def renorm(params):
+        from ..models.crosscoder import normalize_crosscoder_decoder
+
+        return normalize_crosscoder_decoder(params)
+
+    return TPFamily(
+        name="relu_crosscoder",
+        param_specs={
+            "w_enc": P(None, None, MODEL_AXIS),
+            "b_enc": P(MODEL_AXIS),
+            "w_dec": P(MODEL_AXIS, None, None),
+            "b_dec": P(),
+        },
+        batch_spec=P(DATA_AXIS, None, None),
+        forward=forward,
+        renorm_fn=renorm,
+    )
+
+
 DSTATE_SPECS = DeadFeatureState(feature_last_activated=P(MODEL_AXIS), step_count=P())
 
 _IS_SPEC = lambda x: isinstance(x, P)  # noqa: E731
@@ -356,7 +434,9 @@ def _make_local_step(
         ) / (params["b_enc"].shape[0] * n_model)
         metrics = {
             "loss": loss,
-            "reconstruction_loss": loss,
+            # families whose total loss has a sparsity term (ReLU
+            # crosscoder) report the recon component separately
+            "reconstruction_loss": aux.get("recon_metric", loss),
             "sparsity_loss": aux["sparsity_loss"],
             "l0": aux["l0"],
             "dead_feature_ratio": dead_ratio,

@@ -92,13 +92,15 @@ class CrosscoderTrainer(SAETrainer):
 
     def _supports_tp(self) -> bool:
         # TopK crosscoders ride the flattened-transcoder dp x tp family
-        # (S sharded over ``model``); the ReLU variant has no global
-        # threshold to distribute and stays on the GSPMD path
-        return self.model._k is not None
+        # (S sharded over ``model``); the ReLU variant has its own family
+        # (elementwise activation -> no threshold collective at all)
+        return True
 
     def _tp_family(self):
-        from ..parallel.tp_step import crosscoder_family
+        from ..parallel.tp_step import crosscoder_family, relu_crosscoder_family
 
+        if self.model._k is None:
+            return relu_crosscoder_family(self.model.sparsity_weight)
         return crosscoder_family(self.model._k)
 
     def _loss_fn(self):

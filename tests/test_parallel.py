@@ -427,19 +427,43 @@ class TestCoderTP:
                 atol=1e-5, err_msg=name,
             )
 
-    def test_relu_crosscoder_stays_gspmd(self, rng):
+    @pytest.mark.parametrize("shape", [(4, 2), (2, 4)])
+    def test_relu_crosscoder_tp_matches_single_device(self, rng, shape):
+        """The ReLU crosscoder's own TP family (relu_crosscoder_family):
+        elementwise activation needs no threshold collective, and the
+        decoder-norm-weighted L1 splits per feature shard (VERDICT r3
+        next #6 — previously this variant stayed on the GSPMD path)."""
         from whisper_sae_tpu.models.crosscoder import CrossLayerCrosscoder
         from whisper_sae_tpu.training.coder_trainers import CrosscoderTrainer
 
-        model = CrossLayerCrosscoder(d_model=16, n_layers=3, d_sae=128)
-        t = CrosscoderTrainer(
-            model, self._tc_cfg(), run_dir=None,
-            mesh=make_mesh(data=4, model=2),
-        )
-        assert not t._is_tp()  # no global threshold to distribute
-        data = rng.standard_normal((B, 3, 16)).astype(np.float32)
-        m = t.train_step(data)
-        assert np.isfinite(m.loss)
+        L, D_CC, S = 3, 16, 128
+        data = rng.standard_normal((4 * B, L, D_CC)).astype(np.float32)
+
+        def run(mesh):
+            model = CrossLayerCrosscoder(
+                d_model=D_CC, n_layers=L, d_sae=S, sparsity_weight=0.05, seed=0
+            )
+            t = CrosscoderTrainer(model, self._tc_cfg(), run_dir=None, mesh=mesh)
+            ms_step = [t.train_step(data[i * B:(i + 1) * B]) for i in range(2)]
+            ms_epoch = t.train_epoch_fused(data, shuffle=True)
+            return t, ms_step + ms_epoch
+
+        t_ref, ms_ref = run(None)
+        t_mesh, ms_mesh = run(make_mesh(data=shape[0], model=shape[1]))
+        assert t_mesh._is_tp()
+        for a, b in zip(ms_ref, ms_mesh):
+            assert a.loss == pytest.approx(b.loss, rel=1e-4)
+            assert a.sparsity_loss == pytest.approx(b.sparsity_loss, rel=1e-4)
+            assert a.reconstruction_loss == pytest.approx(
+                b.reconstruction_loss, rel=1e-4
+            )
+            assert a.l0 == pytest.approx(b.l0, rel=1e-3)
+        for name in t_ref.model.params:
+            np.testing.assert_allclose(
+                np.asarray(t_ref.model.params[name]),
+                np.asarray(t_mesh.model.params[name]),
+                atol=1e-5, err_msg=name,
+            )
 
     @pytest.mark.parametrize("shape", [(8, 1), (4, 2)])
     def test_transcoder_resample_under_mesh(self, rng, shape):
