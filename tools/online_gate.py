@@ -24,10 +24,26 @@ and it will, end to end:
 6. write `online_gate.json` with every stage's status and metrics.
 
 Each stage records ok/error independently so a partial failure still
-produces a useful report.
+produces a useful report, and the report file is rewritten after EVERY
+stage, so progress is visible mid-run.
 
-Offline behavior: stages 1 and 3 fail fast with a clear message; nothing
-else in the repo depends on this script.
+Resumability (a flaky network must not restart the gate from scratch):
+- stage 1 rides the HF download cache (a retry fetches only missing
+  shards);
+- stage 3's dataset layer caches mels to disk, so a re-stream is cheap;
+- stage 4 skips extraction entirely when the feature cache already holds
+  the component/layer (``resumed: true`` in the report);
+- stage 5 auto-resumes from the latest training checkpoint in the run
+  dir (same contract as the launcher's ``auto_resume``).
+
+``--offline-dryrun`` executes every stage end-to-end with synthetic audio
+and randomly-initialized weights (no network), against separate
+``*_dryrun`` cache/output dirs, and prints the artifact checklist the
+first networked run should produce — run it on the TPU to pre-validate
+the whole recipe.
+
+Offline behavior without the flag: stages 1 and 3 fail fast with a clear
+message; nothing else in the repo depends on this script.
 """
 
 from __future__ import annotations
@@ -43,8 +59,10 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO / "src"))
 
 
-def stage(report: dict, name: str):
-    """Decorator: run a stage, record ok/duration/error, keep going."""
+def stage(report: dict, name: str, out_path: Path | None = None):
+    """Decorator: run a stage, record ok/duration/error, keep going.
+    The report file is rewritten after every stage so a partial run
+    leaves a useful artifact."""
 
     def wrap(fn):
         t0 = time.time()
@@ -60,9 +78,29 @@ def stage(report: dict, name: str):
         report[name] = entry
         status = "ok" if entry["ok"] else f"FAILED ({entry.get('error')})"
         print(f"[online_gate] {name}: {status} ({entry['seconds']}s)")
+        if out_path is not None:
+            out_path.write_text(json.dumps(report, indent=2, default=str))
         return out
 
     return wrap
+
+
+CHECKLIST = """\
+[online_gate] artifact checklist for the first NETWORKED run
+  (python tools/online_gate.py — no flags):
+  1. online_gate.json ... 5 stage entries, all "ok": true, "pass": true
+  2. pretrained_weights . model=openai/whisper-tiny, random_init=false
+  3. encoder_parity ..... max_abs_diff < 2e-3 vs REAL torch weights
+  4. streaming_data ..... samples == config data.max_samples,
+                          "transcription" non-empty, wer < 0.5
+  5. extraction ......... <cache_dir>/features/encoder_layer0/*.npy
+                          + metadata.json (tokens == samples x 1500)
+  6. training gate ...... outputs/online_gate/{sae_final.npz,
+                          metrics.json}; recon_mse finite, l0 == k,
+                          explained_variance > 0
+  A flaky network can interrupt any stage: re-running the same command
+  resumes (HF download cache, mel disk cache, feature-cache skip,
+  training checkpoint auto-resume) instead of starting over."""
 
 
 def main() -> None:
@@ -77,6 +115,11 @@ def main() -> None:
     parser.add_argument("--synthetic", action="store_true",
                         help="synthetic audio instead of streaming "
                              "LibriSpeech (offline plumbing check)")
+    parser.add_argument("--offline-dryrun", action="store_true",
+                        help="run EVERY stage end-to-end offline (synthetic "
+                             "audio + random weights, separate *_dryrun "
+                             "dirs) and print the networked-run artifact "
+                             "checklist")
     args = parser.parse_args()
 
     import numpy as np
@@ -84,14 +127,25 @@ def main() -> None:
     from whisper_sae_tpu.config import ExperimentConfig
 
     config = ExperimentConfig.from_yaml(args.config)
+    if args.offline_dryrun:
+        args.random_whisper = True
+        args.synthetic = True
+        if args.max_samples is None:
+            args.max_samples = 16
+        # keep dryrun artifacts out of the real gate's cache/run dirs
+        config.data.cache_dir = Path(str(config.data.cache_dir) + "_dryrun")
+        if args.out == "online_gate.json":
+            args.out = "online_gate_dryrun.json"
     if args.max_samples:
         config.data.max_samples = args.max_samples
-    report: dict = {"config": str(args.config)}
+    out_path = Path(args.out)
+    report: dict = {"config": str(args.config),
+                    "offline_dryrun": bool(args.offline_dryrun)}
 
     # ---- 1. pretrained weights ----
     state = {}
 
-    @stage(report, "pretrained_weights")
+    @stage(report, "pretrained_weights", out_path)
     def _load():
         from transformers import WhisperForConditionalGeneration
 
@@ -128,7 +182,7 @@ def main() -> None:
                 "random_init": bool(args.random_whisper)}
 
     # ---- 2. real-weight parity ----
-    @stage(report, "encoder_parity")
+    @stage(report, "encoder_parity", out_path)
     def _parity():
         import torch
 
@@ -156,7 +210,7 @@ def main() -> None:
         return {"max_abs_diff": diff}
 
     # ---- 3. streaming data + ASR sanity ----
-    @stage(report, "streaming_data")
+    @stage(report, "streaming_data", out_path)
     def _data():
         if args.synthetic:
             from whisper_sae_tpu.data.librispeech import SyntheticSpeechDataset
@@ -216,7 +270,7 @@ def main() -> None:
         return out
 
     # ---- 4. extraction -> feature cache ----
-    @stage(report, "extraction")
+    @stage(report, "extraction", out_path)
     def _extract():
         from whisper_sae_tpu.data.feature_cache import (
             FeatureCache,
@@ -232,26 +286,29 @@ def main() -> None:
             whisper_config=config.whisper,
             data_config=config.data,
         )
-        loader = AudioBatchLoader(
-            LibriSpeechFeaturesOnly(state["dataset"]), batch_size=8
-        )
         component, layer_idx = (
             ("encoder", config.encoder_layers[0])
             if config.encoder_layers
             else ("decoder", config.decoder_layers[0])
         )
-        extract_and_cache_features(
-            state["params"], state["arch"], loader, cache,
-            encoder_layers=[layer_idx] if component == "encoder" else [],
-            decoder_layers=[layer_idx] if component == "decoder" else [],
-        )
+        resumed = cache.has_cache(component, layer_idx)
+        if not resumed:  # a retried gate skips the finished extraction
+            loader = AudioBatchLoader(
+                LibriSpeechFeaturesOnly(state["dataset"]), batch_size=8
+            )
+            extract_and_cache_features(
+                state["params"], state["arch"], loader, cache,
+                encoder_layers=[layer_idx] if component == "encoder" else [],
+                decoder_layers=[layer_idx] if component == "decoder" else [],
+            )
         state["cache"] = cache
         state["layer"] = (component, layer_idx)
         tokens = cache.load(component, layer_idx)[0].shape[0]
-        return {"component": component, "layer": layer_idx, "tokens": tokens}
+        return {"component": component, "layer": layer_idx, "tokens": tokens,
+                "resumed": resumed}
 
     # ---- 5. training + quality gate ----
-    @stage(report, "training_quality_gate")
+    @stage(report, "training_quality_gate", out_path)
     def _train():
         import jax.numpy as jnp
 
@@ -262,9 +319,20 @@ def main() -> None:
         component, layer_idx = state["layer"]
         acts, _ = state["cache"].load(component, layer_idx)
         sae = create_sae(config.sae, acts.shape[1])
+        run_name = "online_gate_dryrun" if args.offline_dryrun else "online_gate"
         trainer = SAETrainer(
-            sae, config.training, run_dir=Path("outputs") / "online_gate"
+            sae, config.training, run_dir=Path("outputs") / run_name
         )
+        # elastic: a retried gate continues from the latest checkpoint
+        # (launcher auto_resume contract)
+        ckpts = sorted(
+            trainer.run_dir.glob("checkpoint_epoch*.npz"),
+            key=lambda p: int("".join(filter(str.isdigit, p.stem)) or 0),
+        )
+        resumed_from = None
+        if ckpts:
+            trainer.load_checkpoint(ckpts[-1])
+            resumed_from = ckpts[-1].name
         loader = ActivationLoader(acts, batch_size=config.training.batch_size)
         trainer.train(loader, epochs=config.training.epochs)
         out, _ = topk_sae_apply(sae.params, jnp.asarray(acts[:8192]), sae.k)
@@ -276,12 +344,15 @@ def main() -> None:
             "l0": float(out.l0),
             "k": sae.k,
             "steps": trainer.global_step,
+            "resumed_from": resumed_from,
         }
 
     report["pass"] = all(
         report[s].get("ok") for s in report if isinstance(report[s], dict)
     )
-    Path(args.out).write_text(json.dumps(report, indent=2))
+    out_path.write_text(json.dumps(report, indent=2, default=str))
+    if args.offline_dryrun:
+        print(CHECKLIST)
     print(json.dumps({"online_gate_pass": report["pass"], "report": args.out}))
 
 
