@@ -372,6 +372,70 @@ class TestTrainTranscoder:
             analyze(component="encoder", layer_idx=0, job_type="transcoder",
                     cache_dir=cache_dir, output_dir=tmp_path)
 
+    def test_analyze_encode_takes_pallas_path_at_production_geometry(
+        self, tmp_path, rng, monkeypatch
+    ):
+        """The analyze job streams the cache through ``TopKSAE.encode``;
+        at production geometry (D=384, H=3072 — whisper-tiny 8x) that
+        call must engage the fused Pallas encode kernel, not the XLA
+        fallback (VERDICT r3 #7 — replaces the reference's slowest code,
+        feature_viz.py:425-484).  CPU test env: only the platform clause
+        of ``supported()`` is bypassed — every geometry rule stays real —
+        and the kernel entry is recorded, then delegated to the composed
+        path so the job completes."""
+        import jax.numpy as jnp
+
+        from launch import analyze
+        from whisper_sae_tpu.ops import pallas_sae
+        from whisper_sae_tpu.ops.topk import topk_mask_dense
+
+        d, expansion = 384, 8
+        cache = FeatureCache(
+            tmp_path / "cache" / "features", WhisperConfig(), DataConfig()
+        )
+        feats = rng.standard_normal((4 * 384, d)).astype(np.float32)
+        cache.save(feats, "encoder", 0, num_samples=4)
+        train_sae(
+            component="encoder", layer_idx=0, expansion_factor=expansion,
+            k=32, batch_size=512, epochs=1, warmup_steps=0, use_amp=False,
+            cache_dir=tmp_path / "cache", output_dir=tmp_path / "out",
+        )
+
+        calls = []
+        real_supported = pallas_sae.supported
+
+        def fake_supported(x_shape, hidden_dim):
+            # the real gate minus the platform check (we're on CPU here)
+            return (
+                len(x_shape) == 2
+                and hidden_dim % 128 == 0
+                and x_shape[1] % 128 == 0
+                and hidden_dim <= pallas_sae._MAX_H
+            )
+
+        def fake_fused_topk_encode(x, w_enc, b_enc, b_pre, k, block_rows,
+                                   compute_dtype=jnp.float32):
+            calls.append((tuple(x.shape), block_rows))
+            pre = (x - b_pre) @ w_enc + b_enc
+            return topk_mask_dense(pre, k)
+
+        monkeypatch.setattr(pallas_sae, "supported", fake_supported)
+        monkeypatch.setattr(
+            pallas_sae, "fused_topk_encode", fake_fused_topk_encode
+        )
+        res = analyze(
+            component="encoder", layer_idx=0, top_k=4, top_n=5,
+            batch_samples=2, cache_dir=tmp_path / "cache",
+            output_dir=tmp_path / "out",
+        )
+        monkeypatch.setattr(pallas_sae, "supported", real_supported)
+        assert res["num_features"] == d * expansion
+        assert calls, "analyze encode must take the fused Pallas path"
+        # every streamed chunk is [batch_samples*frames, D] = [768, 384]
+        assert all(shape == (768, d) for shape, _ in calls)
+        # and the row blocking divides the chunk (kernel grid constraint)
+        assert all(768 % br == 0 for _, br in calls)
+
     def test_analyze_crosscoder_features(self, mlp_cache, tmp_path):
         """analyze --job-type crosscoder: trained crosscoder latents over
         stacked row-aligned layer caches."""
