@@ -201,7 +201,10 @@ def bench_extraction(batch: int = 64, steps: int = 8, dtype_name: str = "bf16",
         jax.random.PRNGKey(1), (steps, batch, arch.n_mels, 3000), jnp.float32
     )
 
-    def run(mels):
+    # params enter as an ARGUMENT: closing over them would capture the
+    # full weight set as compile-time constants (6+ GB at whisper-large,
+    # which breaks the remote-compile transport)
+    def run(params, mels):
         def body(c, mel):
             acts = extract_activations(
                 params, mel, arch, with_decoder=True,
@@ -214,9 +217,9 @@ def bench_extraction(batch: int = 64, steps: int = 8, dtype_name: str = "bf16",
         return jax.tree_util.tree_map(jnp.sum, out)
 
     f = jax.jit(run)
-    jax.tree_util.tree_map(float, f(mels))  # compile + warm
+    jax.tree_util.tree_map(float, f(params, mels))  # compile + warm
     t0 = time.perf_counter()
-    jax.tree_util.tree_map(float, f(mels))
+    jax.tree_util.tree_map(float, f(params, mels))
     dt = time.perf_counter() - t0
     clips = steps * batch
     return {
