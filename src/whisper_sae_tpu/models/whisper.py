@@ -276,11 +276,23 @@ def _fused_encoder_layers(x, enc, arch: WhisperArch, with_mlp: bool,
     if t_pad != t_in:
         x = jnp.pad(x, ((0, 0), (0, t_pad - t_in), (0, 0)))
 
+    # at medium/large d the attention kernel's spilled live set exceeds
+    # VMEM (measured 171 MB at d=1280); the sublayer falls back to the
+    # composed XLA attention (flash) on the unpadded rows while the MLP
+    # kernels (which still fit) keep the stack fused
+    fused_attn = pallas_encoder.attention_supported(t_pad, d, arch.num_heads)
+
     def body(h, lp):
-        h = pallas_encoder.fused_attention_block(
-            h, lp["ln1_g"], lp["ln1_b"], lp["attn"],
-            n_heads=arch.num_heads, t_real=t,
-        )
+        if fused_attn:
+            h = pallas_encoder.fused_attention_block(
+                h, lp["ln1_g"], lp["ln1_b"], lp["attn"],
+                n_heads=arch.num_heads, t_real=t,
+            )
+        else:
+            hr = h[:, :t]
+            hn = _layer_norm(hr, lp["ln1_g"], lp["ln1_b"])
+            hr = hr + _attention(hn, hn, lp["attn"], arch.num_heads, causal=False)
+            h = jnp.pad(hr, ((0, 0), (0, t_pad - t), (0, 0)))
         flat = h.reshape(b * t_pad, d)
         outs = pallas_encoder.fused_mlp_block(
             flat, lp["ln2_g"], lp["ln2_b"], lp["mlp"], capture=with_mlp,

@@ -92,6 +92,23 @@ def _erf_f32(x):
 # ---------------------------------------------------------------------------
 
 
+def attention_supported(t_pad: int, d: int, n_heads: int) -> bool:
+    """Does the fused attention block fit VMEM at this geometry?
+
+    Mosaic materializes the kernel's live vregs in VMEM; measured on a
+    v5e at d=1280/t_pad=1536 the actual scoped requirement is ~2.73x the
+    naive live-set model (171 MB vs 62.7 MB modeled — register-allocator
+    spill slots dominate with the unrolled per-head loop), which blows
+    the 128 MB budget.  Gate on ``2.75 x model <= 128 MB`` so whisper
+    tiny/base/small stay fused while medium/large attention falls back
+    to the composed XLA sublayer (flash attention) INSIDE the otherwise
+    fused stack — the MLP and stem kernels still fit there.  Replacing
+    this with a query-row-tiled kernel would readmit d >= 1024."""
+    del n_heads  # the [T, T] score scratch is per-head already
+    modeled = 9 * t_pad * d * 2 + t_pad * t_pad * 6 + 4 * d * d * 2
+    return 2.75 * modeled <= 128 * 1024 * 1024
+
+
 def _pick_attention_gb(b: int, t_pad: int, d: int) -> int:
     """Clips per grid iteration for the fused attention block.
 

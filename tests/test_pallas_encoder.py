@@ -257,3 +257,19 @@ class TestFusedConvStem:
             atol=3e-2, rtol=0,
         )
         assert bool(jnp.all(jnp.isfinite(got.astype(jnp.float32))))
+
+
+class TestAttentionSupported:
+    """VMEM gate for the fused attention block: tiny/base/small stay
+    fused; medium/large fall back to composed XLA attention inside the
+    otherwise-fused stack (measured 171 MB scoped VMEM at d=1280 vs the
+    128 MB budget — Mosaic spill slots dominate)."""
+
+    def test_small_geometries_fused(self):
+        assert pe.attention_supported(1536, 384, 6)    # tiny
+        assert pe.attention_supported(1536, 512, 8)    # base
+        assert pe.attention_supported(1536, 768, 12)   # small
+
+    def test_large_geometries_fall_back(self):
+        assert not pe.attention_supported(1536, 1024, 16)  # medium
+        assert not pe.attention_supported(1536, 1280, 20)  # large
