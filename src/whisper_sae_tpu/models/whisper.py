@@ -276,11 +276,14 @@ def _fused_encoder_layers(x, enc, arch: WhisperArch, with_mlp: bool,
     if t_pad != t_in:
         x = jnp.pad(x, ((0, 0), (0, t_pad - t_in), (0, 0)))
 
-    # at medium/large d the attention kernel's spilled live set exceeds
-    # VMEM (measured 171 MB at d=1280); the sublayer falls back to the
-    # composed XLA attention (flash) on the unpadded rows while the MLP
-    # kernels (which still fit) keep the stack fused
-    fused_attn = pallas_encoder.attention_supported(t_pad, d, arch.num_heads)
+    # at medium/large d the full attention kernel's spilled live set
+    # exceeds VMEM (measured 171 MB at d=1280) and the block dispatches
+    # to the query-row-tiled kernel; if no variant fits, the sublayer
+    # falls back to the composed XLA attention (flash) on the unpadded
+    # rows while the MLP kernels (which still fit) keep the stack fused
+    fused_attn = pallas_encoder.attention_block_available(
+        t_pad, d, arch.num_heads
+    )
 
     def body(h, lp):
         if fused_attn:

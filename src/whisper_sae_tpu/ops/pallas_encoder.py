@@ -92,21 +92,58 @@ def _erf_f32(x):
 # ---------------------------------------------------------------------------
 
 
-def attention_supported(t_pad: int, d: int, n_heads: int) -> bool:
-    """Does the fused attention block fit VMEM at this geometry?
+# Mosaic materializes the kernel's live vregs in VMEM; measured on a
+# v5e at d=1280/t_pad=1536 the full attention kernel's actual scoped
+# requirement is ~2.73x the naive live-set model (171 MB vs 62.7 MB
+# modeled — register-allocator spill slots dominate with the unrolled
+# per-head loop).  Both gates below budget on 2.75x their model.
+_VMEM_SPILL_FACTOR = 2.75
+_VMEM_BUDGET = 128 * 1024 * 1024
 
-    Mosaic materializes the kernel's live vregs in VMEM; measured on a
-    v5e at d=1280/t_pad=1536 the actual scoped requirement is ~2.73x the
-    naive live-set model (171 MB vs 62.7 MB modeled — register-allocator
-    spill slots dominate with the unrolled per-head loop), which blows
-    the 128 MB budget.  Gate on ``2.75 x model <= 128 MB`` so whisper
-    tiny/base/small stay fused while medium/large attention falls back
-    to the composed XLA sublayer (flash attention) INSIDE the otherwise
-    fused stack — the MLP and stem kernels still fit there.  Replacing
-    this with a query-row-tiled kernel would readmit d >= 1024."""
+
+def attention_supported(t_pad: int, d: int, n_heads: int) -> bool:
+    """Does the FULL (whole-sequence-live) attention kernel fit VMEM?
+    True for whisper tiny/base/small; medium/large route to the
+    query-row-tiled variant (``_pick_attention_tq``)."""
     del n_heads  # the [T, T] score scratch is per-head already
     modeled = 9 * t_pad * d * 2 + t_pad * t_pad * 6 + 4 * d * d * 2
-    return 2.75 * modeled <= 128 * 1024 * 1024
+    return _VMEM_SPILL_FACTOR * modeled <= _VMEM_BUDGET
+
+
+def _pick_attention_tq(t_pad: int, d: int) -> int | None:
+    """Query-row tile for the tiled attention kernel: the largest tile
+    whose modeled live set (xln/k/v whole + weights + one tile's
+    q/scores/probs/out + double-buffered in/out windows) fits the
+    spill-adjusted budget.  None if even 128 rows don't fit.
+    ``WST_ATTENTION_TQ`` forces a value for A/B and tests."""
+    import os
+
+    forced = os.environ.get("WST_ATTENTION_TQ")
+    if forced:
+        tq = int(forced)
+        return tq if tq >= 1 and t_pad % tq == 0 else None
+    for tq in (512, 256, 128):
+        if t_pad % tq:
+            continue
+        modeled = (
+            3 * t_pad * d * 2        # xln, k, v live across all tiles
+            + 4 * d * d * 2          # weights
+            + 2 * tq * t_pad * 4     # scores + probs (f32, per head, reused)
+            + 3 * tq * d * 2         # q/attn/y tiles
+            + 4 * t_pad * d * 2      # in+out windows, double-buffered
+        )
+        if _VMEM_SPILL_FACTOR * modeled <= _VMEM_BUDGET:
+            return tq
+    return None
+
+
+def attention_block_available(t_pad: int, d: int, n_heads: int) -> bool:
+    """Some fused attention variant (full or row-tiled) fits at this
+    geometry; otherwise the encoder stack runs the attention sublayer
+    as composed XLA (flash) between the fused MLP kernels."""
+    return attention_supported(t_pad, d, n_heads) or (
+        _pick_attention_tq(t_pad, d) is not None
+    )
 
 
 def _pick_attention_gb(b: int, t_pad: int, d: int) -> int:
@@ -184,6 +221,60 @@ def _attention_block_kernel(
         o_ref[i] = xb + y
 
 
+def _attention_block_kernel_tiled(
+    x_ref, g_ref, b_ref, wq_ref, bq_ref, wk_ref, wv_ref, bv_ref,
+    wo_ref, bo_ref, o_ref, *, n_heads: int, head_dim: int, t_real: int,
+    scale: float, tq: int,
+):
+    """Query-row-tiled attention body (one clip per grid step): K/V are
+    computed whole, queries/scores/outputs stream through [tq, ...]
+    tiles so the live set no longer scales with 9 x T x D — the variant
+    that fits whisper medium/large (the full kernel spills past VMEM
+    there).  Identical math per row: softmax rows are independent."""
+    xb = x_ref[0]  # [T_pad, D] bf16
+    t_pad = xb.shape[0]
+    d = xb.shape[1]
+    xln = _ln_f32(xb.astype(jnp.float32), g_ref, b_ref).astype(jnp.bfloat16)
+    k = jnp.dot(xln, wk_ref[:], preferred_element_type=jnp.float32).astype(
+        jnp.bfloat16
+    )
+    v = (
+        jnp.dot(xln, wv_ref[:], preferred_element_type=jnp.float32) + bv_ref[:]
+    ).astype(jnp.bfloat16)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tq, t_pad), 1)
+    for r0 in range(0, t_pad, tq):
+        xln_t = jax.lax.slice(xln, (r0, 0), (r0 + tq, d))
+        q_t = (
+            (
+                jnp.dot(xln_t, wq_ref[:], preferred_element_type=jnp.float32)
+                + bq_ref[:]
+            )
+            * scale
+        ).astype(jnp.bfloat16)
+        outs = []
+        for h in range(n_heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            s = jax.lax.dot_general(
+                q_t[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [tq, T_pad]
+            s = jnp.where(col < t_real, s, -1e30)
+            m = jnp.max(s, axis=1, keepdims=True)
+            p_ = jnp.exp(s - m)
+            denom = jnp.sum(p_, axis=1, keepdims=True)
+            o = jax.lax.dot_general(
+                p_.astype(jnp.bfloat16), v[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            outs.append((o / denom).astype(jnp.bfloat16))
+        attn_t = jnp.concatenate(outs, axis=1)  # [tq, D]
+        y_t = (
+            jnp.dot(attn_t, wo_ref[:], preferred_element_type=jnp.float32)
+            + bo_ref[:]
+        ).astype(jnp.bfloat16)
+        o_ref[0, r0:r0 + tq] = jax.lax.slice(xb, (r0, 0), (r0 + tq, d)) + y_t
+
+
 def fused_attention_block(
     x: jax.Array,
     ln_g: jax.Array,
@@ -210,15 +301,34 @@ def fused_attention_block(
     """
     b, t_pad, d = x.shape
     head_dim = d // n_heads
-    gb = _pick_attention_gb(b, t_pad, d)
-    kern = functools.partial(
-        _attention_block_kernel,
-        n_heads=n_heads,
-        head_dim=head_dim,
-        t_real=t_real,
-        scale=float(head_dim) ** -0.5,
-        gb=gb,
-    )
+    if attention_supported(t_pad, d, n_heads):
+        gb = _pick_attention_gb(b, t_pad, d)
+        kern = functools.partial(
+            _attention_block_kernel,
+            n_heads=n_heads,
+            head_dim=head_dim,
+            t_real=t_real,
+            scale=float(head_dim) ** -0.5,
+            gb=gb,
+        )
+    else:
+        # whisper medium/large: the row-tiled body (K/V whole, queries
+        # streamed) is the variant whose live set fits VMEM
+        tq = _pick_attention_tq(t_pad, d)
+        if tq is None:
+            raise ValueError(
+                f"no fused attention variant fits t_pad={t_pad}, d={d}; "
+                "gate on attention_block_available() first"
+            )
+        gb = 1
+        kern = functools.partial(
+            _attention_block_kernel_tiled,
+            n_heads=n_heads,
+            head_dim=head_dim,
+            t_real=t_real,
+            scale=float(head_dim) ** -0.5,
+            tq=tq,
+        )
     full = lambda i: (0, 0)  # noqa: E731 — whole-array weight blocks
     return pl.pallas_call(
         kern,

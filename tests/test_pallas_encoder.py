@@ -260,16 +260,40 @@ class TestFusedConvStem:
 
 
 class TestAttentionSupported:
-    """VMEM gate for the fused attention block: tiny/base/small stay
-    fused; medium/large fall back to composed XLA attention inside the
-    otherwise-fused stack (measured 171 MB scoped VMEM at d=1280 vs the
-    128 MB budget — Mosaic spill slots dominate)."""
+    """VMEM gates for the fused attention block: tiny/base/small run the
+    full (whole-sequence-live) kernel; medium/large exceed its measured
+    spilled live set (171 MB scoped VMEM at d=1280 vs the 128 MB budget)
+    and dispatch to the query-row-tiled variant instead."""
 
-    def test_small_geometries_fused(self):
+    def test_small_geometries_full_kernel(self):
         assert pe.attention_supported(1536, 384, 6)    # tiny
         assert pe.attention_supported(1536, 512, 8)    # base
         assert pe.attention_supported(1536, 768, 12)   # small
 
-    def test_large_geometries_fall_back(self):
-        assert not pe.attention_supported(1536, 1024, 16)  # medium
-        assert not pe.attention_supported(1536, 1280, 20)  # large
+    def test_large_geometries_route_to_tiled(self):
+        for d, h in ((1024, 16), (1280, 20)):  # medium, large
+            assert not pe.attention_supported(1536, d, h)
+            assert pe._pick_attention_tq(1536, d) is not None
+            assert pe.attention_block_available(1536, d, h)
+
+    def test_tiled_kernel_matches_composed(self, layer, monkeypatch):
+        """The row-tiled body must reproduce the composed sublayer with
+        MULTIPLE tiles engaged (tq forced to half of T_PAD2)."""
+        lp, x, arch = layer
+        t_pad2 = 2 * T_PAD
+        monkeypatch.setenv("WST_ATTENTION_TQ", str(T_PAD))
+        monkeypatch.setattr(pe, "attention_supported", lambda *a: False)
+        ln = W._layer_norm(x, lp["ln1_g"], lp["ln1_b"])
+        want = x + W._attention(ln, ln, lp["attn"], HEADS, causal=False)
+        xp = jnp.pad(x, ((0, 0), (0, t_pad2 - T), (0, 0)))
+        with pltpu.force_tpu_interpret_mode():
+            got = pe.fused_attention_block(
+                xp, lp["ln1_g"], lp["ln1_b"], lp["attn"],
+                n_heads=HEADS, t_real=T,
+            )
+        assert got.shape == (B, t_pad2, D)
+        np.testing.assert_allclose(
+            got[:, :T].astype(jnp.float32), want.astype(jnp.float32),
+            atol=3e-2, rtol=0,
+        )
+        assert bool(jnp.all(jnp.isfinite(got.astype(jnp.float32))))
