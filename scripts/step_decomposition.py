@@ -57,11 +57,57 @@ def scan_slope(fn, carry, iters: int) -> float:
     return (t2 - t1) / iters
 
 
+def epoch_overhead(batch: int) -> None:
+    """Locate the gap between the isolated step and the epoch-level bench
+    number: time the trainer's real pipelined fused epochs at increasing
+    steps/epoch — per-epoch overhead shows up as throughput that rises
+    with epoch length."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_sae_tpu.config import TrainingConfig
+    from whisper_sae_tpu.models.sae import TopKSAE
+    from whisper_sae_tpu.training.trainer import SAETrainer
+
+    out = {}
+    for steps in (64, 128, 256):
+        model = TopKSAE(input_dim=D, hidden_dim=H, k=K, seed=0)
+        cfg = TrainingConfig(batch_size=batch, learning_rate=1e-4, epochs=1,
+                             warmup_steps=1000, use_amp=True)
+        trainer = SAETrainer(model, cfg, run_dir=Path("/tmp/wst_decomp_eo"))
+        trainer.setup_scheduler(total_steps=steps * 10)
+        data = jax.random.normal(
+            jax.random.PRNGKey(0), (steps * batch, D), jnp.float32
+        )
+        trainer.train_epoch_fused(data, shuffle=False)
+        jax.block_until_ready(trainer.model.params["w_enc"])
+        epochs = max(768 // steps, 2)  # same total step budget per point
+        best = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            trainer.train_epochs_fused(data, epochs=epochs, shuffle=False)
+            jax.block_until_ready(trainer.model.params["w_enc"])
+            best = max(best, epochs * steps * batch / (time.perf_counter() - t0))
+        out[f"steps_{steps}"] = {
+            "act_per_sec": round(best, 1),
+            "ms_per_step": round(1e3 * batch / best, 3),
+        }
+        print(f"steps/epoch {steps:4d}: {best:,.0f} act/s "
+              f"({1e3 * batch / best:.3f} ms/step)", file=sys.stderr)
+    print(json.dumps(out))
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=32768)
     parser.add_argument("--iters", type=int, default=64)
+    parser.add_argument("--epoch-overhead", action="store_true",
+                        help="time real pipelined fused epochs at several "
+                             "steps/epoch instead of the step pieces")
     args = parser.parse_args()
+    if args.epoch_overhead:
+        epoch_overhead(args.batch)
+        return
     b = args.batch
 
     import jax
