@@ -69,8 +69,8 @@ def epoch_overhead(batch: int) -> None:
     from whisper_sae_tpu.models.sae import TopKSAE
     from whisper_sae_tpu.training.trainer import SAETrainer
 
-    out = {}
-    for steps in (64, 128, 256):
+    def run_point(steps: int, dtype, xc: bool) -> float:
+        os.environ["WST_SAE_XC"] = "1" if xc else "0"
         model = TopKSAE(input_dim=D, hidden_dim=H, k=K, seed=0)
         cfg = TrainingConfig(batch_size=batch, learning_rate=1e-4, epochs=1,
                              warmup_steps=1000, use_amp=True)
@@ -78,7 +78,7 @@ def epoch_overhead(batch: int) -> None:
         trainer.setup_scheduler(total_steps=steps * 10)
         data = jax.random.normal(
             jax.random.PRNGKey(0), (steps * batch, D), jnp.float32
-        )
+        ).astype(dtype)
         trainer.train_epoch_fused(data, shuffle=False)
         jax.block_until_ready(trainer.model.params["w_enc"])
         epochs = max(768 // steps, 2)  # same total step budget per point
@@ -88,12 +88,31 @@ def epoch_overhead(batch: int) -> None:
             trainer.train_epochs_fused(data, epochs=epochs, shuffle=False)
             jax.block_until_ready(trainer.model.params["w_enc"])
             best = max(best, epochs * steps * batch / (time.perf_counter() - t0))
+        return best
+
+    out = {}
+    for steps in (64, 128, 256):
+        best = run_point(steps, jnp.float32, xc=False)
         out[f"steps_{steps}"] = {
             "act_per_sec": round(best, 1),
             "ms_per_step": round(1e3 * batch / best, 3),
         }
         print(f"steps/epoch {steps:4d}: {best:,.0f} act/s "
               f"({1e3 * batch / best:.3f} ms/step)", file=sys.stderr)
+
+    # data-path A/B at the bench geometry (128 steps/epoch): f32 vs bf16
+    # batch stacks x default vs xc-residual backward
+    for dtype, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+        for xc in (False, True):
+            best = run_point(128, dtype, xc)
+            name = f"data_{tag}_xc{int(xc)}"
+            out[name] = {
+                "act_per_sec": round(best, 1),
+                "ms_per_step": round(1e3 * batch / best, 3),
+            }
+            print(f"{name:18s}: {best:,.0f} act/s "
+                  f"({1e3 * batch / best:.3f} ms/step)", file=sys.stderr)
+    os.environ.pop("WST_SAE_XC", None)
     print(json.dumps(out))
 
 

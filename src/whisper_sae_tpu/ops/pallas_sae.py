@@ -159,11 +159,16 @@ fused_topk_encode.defvjp(_fwd, _bwd)
 
 def _fused_loss_kernel(
     x_ref, we_ref, benc_ref, bpre_ref, wd_ref, bout_ref,
-    hid_ref, resid_ref, sq_ref, l0_ref, act_ref, *, k: int
+    hid_ref, resid_ref, sq_ref, l0_ref, act_ref, xc_ref=None, *, k: int
 ):
     i = pl.program_id(0)
     x = x_ref[:].astype(jnp.float32)  # rows may arrive bf16 (chunk staging)
     xc = (x - bpre_ref[:]).astype(jnp.bfloat16)
+    if xc_ref is not None:
+        # persist the centered bf16 rows for the backward's dw_enc so the
+        # VJP never re-reads the f32 batch (one 2-byte write here replaces
+        # a 4-byte read + 2-byte write per row in the backward)
+        xc_ref[:] = xc
     pre = (
         jnp.dot(xc, we_ref[:], preferred_element_type=jnp.float32)
         + benc_ref[:]
@@ -212,18 +217,32 @@ def _fused_loss_kernel(
         act_ref[:] = jnp.maximum(act_ref[:], act_part)
 
 
-def _fused_loss_forward(x, we_bf, b_enc, b_pre, wd_bf, b_out, k, block_rows):
+def _fused_loss_forward(x, we_bf, b_enc, b_pre, wd_bf, b_out, k, block_rows,
+                        emit_xc: bool = False):
     b, d = x.shape
     h = we_bf.shape[1]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h), jnp.bfloat16),   # latent (for bwd)
+        jax.ShapeDtypeStruct((b, d), jnp.float32),    # recon - x
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),    # sum of sq error
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),    # total active count
+        jax.ShapeDtypeStruct((1, h), jnp.int32),      # any-active per feat
+    ]
+    out_specs = [
+        pl.BlockSpec((block_rows, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if emit_xc:
+        out_shape.append(jax.ShapeDtypeStruct((b, d), jnp.bfloat16))  # x - b_pre
+        out_specs.append(
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
     return pl.pallas_call(
         functools.partial(_fused_loss_kernel, k=k),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, h), jnp.bfloat16),   # latent (for bwd)
-            jax.ShapeDtypeStruct((b, d), jnp.float32),    # recon - x
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),    # sum of sq error
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),    # total active count
-            jax.ShapeDtypeStruct((1, h), jnp.int32),      # any-active per feat
-        ),
+        out_shape=tuple(out_shape),
         grid=(b // block_rows,),
         in_specs=[
             pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -233,13 +252,7 @@ def _fused_loss_forward(x, we_bf, b_enc, b_pre, wd_bf, b_out, k, block_rows):
             pl.BlockSpec((h, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((block_rows, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ),
+        out_specs=tuple(out_specs),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * d * h + 33 * b * h,
             bytes_accessed=b * d * 8 + 2 * d * h * 2 + b * h * 2,
@@ -268,30 +281,40 @@ def fused_sae_loss(x, w_enc, b_enc, b_pre, w_dec, b_dec, k, block_rows):
     return loss, l0, active
 
 
+def _use_xc_residual() -> bool:
+    """Store the kernel's centered bf16 rows as a VJP residual instead of
+    re-deriving them from the f32 batch in the backward.  Read at trace
+    time so the step-decomposition probe can A/B the two data paths."""
+    return os.environ.get("WST_SAE_XC", "0") == "1"
+
+
 def _fused_loss_impl(x, w_enc, b_enc, b_pre, w_dec, b_dec, k, block_rows):
     we_bf = w_enc.astype(jnp.bfloat16)
     wd_bf = w_dec.astype(jnp.bfloat16)
     b_out = b_dec + b_pre
-    hid, resid, sq, l0s, act = _fused_loss_forward(
-        x, we_bf, b_enc, b_pre, wd_bf, b_out, k, block_rows
+    outs = _fused_loss_forward(
+        x, we_bf, b_enc, b_pre, wd_bf, b_out, k, block_rows,
+        emit_xc=_use_xc_residual(),
     )
+    hid, resid, sq, l0s, act = outs[:5]
+    xc = outs[5] if len(outs) > 5 else None
     b, d = x.shape
     loss = sq[0, 0] / (b * d)
     l0 = l0s[0, 0] / b
     active = act[0] > 0
-    return loss, l0, active, (hid, resid), (we_bf, wd_bf)
+    return loss, l0, active, (hid, resid, xc), (we_bf, wd_bf)
 
 
 def _fused_loss_vjp_fwd(x, w_enc, b_enc, b_pre, w_dec, b_dec, k, block_rows):
-    loss, l0, active, (hid, resid), (we_bf, wd_bf) = _fused_loss_impl(
+    loss, l0, active, (hid, resid, xc), (we_bf, wd_bf) = _fused_loss_impl(
         x, w_enc, b_enc, b_pre, w_dec, b_dec, k, block_rows
     )
-    return (loss, l0, active), (x, b_pre, we_bf, wd_bf, hid, resid)
+    return (loss, l0, active), (x, b_pre, we_bf, wd_bf, hid, resid, xc)
 
 
 def _fused_loss_vjp_bwd(k, block_rows, res, g):
     gl = g[0]  # l0/active are metrics: their cotangents are symbolic zeros
-    x, b_pre, we_bf, wd_bf, hid, resid = res
+    x, b_pre, we_bf, wd_bf, hid, resid, xc = res
     b, d = x.shape
     d_recon = resid * (2.0 * gl / (b * d))
     drec_bf = d_recon.astype(jnp.bfloat16)
@@ -300,7 +323,8 @@ def _fused_loss_vjp_bwd(k, block_rows, res, g):
     # the f32 mask selected
     dpre = jnp.where(hid > 0, dhidden, 0.0)
     dpre_bf = dpre.astype(jnp.bfloat16)
-    xc_bf = (x - b_pre).astype(jnp.bfloat16)
+    # identical bits either way: the kernel computes (f32(x) - b_pre).bf16
+    xc_bf = (x - b_pre).astype(jnp.bfloat16) if xc is None else xc
     dw_enc = jnp.einsum(
         "bd,bh->dh", xc_bf, dpre_bf, preferred_element_type=jnp.float32
     )
@@ -347,12 +371,15 @@ def fused_loss_supported(x_shape, hidden_dim: int) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _fused_coder_kernel(*refs, k: int | None, use_skip: bool):
+def _fused_coder_kernel(*refs, k: int | None, use_skip: bool,
+                        emit_xc: bool = False):
     refs = list(refs)
     # ReLU mode appends an L1 ([1,1]) and a per-feature hidden-sum ([1,H])
     # accumulator — the latter is what lets decoder-norm-weighted L1 (the
     # ReLU crosscoder sparsity, reference crosscoder.py:204-219) and its
     # VJP be assembled outside the kernel from one extra [1,H] output.
+    # emit_xc appends the bf16 rows last (see _use_xc_residual).
+    xc_ref = refs.pop() if emit_xc else None
     hsum_ref = refs.pop() if k is None else None
     l1_ref = refs.pop() if k is None else None
     if use_skip:
@@ -363,6 +390,8 @@ def _fused_coder_kernel(*refs, k: int | None, use_skip: bool):
          hid_ref, resid_ref, sq_ref, l0_ref, act_ref) = refs
     i = pl.program_id(0)
     xc = x_ref[:].astype(jnp.bfloat16)
+    if xc_ref is not None:
+        xc_ref[:] = xc  # backward's dw_enc/dw_skip operand, persisted bf16
     pre = (
         jnp.dot(xc, we_ref[:], preferred_element_type=jnp.float32)
         + benc_ref[:]
@@ -425,7 +454,7 @@ def _fused_coder_kernel(*refs, k: int | None, use_skip: bool):
 
 
 def _fused_coder_forward(x, y, we_bf, b_enc, wd_bf, b_out, ws_bf,
-                         k, block_rows, use_skip):
+                         k, block_rows, use_skip, emit_xc: bool = False):
     b, d = x.shape
     dout = y.shape[1]
     h = we_bf.shape[1]
@@ -466,8 +495,14 @@ def _fused_coder_forward(x, y, we_bf, b_enc, wd_bf, b_out, ws_bf,
         out_specs.append(
             pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
         )
+    if emit_xc:
+        out_shape.append(jax.ShapeDtypeStruct((b, d), jnp.bfloat16))
+        out_specs.append(
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
     return pl.pallas_call(
-        functools.partial(_fused_coder_kernel, k=k, use_skip=use_skip),
+        functools.partial(_fused_coder_kernel, k=k, use_skip=use_skip,
+                          emit_xc=emit_xc),
         out_shape=tuple(out_shape),
         grid=(b // block_rows,),
         in_specs=in_specs,
@@ -502,7 +537,7 @@ def fused_transcoder_loss(x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip,
     ``use_skip`` is False, w_skip/b_skip are untouched placeholders.
     Gradients match the unfused AMP path (bf16 matmuls, f32 accumulation).
     """
-    loss, l0, active, resid, hid, _, _, _ = _fused_coder_impl(
+    loss, l0, active, resid, hid, _, _, _, _ = _fused_coder_impl(
         x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip, k, block_rows, use_skip
     )
     return loss, l0, active, resid, hid
@@ -514,26 +549,32 @@ def _fused_coder_impl(x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip,
     wd_bf = w_dec.astype(jnp.bfloat16)
     ws_bf = w_skip.astype(jnp.bfloat16) if use_skip else None
     b_out = b_dec + b_skip if use_skip else b_dec
+    emit_xc = _use_xc_residual()
     hid, resid, sq, l0s, act, *extra = _fused_coder_forward(
-        x, y, we_bf, b_enc, wd_bf, b_out, ws_bf, k, block_rows, use_skip
+        x, y, we_bf, b_enc, wd_bf, b_out, ws_bf, k, block_rows, use_skip,
+        emit_xc=emit_xc,
     )
+    xc = extra.pop() if emit_xc else None
     b, dout = y.shape
     loss = sq[0, 0] / (b * dout)
     l0 = l0s[0, 0] / b
     active = act[0] > 0
     l1 = extra[0][0, 0] if extra else None
     hsum = extra[1][0] if extra else None  # [H] per-feature hidden sums
-    return loss, l0, active, resid, hid, l1, hsum, (we_bf, wd_bf, ws_bf)
+    return loss, l0, active, resid, hid, l1, hsum, xc, (we_bf, wd_bf, ws_bf)
 
 
 def _fused_coder_vjp_fwd(x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip,
                          k, block_rows, use_skip):
-    loss, l0, active, resid, hid, _, _, (we_bf, wd_bf, ws_bf) = _fused_coder_impl(
-        x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip, k, block_rows, use_skip
+    loss, l0, active, resid, hid, _, _, xc, (we_bf, wd_bf, ws_bf) = (
+        _fused_coder_impl(
+            x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip, k, block_rows,
+            use_skip,
+        )
     )
     y_proto = jnp.zeros((), y.dtype)  # carries y's dtype for the dy cotangent
     return (loss, l0, active, resid, hid), (
-        x, y_proto, w_skip, b_skip, we_bf, wd_bf, ws_bf, hid, resid
+        x, y_proto, w_skip, b_skip, we_bf, wd_bf, ws_bf, hid, resid, xc
     )
 
 
@@ -543,7 +584,7 @@ def _fused_coder_vjp_bwd(k, block_rows, use_skip, res, g):
     # differentiating through aux['predicted']/aux['hidden'] matches the
     # composed path.  l0/active are counts: gradient is zero a.e.
     gl, _, _, g_resid, g_hid = g
-    x, y_proto, w_skip, b_skip, we_bf, wd_bf, ws_bf, hid, resid = res
+    x, y_proto, w_skip, b_skip, we_bf, wd_bf, ws_bf, hid, resid, xc = res
     b, dout = resid.shape
     # unused-output cotangents arrive as zero arrays; XLA folds the adds
     d_pred = resid * (2.0 * gl / (b * dout)) + g_resid
@@ -554,7 +595,7 @@ def _fused_coder_vjp_bwd(k, block_rows, use_skip, res, g):
     )
     dpre = jnp.where(hid > 0, dhidden, 0.0)
     dpre_bf = dpre.astype(jnp.bfloat16)
-    x_bf = x.astype(jnp.bfloat16)
+    x_bf = x.astype(jnp.bfloat16) if xc is None else xc  # identical bits
     dw_enc = jnp.einsum(
         "bd,bh->dh", x_bf, dpre_bf, preferred_element_type=jnp.float32
     )
@@ -601,7 +642,7 @@ def fused_relu_sae_loss(x, w_enc, b_enc, w_dec, b_dec, sparsity_weight,
         jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
         None, block_rows, False,
     )
-    recon_loss, l0, active, _, hid, l1, _, _ = out
+    recon_loss, l0, active, _, hid, l1, _, _, _ = out
     b, h = hid.shape
     sparsity = l1 / (b * h)
     return recon_loss + sparsity_weight * sparsity, recon_loss, sparsity, l0, active
@@ -609,15 +650,19 @@ def fused_relu_sae_loss(x, w_enc, b_enc, w_dec, b_dec, sparsity_weight,
 
 def _fused_relu_vjp_fwd(x, w_enc, b_enc, w_dec, b_dec, sparsity_weight,
                         block_rows):
-    recon_loss, l0, active, resid, hid, l1, _, (we_bf, wd_bf, _) = _fused_coder_impl(
-        x, x, w_enc, b_enc, w_dec, b_dec,
-        jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
-        None, block_rows, False,
+    recon_loss, l0, active, resid, hid, l1, _, xc, (we_bf, wd_bf, _) = (
+        _fused_coder_impl(
+            x, x, w_enc, b_enc, w_dec, b_dec,
+            jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+            None, block_rows, False,
+        )
     )
     b, h = hid.shape
     sparsity = l1 / (b * h)
     loss = recon_loss + sparsity_weight * sparsity
-    return (loss, recon_loss, sparsity, l0, active), (x, we_bf, wd_bf, hid, resid)
+    return (loss, recon_loss, sparsity, l0, active), (
+        x, we_bf, wd_bf, hid, resid, xc
+    )
 
 
 def _fused_relu_vjp_bwd(sparsity_weight, block_rows, res, g):
@@ -626,7 +671,7 @@ def _fused_relu_vjp_bwd(sparsity_weight, block_rows, res, g):
     # differentiating aux['reconstruction_loss']/['sparsity_loss'] alone
     # matches the composed path.  l0/active are counts: zero a.e.
     gl, g_rec, g_sp, _, _ = g
-    x, we_bf, wd_bf, hid, resid = res
+    x, we_bf, wd_bf, hid, resid, xc = res
     b, d = x.shape
     h = hid.shape[1]
     d_recon = resid * (2.0 * (gl + g_rec) / (b * d))
@@ -638,7 +683,7 @@ def _fused_relu_vjp_bwd(sparsity_weight, block_rows, res, g):
         hid > 0, dhidden + (gl * sparsity_weight + g_sp) / (b * h), 0.0
     )
     dpre_bf = dpre.astype(jnp.bfloat16)
-    x_bf = x.astype(jnp.bfloat16)
+    x_bf = x.astype(jnp.bfloat16) if xc is None else xc  # identical bits
     dw_enc = jnp.einsum(
         "bd,bh->dh", x_bf, dpre_bf, preferred_element_type=jnp.float32
     )
@@ -687,7 +732,7 @@ def fused_relu_crosscoder_loss(x, w_enc, b_enc, w_dec, b_dec, norms,
         jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
         None, block_rows, False,
     )
-    flat_loss, l0, active, _, hid, _, hsum, _ = out
+    flat_loss, l0, active, _, hid, _, hsum, _, _ = out
     b = x.shape[0]
     recon_loss = n_layers * flat_loss
     sparsity = jnp.dot(hsum, norms) / b
@@ -703,13 +748,13 @@ def _fused_relu_cc_vjp_fwd(x, w_enc, b_enc, w_dec, b_dec, norms,
         jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
         None, block_rows, False,
     )
-    flat_loss, l0, active, resid, hid, _, hsum, (we_bf, wd_bf, _) = out
+    flat_loss, l0, active, resid, hid, _, hsum, xc, (we_bf, wd_bf, _) = out
     b = x.shape[0]
     recon_loss = n_layers * flat_loss
     sparsity = jnp.dot(hsum, norms) / b
     loss = recon_loss + sparsity_weight * sparsity
     return (loss, recon_loss, sparsity, l0, active), (
-        x, norms, we_bf, wd_bf, hid, resid, hsum
+        x, norms, we_bf, wd_bf, hid, resid, hsum, xc
     )
 
 
@@ -717,7 +762,7 @@ def _fused_relu_cc_vjp_bwd(sparsity_weight, n_layers, block_rows, res, g):
     # honor component-loss cotangents (unused ones arrive as zeros and
     # fold away); l0/active are counts: zero a.e.
     gl, g_rec, g_sp, _, _ = g
-    x, norms, we_bf, wd_bf, hid, resid, hsum = res
+    x, norms, we_bf, wd_bf, hid, resid, hsum, xc = res
     b, ld = x.shape
     c_rec = 2.0 * n_layers * (gl + g_rec) / (b * ld)
     c_sp = (gl * sparsity_weight + g_sp) / b
@@ -731,7 +776,7 @@ def _fused_relu_cc_vjp_bwd(sparsity_weight, n_layers, block_rows, res, g):
     # exactly hid > 0
     dpre = jnp.where(hid > 0, dhidden, 0.0)
     dpre_bf = dpre.astype(jnp.bfloat16)
-    x_bf = x.astype(jnp.bfloat16)
+    x_bf = x.astype(jnp.bfloat16) if xc is None else xc  # identical bits
     dw_enc = jnp.einsum(
         "bd,bh->dh", x_bf, dpre_bf, preferred_element_type=jnp.float32
     )

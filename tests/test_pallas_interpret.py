@@ -78,6 +78,71 @@ class TestFusedSAELoss:
         )
 
 
+class TestXCResidualPath:
+    """WST_SAE_XC=1 stores the kernel's centered bf16 rows as a VJP
+    residual (the backward then never re-reads the f32 batch).  The two
+    paths compute (f32(x) - b_pre).astype(bf16) with identical bits, so
+    loss AND every gradient must match exactly."""
+
+    @pytest.mark.parametrize("row_dtype", [jnp.float32, BF])
+    def test_grads_bit_identical(self, data, monkeypatch, row_dtype):
+        x, _ = data
+        x = x.astype(row_dtype)
+        p = _params(1, b_pre=True)
+
+        def loss(p, rows):
+            with pltpu.force_tpu_interpret_mode():
+                return ps.fused_sae_loss(
+                    rows, p["w_enc"], p["b_enc"], p["b_pre"], p["w_dec"],
+                    p["b_dec"], K, BLOCK,
+                )[0]
+
+        monkeypatch.delenv("WST_SAE_XC", raising=False)
+        l_ref, g_ref = jax.value_and_grad(loss)(p, x)
+        monkeypatch.setenv("WST_SAE_XC", "1")
+        l_xc, g_xc = jax.value_and_grad(loss)(p, x)
+        assert float(l_ref) == float(l_xc)
+        for key in g_ref:
+            np.testing.assert_array_equal(
+                np.asarray(g_ref[key]), np.asarray(g_xc[key]), err_msg=key
+            )
+
+    @pytest.mark.parametrize("family", ["transcoder", "skip", "relu", "relu_cc"])
+    def test_coder_families_bit_identical(self, data, monkeypatch, family):
+        x, y = data
+        p = _params(2, with_skip=(family == "skip"))
+        zero = jnp.zeros((), jnp.float32)
+
+        def loss(p, rows, targets):
+            with pltpu.force_tpu_interpret_mode():
+                if family in ("transcoder", "skip"):
+                    return ps.fused_transcoder_loss(
+                        rows, targets, p["w_enc"], p["b_enc"], p["w_dec"],
+                        p["b_dec"], p.get("w_skip", zero), p.get("b_skip", zero),
+                        K, BLOCK, family == "skip",
+                    )[0]
+                if family == "relu":
+                    return ps.fused_relu_sae_loss(
+                        rows, p["w_enc"], p["b_enc"], p["w_dec"], p["b_dec"],
+                        0.01, BLOCK,
+                    )[0]
+                norms = jnp.sqrt(jnp.sum(jnp.square(p["w_dec"]), axis=1))
+                return ps.fused_relu_crosscoder_loss(
+                    rows, p["w_enc"], p["b_enc"], p["w_dec"], p["b_dec"],
+                    norms, 0.01, 4, BLOCK,
+                )[0]
+
+        monkeypatch.delenv("WST_SAE_XC", raising=False)
+        l_ref, g_ref = jax.value_and_grad(loss)(p, x, y)
+        monkeypatch.setenv("WST_SAE_XC", "1")
+        l_xc, g_xc = jax.value_and_grad(loss)(p, x, y)
+        assert float(l_ref) == float(l_xc)
+        for key in g_ref:
+            np.testing.assert_array_equal(
+                np.asarray(g_ref[key]), np.asarray(g_xc[key]), err_msg=key
+            )
+
+
 class TestBF16RowInputs:
     """Out-of-core chunks may stage bf16; the kernels must accept bf16
     rows with semantics equal to feeding the same (bf16-rounded) values

@@ -173,22 +173,46 @@ def run_reference(family: str, data, args):
         )
         from torch.utils.data import DataLoader, TensorDataset
 
-        with tempfile.TemporaryDirectory() as td:
-            trainer = RefSAETrainer(ref_model, ref_cfg, device="cpu", run_dir=Path(td))
-            loader = DataLoader(
-                TensorDataset(torch.from_numpy(data)),
-                batch_size=args.batch_size, shuffle=True,
-            )
-            trainer.train(loader, epochs=args.epochs, checkpoint_every=10_000_000)
+        def one_run(seed: int) -> dict:
+            # seed 0 trains ref_model itself with the generator state as
+            # left by init — byte-for-byte the historical gate path;
+            # seeds > 0 vary ONLY the shuffle order — the oracle's own
+            # batch-order noise floor at this scale
+            if seed == 0:
+                model = ref_model
+            else:
+                model = RefTopKSAE(
+                    input_dim=d, hidden_dim=d * args.expansion, k=args.k
+                )
+                model.load_state_dict(init_sd)
+                torch.manual_seed(1000 + seed)
+            with tempfile.TemporaryDirectory() as td:
+                trainer = RefSAETrainer(model, ref_cfg, device="cpu", run_dir=Path(td))
+                loader = DataLoader(
+                    TensorDataset(torch.from_numpy(data)),
+                    batch_size=args.batch_size, shuffle=True,
+                )
+                trainer.train(loader, epochs=args.epochs, checkpoint_every=10_000_000)
+            model.eval()
+            with torch.no_grad():
+                mses, l0s = [], []
+                for s in range(0, len(data), EVAL_CHUNK):
+                    out = model(torch.from_numpy(data[s : s + EVAL_CHUNK]))
+                    n = min(s + EVAL_CHUNK, len(data)) - s
+                    mses.append(float(out.reconstruction_loss) * n)
+                    l0s.append(float(out.l0) * n)
+            return {"mse": sum(mses) / len(data), "l0": sum(l0s) / len(data)}
 
-        ref_model.eval()
-        with torch.no_grad():
-            mses, l0s = [], []
-            for s in range(0, len(data), EVAL_CHUNK):
-                out = ref_model(torch.from_numpy(data[s : s + EVAL_CHUNK]))
-                mses.append(float(out.reconstruction_loss) * (min(s + EVAL_CHUNK, len(data)) - s))
-                l0s.append(float(out.l0) * (min(s + EVAL_CHUNK, len(data)) - s))
-        return init_sd, {"mse": sum(mses) / len(data), "l0": sum(l0s) / len(data)}
+        runs = []
+        for seed in range(max(args.ref_seeds, 1)):
+            runs.append(one_run(seed))
+            log(f"oracle seed {seed}: mse={runs[-1]['mse']:.6f}")
+        ref = dict(runs[0])
+        if len(runs) > 1:
+            ms = [r["mse"] for r in runs]
+            ref["seed_mses"] = ms
+            ref["seed_spread"] = max(ms) / min(ms)
+        return init_sd, ref
 
     if family == "transcoder":
         from whisper_sae.sae.transcoder import TopKTranscoder as RefTranscoder
@@ -397,6 +421,11 @@ def main() -> None:
     parser.add_argument("--n-layers", type=int, default=4,
                         help="encoder layers stacked for the crosscoder family")
     parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--ref-seeds", type=int, default=1,
+                        help="train the torch oracle this many times with "
+                             "different shuffle seeds (SAE family) to "
+                             "measure the oracle's own batch-order noise "
+                             "floor; seed 0 is the historical path")
     parser.add_argument("--out", type=Path, default=None,
                         help="also write the JSON result here")
     parser.add_argument("--amp", action="store_true",
