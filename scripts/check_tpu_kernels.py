@@ -438,6 +438,15 @@ def main() -> None:
     from whisper_sae_tpu.ops import pallas_encoder as _pe
     assert _pe.stem_supported(128, 3000, 1280), \
         "fused conv stem gate should accept large-v3 geometry"
+    # the attention sublayer must take the query-row-TILED kernel here:
+    # the full kernel's live set spills past VMEM at d=1280 (measured
+    # 171 MB), and if neither variant engaged the stack would silently
+    # run composed flash attention — still correct, but this check is
+    # also the compile proof for the tiled kernel at large-v3 scale
+    assert not _pe.attention_supported(1536, 1280, 20), \
+        "full attention kernel should NOT claim large-v3 (VMEM spill)"
+    assert _pe._pick_attention_tq(1536, 1280) is not None, \
+        "query-row-tiled attention should fit large-v3 geometry"
     W._use_fused_encoder = lambda *a: False  # also gates the fused stem
     ref_l = jax.jit(
         lambda p, m: W.encoder_forward(p, m, arch_l, with_mlp=True)
