@@ -617,7 +617,8 @@ class SAETrainer:
         return jax.tree_util.tree_map(put, batches)
 
     def train_epoch_fused(self, data, shuffle: bool = True, seed: int | None = None,
-                          defer: list | None = None) -> list[TrainingMetrics]:
+                          defer: list | None = None,
+                          perm=None) -> list[TrainingMetrics]:
         """One epoch as a single XLA program over device-resident data.
 
         ``data``: [N, D] array (host or device).  The remainder batch
@@ -626,6 +627,12 @@ class SAETrainer:
         feature resampling fires at the epoch boundary if the step counter
         crossed a multiple of ``resample_dead_every`` during the epoch
         (the per-step path honors the exact every-N contract).
+
+        ``perm``: explicit [N] batch-order permutation, overriding the
+        in-jit shuffle — used when the order must match an external
+        trainer exactly (tools/quality_gate.py replays the torch oracle's
+        numpy permutation stream so the gate compares numerics, not
+        batch-order noise).
 
         ``defer`` (internal, chunked out-of-core path): when a list is
         passed, the stacked scan metrics are NOT fetched here — entries
@@ -638,8 +645,11 @@ class SAETrainer:
         data = jax.tree_util.tree_map(jnp.asarray, data)
         n = jax.tree_util.tree_leaves(data)[0].shape[0]
         steps = n // b
-        perm = None
-        if shuffle:
+        if perm is not None:
+            perm = jnp.asarray(perm)
+            if self.mesh is not None:
+                data = jax.tree_util.tree_map(lambda a: a[perm], data)
+        elif shuffle:
             key = jax.random.PRNGKey(self.config.seed if seed is None else seed)
             key = jax.random.fold_in(key, self.epoch)
             perm = jax.random.permutation(key, n)

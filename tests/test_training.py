@@ -310,6 +310,29 @@ class TestFusedEpoch:
             atol=1e-5,
         )
 
+    def test_explicit_perm_overrides_shuffle(self, tmp_path, rng):
+        """train_epoch_fused(perm=...) must visit the batches of data[perm]
+        in order, including the remainder tail — the quality gate replays
+        a torch oracle's numpy permutation stream through this parameter."""
+        uneven = rng.standard_normal((40, D)).astype(np.float32)
+        perm = np.random.default_rng(0).permutation(40)
+
+        t1 = make_trainer(tmp_path)
+        m_perm = t1.train_epoch_fused(uneven, perm=perm)
+
+        t2 = make_trainer(tmp_path)
+        loader = ActivationLoader(uneven[perm], batch_size=16, shuffle=False)
+        m_step = t2.train_epoch(loader)
+
+        assert len(m_step) == len(m_perm) == 3
+        for a, b in zip(m_step, m_perm):
+            assert a.loss == pytest.approx(b.loss, rel=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(t1.model.params["w_enc"]),
+            np.asarray(t2.model.params["w_enc"]),
+            atol=1e-5,
+        )
+
     def test_shuffled_remainder_trains_on_tail(self, tmp_path, rng):
         """With N % batch != 0 and shuffle on, the remainder step must see
         exactly the shuffled tail rows (flat path leaves data unshuffled)."""

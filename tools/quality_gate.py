@@ -19,6 +19,12 @@ Families (--family):
   crosscoder  reference TopKCrossLayerCrosscoder (crosscoder.py:287-379),
               same contract
 
+Both sides start from IDENTICAL parameters and consume IDENTICAL
+per-epoch batch orders (the ``np.random.default_rng(0)`` permutation
+stream: a numpy-driven torch Sampler on the oracle side, replayed via
+``train_epoch_fused(perm=...)`` on ours), so the residual mse_ratio
+measures numerics, not batch-order noise.
+
 Modes (--modes, comma list) run OUR side repeatedly against ONE oracle
 run, isolating where any AMP quality delta comes from:
   f32          composed XLA forward, f32 throughout
@@ -171,13 +177,30 @@ def run_reference(family: str, data, args):
             batch_size=args.batch_size, learning_rate=args.lr, epochs=args.epochs,
             warmup_steps=args.warmup_steps, use_amp=False,
         )
-        from torch.utils.data import DataLoader, TensorDataset
+        from torch.utils.data import DataLoader, Sampler, TensorDataset
+
+        class _NumpyPermSampler(Sampler):
+            """Epoch shuffle driven by a numpy Generator: each __iter__
+            draws one permutation, so the oracle's batch order is the
+            exact stream ``np.random.default_rng(seed)`` produces — the
+            same stream run_ours replays through train_epoch_fused(perm=),
+            making the gate a same-order numerics comparison."""
+
+            def __init__(self, n: int, np_seed: int):
+                self.n = n
+                self.rng = np.random.default_rng(np_seed)
+
+            def __iter__(self):
+                return iter(self.rng.permutation(self.n).tolist())
+
+            def __len__(self):
+                return self.n
 
         def one_run(seed: int) -> dict:
-            # seed 0 trains ref_model itself with the generator state as
-            # left by init — byte-for-byte the historical gate path;
-            # seeds > 0 vary ONLY the shuffle order — the oracle's own
-            # batch-order noise floor at this scale
+            # seed 0 trains ref_model itself in the shared batch order
+            # (numpy rng 0, replayed by run_ours); seeds > 0 vary ONLY
+            # the shuffle order — the oracle's own batch-order noise
+            # floor at this scale
             if seed == 0:
                 model = ref_model
             else:
@@ -185,12 +208,12 @@ def run_reference(family: str, data, args):
                     input_dim=d, hidden_dim=d * args.expansion, k=args.k
                 )
                 model.load_state_dict(init_sd)
-                torch.manual_seed(1000 + seed)
             with tempfile.TemporaryDirectory() as td:
                 trainer = RefSAETrainer(model, ref_cfg, device="cpu", run_dir=Path(td))
                 loader = DataLoader(
                     TensorDataset(torch.from_numpy(data)),
-                    batch_size=args.batch_size, shuffle=True,
+                    batch_size=args.batch_size,
+                    sampler=_NumpyPermSampler(len(data), 0 if seed == 0 else 1000 + seed),
                 )
                 trainer.train(loader, epochs=args.epochs, checkpoint_every=10_000_000)
             model.eval()
@@ -300,6 +323,21 @@ def run_reference(family: str, data, args):
 # our side, one run per mode (same init, same config)
 # ---------------------------------------------------------------------------
 
+def _train_same_order(trainer, data, n, args):
+    """Train with the exact batch-order stream the oracle consumed
+    (``np.random.default_rng(0)``, one permutation per epoch) so the
+    residual mse_ratio measures numerics (f32 associativity, bf16 AMP,
+    kernel vs composed XLA) rather than batch-order noise."""
+    import numpy as np
+
+    steps_per_epoch = -(-n // args.batch_size)
+    trainer.setup_scheduler(steps_per_epoch * args.epochs)
+    rng = np.random.default_rng(0)
+    for ep in range(args.epochs):
+        trainer.train_epoch_fused(data, perm=rng.permutation(n))
+        log(f"ours epoch {ep + 1}/{args.epochs} done")
+
+
 def run_ours(family: str, data, init_sd, args, mode: str):
     import numpy as np
 
@@ -319,7 +357,6 @@ def run_ours(family: str, data, init_sd, args, mode: str):
     )
 
     if family == "sae":
-        from whisper_sae_tpu.data.loader import ActivationLoader
         from whisper_sae_tpu.models.sae import TopKSAE
         from whisper_sae_tpu.training.trainer import SAETrainer
 
@@ -330,9 +367,7 @@ def run_ours(family: str, data, init_sd, args, mode: str):
                         params=jparams)
         with tempfile.TemporaryDirectory() as td:
             trainer = SAETrainer(model, cfg, run_dir=Path(td))
-            trainer.train(
-                ActivationLoader(data, args.batch_size, seed=0), epochs=args.epochs
-            )
+            _train_same_order(trainer, data, len(data), args)
         model.eval()
         mses, l0s = [], []
         for s in range(0, len(data), EVAL_CHUNK):
@@ -356,14 +391,9 @@ def run_ours(family: str, data, init_sd, args, mode: str):
             "b_dec": jnp.array(np.asarray(init_sd["decoder.bias"])),
         }
         model = TopKTranscoder(d, y.shape[1], d * args.expansion, k=args.k, params=init)
-        from whisper_sae_tpu.data.loader import PairedActivationLoader
-
         with tempfile.TemporaryDirectory() as td:
             trainer = TranscoderTrainer(model, cfg, run_dir=Path(td))
-            trainer.train(
-                PairedActivationLoader(x, y, args.batch_size, seed=0),
-                epochs=args.epochs,
-            )
+            _train_same_order(trainer, (x, y), len(x), args)
         model.eval()
         mses, l0s = [], []
         for s in range(0, len(x), EVAL_CHUNK):
@@ -388,13 +418,9 @@ def run_ours(family: str, data, init_sd, args, mode: str):
     model = TopKCrossLayerCrosscoder(
         d_model=d, n_layers=n_layers, d_sae=d * args.expansion, k=args.k, params=init
     )
-    from whisper_sae_tpu.data.loader import ActivationLoader
-
     with tempfile.TemporaryDirectory() as td:
         trainer = CrosscoderTrainer(model, cfg, run_dir=Path(td))
-        trainer.train(
-            ActivationLoader(data, args.batch_size, seed=0), epochs=args.epochs
-        )
+        _train_same_order(trainer, data, n, args)
     model.eval()
     mses, l0s = [], []
     for s in range(0, n, EVAL_CHUNK):
@@ -450,7 +476,8 @@ def main() -> None:
             "warmup_steps": args.warmup_steps,
             **({"n_layers": args.n_layers} if args.family == "crosscoder" else {}),
             "note": "reference configs/tiny_test.yaml scale; oracle = f32 torch "
-                    "reference implementation imported from /root/reference",
+                    "reference implementation imported from /root/reference; "
+                    "identical init AND batch order (np rng 0) on both sides",
         },
         "reference": {"mse": round(ref["mse"], 6), "l0": round(ref["l0"], 3)},
         "modes": {},
@@ -459,7 +486,12 @@ def main() -> None:
     for mode in modes:
         ours = run_ours(args.family, data, init_sd, args, mode)
         ratio = ours["mse"] / ref["mse"] if ref["mse"] > 0 else float("inf")
-        passed = bool(0.95 <= ratio <= 1.05 and abs(ours["l0"] - ref["l0"]) < 0.5)
+        # same init + same batch order: f32 differs only by associativity
+        # (tight band); AMP modes additionally carry bf16 numerics
+        band = 0.02 if mode == "f32" else 0.05
+        passed = bool(
+            1 - band <= ratio <= 1 + band and abs(ours["l0"] - ref["l0"]) < 0.5
+        )
         ok = ok and passed
         result["modes"][mode] = {
             "mse": round(ours["mse"], 6), "l0": round(ours["l0"], 3),
