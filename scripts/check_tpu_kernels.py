@@ -131,6 +131,47 @@ def main() -> None:
     assert not fused_loss_supported((4096, 1536), 15616)
     print("2c-guard: two-matrix VMEM budget rejects D=1536/H=15616")
 
+    # 2c-idx. scalar-prefetch indexed fused loss: the epoch-scan variant
+    # that reads its batch window straight from the [N, D] epoch buffer
+    # must be bit-identical (loss, metrics, grads) to fused_sae_loss on
+    # the explicit slice — per window, and under a lax.scan over the step
+    # index (the trainer's indexed-epoch shape)
+    from whisper_sae_tpu.ops.pallas_sae import fused_sae_loss_indexed
+
+    x2 = jax.random.normal(jax.random.PRNGKey(21), (B, D), jnp.float32)
+    buf = jnp.concatenate([x, x2])
+
+    def idx_loss(p, step):
+        return fused_sae_loss_indexed(
+            buf, step, p["w_enc"], p["b_enc"], p["b_pre"], p["w_dec"],
+            p["b_dec"], K, 512, B,
+        )
+
+    for step, rows in ((0, x), (1, x2)):
+        li, l0i, acti = jax.jit(idx_loss)(params, jnp.int32(step))
+        ls, l0s, acts = jax.jit(fused_loss)(params, rows)
+        assert float(li) == float(ls), (step, li, ls)
+        assert float(l0i) == float(l0s) and bool(jnp.all(acti == acts))
+        gi = jax.jit(jax.grad(lambda p, s: idx_loss(p, s)[0]))(
+            params, jnp.int32(step)
+        )
+        gs = jax.jit(jax.grad(lambda p, r: fused_loss(p, r)[0]))(params, rows)
+        for key in gs:
+            assert np.array_equal(np.asarray(gi[key]), np.asarray(gs[key])), (
+                f"indexed grad {key} differs at step {step}"
+            )
+
+    def scan_losses(p):
+        def body(c, s):
+            return c, idx_loss(p, s)[0]
+
+        return jax.lax.scan(body, 0, jnp.arange(2, dtype=jnp.int32))[1]
+
+    sl = jax.jit(scan_losses)(params)
+    assert float(sl[0]) == float(jax.jit(fused_loss)(params, x)[0])
+    assert float(sl[1]) == float(jax.jit(fused_loss)(params, x2)[0])
+    print("2c-idx. indexed fused loss: bit-identical to sliced, scan-safe")
+
     # 2d. fused transcoder loss kernel (TopK and Skip variants) vs the
     # composed XLA path at the same bf16 compute dtype
     from whisper_sae_tpu.models.transcoder import (

@@ -69,8 +69,9 @@ def epoch_overhead(batch: int) -> None:
     from whisper_sae_tpu.models.sae import TopKSAE
     from whisper_sae_tpu.training.trainer import SAETrainer
 
-    def run_point(steps: int, dtype, xc: bool) -> float:
+    def run_point(steps: int, dtype, xc: bool, indexed: bool = False) -> float:
         os.environ["WST_SAE_XC"] = "1" if xc else "0"
+        os.environ["WST_INDEXED_EPOCH"] = "1" if indexed else "0"
         model = TopKSAE(input_dim=D, hidden_dim=H, k=K, seed=0)
         cfg = TrainingConfig(batch_size=batch, learning_rate=1e-4, epochs=1,
                              warmup_steps=1000, use_amp=True)
@@ -112,7 +113,21 @@ def epoch_overhead(batch: int) -> None:
             }
             print(f"{name:18s}: {best:,.0f} act/s "
                   f"({1e3 * batch / best:.3f} ms/step)", file=sys.stderr)
+
+    # scalar-prefetch indexed epochs (the kernel reads its batch window
+    # from the epoch buffer; ops/pallas_sae.py:fused_sae_loss_indexed) —
+    # no slice materialization, xc residual built in
+    for dtype, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+        best = run_point(128, dtype, xc=False, indexed=True)
+        name = f"data_{tag}_indexed"
+        out[name] = {
+            "act_per_sec": round(best, 1),
+            "ms_per_step": round(1e3 * batch / best, 3),
+        }
+        print(f"{name:18s}: {best:,.0f} act/s "
+              f"({1e3 * batch / best:.3f} ms/step)", file=sys.stderr)
     os.environ.pop("WST_SAE_XC", None)
+    os.environ.pop("WST_INDEXED_EPOCH", None)
     print(json.dumps(out))
 
 

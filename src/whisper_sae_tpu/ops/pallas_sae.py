@@ -361,6 +361,164 @@ def fused_loss_supported(x_shape, hidden_dim: int) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# scalar-prefetch indexed fused loss.  The fused scan epoch used to slice a
+# fresh f32 [B, D] batch from the epoch stack every step — a dynamic-slice
+# the compiler must MATERIALIZE because its consumer is an opaque
+# pallas_call (~96 MB of HBM copy traffic per 32k-row whisper-tiny step;
+# the measured 6.75 M act/s isolated-step vs 6.40 M epoch gap, see
+# docs/DESIGN.md "Tiny-geometry step decomposition").  Here the batch
+# window is selected INSIDE the kernel: the scan passes its step index as
+# a scalar-prefetch argument and the x BlockSpec's index_map offsets the
+# row-block reads into the full [steps*B, D] epoch buffer, so each row is
+# read from HBM exactly once per epoch, straight into VMEM.  The centered
+# bf16 rows are always persisted (the WST_SAE_XC residual) so the backward
+# never touches the epoch buffer either.
+# ---------------------------------------------------------------------------
+
+
+def _fused_loss_kernel_indexed(step_ref, *refs, k: int):
+    del step_ref  # consumed by the BlockSpec index maps only
+    _fused_loss_kernel(*refs, k=k)
+
+
+def _fused_loss_forward_indexed(data, step, we_bf, b_enc, b_pre, wd_bf, b_out,
+                                k, block_rows, batch):
+    d = data.shape[1]
+    h = we_bf.shape[1]
+    blocks = batch // block_rows
+
+    def xmap(i, s):
+        return (s[0] * blocks + i, 0)
+
+    def fixed(i, s):
+        return (0, 0)
+
+    def omap(i, s):
+        return (i, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(blocks,),
+        in_specs=[
+            pl.BlockSpec((block_rows, d), xmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, h), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, d), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), fixed, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_rows, h), omap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, d), omap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, d), omap, memory_space=pltpu.VMEM),
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_fused_loss_kernel_indexed, k=k),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, h), jnp.bfloat16),   # latent
+            jax.ShapeDtypeStruct((batch, d), jnp.float32),    # recon - x
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),        # sum sq error
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),        # active count
+            jax.ShapeDtypeStruct((1, h), jnp.int32),          # any-active
+            jax.ShapeDtypeStruct((batch, d), jnp.bfloat16),   # x - b_pre
+        ),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * batch * d * h + 33 * batch * h,
+            bytes_accessed=batch * d * 8 + 2 * d * h * 2 + batch * h * 2,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(
+        jnp.asarray(step, jnp.int32).reshape(1), data, we_bf,
+        b_enc.reshape(1, h), b_pre.reshape(1, d), wd_bf, b_out.reshape(1, d),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_sae_loss_indexed(data, step, w_enc, b_enc, b_pre, w_dec, b_dec,
+                           k, block_rows, batch):
+    """fused_sae_loss over the window ``data[step*batch:(step+1)*batch]``,
+    selected inside the kernel via scalar prefetch (no slice materialized).
+
+    ``data``: [N, D] epoch buffer with N a multiple of ``batch`` (not
+    differentiated — its cotangent is symbolic zeros, DCE'd by the scan
+    transpose).  ``step``: traced int32 scalar.  Loss/l0/active semantics
+    and gradients identical to fused_sae_loss on the sliced window."""
+    loss, l0, active, _, _ = _fused_loss_indexed_impl(
+        data, step, w_enc, b_enc, b_pre, w_dec, b_dec, k, block_rows, batch
+    )
+    return loss, l0, active
+
+
+def _fused_loss_indexed_impl(data, step, w_enc, b_enc, b_pre, w_dec, b_dec,
+                             k, block_rows, batch):
+    we_bf = w_enc.astype(jnp.bfloat16)
+    wd_bf = w_dec.astype(jnp.bfloat16)
+    b_out = b_dec + b_pre
+    hid, resid, sq, l0s, act, xc = _fused_loss_forward_indexed(
+        data, step, we_bf, b_enc, b_pre, wd_bf, b_out, k, block_rows, batch
+    )
+    d = data.shape[1]
+    loss = sq[0, 0] / (batch * d)
+    l0 = l0s[0, 0] / batch
+    active = act[0] > 0
+    return loss, l0, active, (hid, resid, xc), (we_bf, wd_bf)
+
+
+def _fused_loss_indexed_vjp_fwd(data, step, w_enc, b_enc, b_pre, w_dec, b_dec,
+                                k, block_rows, batch):
+    loss, l0, active, (hid, resid, xc), (we_bf, wd_bf) = (
+        _fused_loss_indexed_impl(
+            data, step, w_enc, b_enc, b_pre, w_dec, b_dec, k, block_rows, batch
+        )
+    )
+    return (loss, l0, active), (data, we_bf, wd_bf, hid, resid, xc)
+
+
+def _fused_loss_indexed_vjp_bwd(k, block_rows, batch, res, g):
+    gl = g[0]  # l0/active are metrics: their cotangents are symbolic zeros
+    data, we_bf, wd_bf, hid, resid, xc = res
+    d = xc.shape[1]
+    d_recon = resid * (2.0 * gl / (batch * d))
+    drec_bf = d_recon.astype(jnp.bfloat16)
+    dhidden = jnp.dot(drec_bf, wd_bf.T, preferred_element_type=jnp.float32)
+    dpre = jnp.where(hid > 0, dhidden, 0.0)
+    dpre_bf = dpre.astype(jnp.bfloat16)
+    # the persisted centered rows: the backward never reads ``data``
+    dw_enc = jnp.einsum(
+        "bd,bh->dh", xc, dpre_bf, preferred_element_type=jnp.float32
+    )
+    db_enc = jnp.sum(dpre, axis=0)
+    dw_dec = jnp.einsum(
+        "bh,bd->hd", hid, drec_bf, preferred_element_type=jnp.float32
+    )
+    db_dec = jnp.sum(d_recon, axis=0)
+    db_pre = db_dec - jnp.dot(
+        db_enc, we_bf.T.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    # the epoch buffer and step index are never differentiated: zero
+    # cotangents (float0 for the integer step), dead code the scan
+    # transpose DCEs
+    ddata = jnp.zeros_like(data)
+    dstep = np.zeros((), dtype=jax.dtypes.float0)  # step is an int scalar
+    return ddata, dstep, dw_enc, db_enc, db_pre, dw_dec, db_dec
+
+
+fused_sae_loss_indexed.defvjp(
+    _fused_loss_indexed_vjp_fwd, _fused_loss_indexed_vjp_bwd
+)
+
+
+# ---------------------------------------------------------------------------
 # fused transcoder training forward.  Same structure as fused_sae_loss but
 # with the transcoder semantics (reference transcoder.py:139-175 / :355-390):
 # no pre-encoder bias, the reconstruction target is a SEPARATE array y

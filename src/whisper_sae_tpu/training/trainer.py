@@ -567,6 +567,92 @@ class SAETrainer:
 
         return jax.jit(epoch, donate_argnums=(0, 1, 2))
 
+    def _use_indexed_epoch(self) -> bool:
+        """Scalar-prefetch indexed epoch: single-device TopK-SAE AMP at
+        fused-kernel geometry.  The scan body passes its step index into
+        the kernel, which reads its batch window straight from the epoch
+        buffer (ops/pallas_sae.py:fused_sae_loss_indexed) — no per-step
+        dynamic-slice materialization between the scan xs and the opaque
+        pallas_call.  ``WST_INDEXED_EPOCH=0`` forces the slicing scan
+        (the A/B lever)."""
+        if os.environ.get("WST_INDEXED_EPOCH", "1") == "0":
+            return False
+        if self.mesh is not None or not isinstance(self.model, TopKSAE):
+            return False
+        if isinstance(self.model, ReLUSAE) or self.compute_dtype != jnp.bfloat16:
+            return False
+        if type(self)._loss_fn is not SAETrainer._loss_fn:
+            return False  # coder trainers use their own loss/batch layout
+        from ..ops import pallas_sae
+
+        b = self.config.batch_size
+        return pallas_sae.fused_loss_supported(
+            (b, self.model.input_dim), self.model.hidden_dim
+        )
+
+    def _build_epoch_indexed_fn(self):
+        """Fused epoch whose scan body reads its batch window DIRECTLY
+        from the gathered epoch buffer via a scalar-prefetch Pallas index
+        — the [B, D] slice+copy the flat path pays per step (the measured
+        isolated-step 6.75 M vs epoch 6.40 M act/s gap, docs/DESIGN.md)
+        never materializes.  Same signature as the flat epoch fn."""
+        from ..ops import pallas_sae
+
+        opt = self._optimizer
+        renorm = self._should_renorm()
+        renorm_fn = self._renorm_params
+        threshold = getattr(self.model, "dead_feature_threshold", 10_000)
+        k = self.model.k
+        b = self.config.batch_size
+        block_rows = pallas_sae.pick_block_rows(
+            b, self.model.hidden_dim, self.model.input_dim
+        )
+
+        def epoch(params, opt_state, dstate, data, perm):
+            steps = data.shape[0] // b
+            sel = data if perm is None else jnp.take(
+                data, perm[: steps * b], axis=0
+            )
+            sel = jax.lax.stop_gradient(sel[: steps * b])
+
+            def body(carry, step):
+                params, opt_state, dstate = carry
+
+                def loss_fn(p):
+                    loss, l0, active = pallas_sae.fused_sae_loss_indexed(
+                        sel, step, p["w_enc"], p["b_enc"], p["b_pre"],
+                        p["w_dec"], p["b_dec"], k, block_rows, b,
+                    )
+                    return loss, {"l0": l0, "active": active}
+
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                if renorm:
+                    params = renorm_fn(params)
+                dstate = update_dead_state(dstate, aux["active"])
+                metrics = {
+                    "loss": loss,
+                    "reconstruction_loss": loss,
+                    "sparsity_loss": jnp.zeros((), jnp.float32),
+                    "l0": aux["l0"],
+                    "dead_feature_ratio": jnp.mean(
+                        dead_feature_mask(dstate, threshold).astype(jnp.float32)
+                    ),
+                }
+                return (params, opt_state, dstate), metrics
+
+            (params, opt_state, dstate), metrics = jax.lax.scan(
+                body, (params, opt_state, dstate),
+                jnp.arange(steps, dtype=jnp.int32),
+            )
+            stacked = jnp.stack([metrics[m] for m in _METRIC_KEYS], axis=1)
+            return params, opt_state, dstate, stacked
+
+        return jax.jit(epoch, donate_argnums=(0, 1, 2))
+
     def _ensure_epoch_fn(self):
         """Pick the fused-epoch program for the environment: single-device
         scan, GSPMD-partitioned scan (dp mesh), or the explicit shard_map
@@ -590,6 +676,8 @@ class SAETrainer:
                 )
             elif self.mesh is not None:
                 self._epoch_fn = self._build_epoch_fn()[0]
+            elif self._use_indexed_epoch():
+                self._epoch_fn = self._build_epoch_indexed_fn()
             else:
                 self._epoch_fn = self._build_epoch_flat_fn()
         return self._epoch_fn

@@ -78,6 +78,69 @@ class TestFusedSAELoss:
         )
 
 
+class TestIndexedFusedLoss:
+    """fused_sae_loss_indexed reads its batch window from the epoch buffer
+    via scalar prefetch; per window it must match fused_sae_loss on the
+    explicit slice — loss, metrics, and every parameter gradient — both
+    standalone and as a lax.scan over the step index (the trainer's
+    indexed-epoch shape, trainer.py:_build_epoch_indexed_fn)."""
+
+    def test_matches_sliced_fused_loss_with_grads(self, data, monkeypatch):
+        monkeypatch.setenv("WST_SAE_XC", "1")  # slice path persists xc too
+        x, y = data
+        buf = jnp.concatenate([x, y])  # [2B, D] epoch buffer, 2 windows
+        p = _params(1, b_pre=True)
+
+        def loss_idx(p, step):
+            with pltpu.force_tpu_interpret_mode():
+                return ps.fused_sae_loss_indexed(
+                    buf, step, p["w_enc"], p["b_enc"], p["b_pre"],
+                    p["w_dec"], p["b_dec"], K, BLOCK, B,
+                )[0]
+
+        def loss_slice(p, rows):
+            with pltpu.force_tpu_interpret_mode():
+                return ps.fused_sae_loss(
+                    rows, p["w_enc"], p["b_enc"], p["b_pre"], p["w_dec"],
+                    p["b_dec"], K, BLOCK,
+                )[0]
+
+        for step, rows in ((0, x), (1, y)):
+            l_i, g_i = jax.value_and_grad(loss_idx)(p, jnp.int32(step))
+            l_s, g_s = jax.value_and_grad(loss_slice)(p, rows)
+            assert float(l_i) == float(l_s)
+            for key in g_s:
+                np.testing.assert_array_equal(
+                    np.asarray(g_i[key]), np.asarray(g_s[key]),
+                    err_msg=f"step {step}: {key}",
+                )
+
+    def test_scan_over_steps_matches_per_window_calls(self, data):
+        x, y = data
+        buf = jnp.concatenate([x, y])
+        p = _params(2, b_pre=True)
+
+        def one(step):
+            with pltpu.force_tpu_interpret_mode():
+                loss, l0, active = ps.fused_sae_loss_indexed(
+                    buf, step, p["w_enc"], p["b_enc"], p["b_pre"],
+                    p["w_dec"], p["b_dec"], K, BLOCK, B,
+                )
+            return loss, l0, active
+
+        def body(carry, step):
+            loss, l0, active = one(step)
+            return carry, (loss, l0)
+
+        _, (losses, l0s) = jax.lax.scan(
+            body, 0, jnp.arange(2, dtype=jnp.int32)
+        )
+        for step in range(2):
+            want_loss, want_l0, _ = one(jnp.int32(step))
+            assert float(losses[step]) == float(want_loss)
+            assert float(l0s[step]) == float(want_l0)
+
+
 class TestXCResidualPath:
     """WST_SAE_XC=1 stores the kernel's centered bf16 rows as a VJP
     residual (the backward then never re-reads the f32 batch).  The two

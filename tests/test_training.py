@@ -310,6 +310,36 @@ class TestFusedEpoch:
             atol=1e-5,
         )
 
+    def test_indexed_epoch_matches_flat_epoch(self, tmp_path, data, monkeypatch):
+        """The scalar-prefetch indexed epoch (kernel reads its batch window
+        from the epoch buffer) must be bit-identical to the flat epoch
+        (per-step slice into the same fused kernel).  CPU: interpret mode,
+        with the kernel gate forced open."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from whisper_sae_tpu.ops import pallas_sae
+
+        monkeypatch.setattr(pallas_sae, "fused_loss_supported", lambda *a: True)
+        perm = np.random.default_rng(3).permutation(len(data))
+
+        def run(indexed: bool):
+            monkeypatch.setenv("WST_INDEXED_EPOCH", "1" if indexed else "0")
+            t = make_trainer(tmp_path, use_amp=True)
+            assert t._use_indexed_epoch() == indexed
+            with pltpu.force_tpu_interpret_mode():
+                metrics = t.train_epoch_fused(data, perm=perm)
+            return metrics, t.model.params
+
+        m_idx, p_idx = run(True)
+        m_flat, p_flat = run(False)
+        assert len(m_idx) == len(m_flat) == 8
+        for a, b in zip(m_idx, m_flat):
+            assert a.loss == b.loss and a.l0 == b.l0
+        for key in p_flat:
+            np.testing.assert_array_equal(
+                np.asarray(p_idx[key]), np.asarray(p_flat[key]), err_msg=key
+            )
+
     def test_explicit_perm_overrides_shuffle(self, tmp_path, rng):
         """train_epoch_fused(perm=...) must visit the batches of data[perm]
         in order, including the remainder tail — the quality gate replays
