@@ -70,7 +70,7 @@ def bench_tpu(batch: int, steps: int, warmup_steps: int = 8) -> float:
         jax.block_until_ready(trainer.model.params["w_enc"])
         dt = time.perf_counter() - t0
         best = max(best, epochs * steps * batch / dt)
-    return best
+    return best, ("indexed" if trainer._use_indexed_epoch() else "flat")
 
 
 def bench_tpu_large(batch: int = 8192, steps: int = 6) -> float:
@@ -307,7 +307,7 @@ def main() -> None:
         }))
         return
 
-    value = bench_tpu(args.batch, args.steps)
+    value, epoch_path = bench_tpu(args.batch, args.steps)
 
     if args.skip_baseline:
         baseline = None
@@ -329,6 +329,9 @@ def main() -> None:
         "vs_baseline": round(value / 520_000, 2),
         "vs_baseline_note": "reference A10G plan roofline (~520k act/s, BASELINE.md)",
         "vs_torch_same_host": round(value / baseline, 2) if baseline else None,
+        # which single-device epoch program produced the headline number
+        # (scalar-prefetch indexed vs slicing scan — docs/DESIGN.md)
+        "epoch_path": epoch_path,
     }
     if baseline:
         result["baseline_torch_same_host"] = round(baseline, 1)
