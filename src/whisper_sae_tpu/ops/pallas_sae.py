@@ -954,6 +954,315 @@ def _fused_relu_cc_vjp_bwd(sparsity_weight, n_layers, block_rows, res, g):
 fused_relu_crosscoder_loss.defvjp(_fused_relu_cc_vjp_fwd, _fused_relu_cc_vjp_bwd)
 
 
+# ---------------------------------------------------------------------------
+# scalar-prefetch indexed coder forwards: the coder-family analogue of
+# fused_sae_loss_indexed.  The epoch scan passes its step index as a
+# scalar-prefetch argument and the x/y BlockSpec index_maps offset the
+# row-block reads into the full [steps*B, ...] epoch buffers — no per-step
+# dynamic-slice materialization feeding the opaque pallas_call.  Centered
+# bf16 rows always persist as the VJP residual, so the backward never
+# touches the buffers.  Training-only: these return just the loss/metric
+# outputs (the full wrappers above keep the resid/hidden export surface).
+# ---------------------------------------------------------------------------
+
+
+def _fused_coder_kernel_indexed(step_ref, *refs, k, use_skip, emit_xc):
+    del step_ref  # consumed by the BlockSpec index maps only
+    _fused_coder_kernel(*refs, k=k, use_skip=use_skip, emit_xc=emit_xc)
+
+
+def _fused_coder_forward_indexed(xbuf, ybuf, step, we_bf, b_enc, wd_bf,
+                                 b_out, ws_bf, k, block_rows, batch,
+                                 use_skip):
+    d = xbuf.shape[1]
+    dout = ybuf.shape[1]
+    h = we_bf.shape[1]
+    blocks = batch // block_rows
+
+    def xmap(i, s):
+        return (s[0] * blocks + i, 0)
+
+    def fixed(i, s):
+        return (0, 0)
+
+    def omap(i, s):
+        return (i, 0)
+
+    in_specs = [
+        pl.BlockSpec((block_rows, d), xmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_rows, dout), xmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, h), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, dout), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, dout), fixed, memory_space=pltpu.VMEM),
+    ]
+    args = [
+        jnp.asarray(step, jnp.int32).reshape(1), xbuf, ybuf, we_bf,
+        b_enc.reshape(1, h), wd_bf, b_out.reshape(1, dout),
+    ]
+    if use_skip:
+        in_specs.append(
+            pl.BlockSpec((d, dout), fixed, memory_space=pltpu.VMEM)
+        )
+        args.append(ws_bf)
+    out_shape = [
+        jax.ShapeDtypeStruct((batch, h), jnp.bfloat16),     # latent
+        jax.ShapeDtypeStruct((batch, dout), jnp.float32),   # pred - y
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),          # sum sq error
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),          # active count
+        jax.ShapeDtypeStruct((1, h), jnp.int32),            # any-active
+    ]
+    out_specs = [
+        pl.BlockSpec((block_rows, h), omap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_rows, dout), omap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h), fixed, memory_space=pltpu.VMEM),
+    ]
+    if k is None:  # ReLU mode: L1 sum + per-feature hidden-sum accumulators
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1), fixed, memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((1, h), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, h), fixed, memory_space=pltpu.VMEM))
+    out_shape.append(jax.ShapeDtypeStruct((batch, d), jnp.bfloat16))  # xc
+    out_specs.append(
+        pl.BlockSpec((block_rows, d), omap, memory_space=pltpu.VMEM)
+    )
+    return pl.pallas_call(
+        functools.partial(_fused_coder_kernel_indexed, k=k, use_skip=use_skip,
+                          emit_xc=True),
+        out_shape=tuple(out_shape),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(blocks,),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * batch * d * h + 2 * batch * h * dout
+            + (2 * batch * d * dout if use_skip else 0)
+            + (33 if k is not None else 1) * batch * h,
+            bytes_accessed=batch * (d + dout) * 4
+            + (d * h + h * dout + (d * dout if use_skip else 0)) * 2
+            + batch * h * 2 + batch * dout * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(*args)
+
+
+def _fused_coder_indexed_impl(xbuf, ybuf, step, w_enc, b_enc, w_dec, b_dec,
+                              w_skip, b_skip, k, block_rows, batch, use_skip):
+    we_bf = w_enc.astype(jnp.bfloat16)
+    wd_bf = w_dec.astype(jnp.bfloat16)
+    ws_bf = w_skip.astype(jnp.bfloat16) if use_skip else None
+    b_out = b_dec + b_skip if use_skip else b_dec
+    hid, resid, sq, l0s, act, *extra = _fused_coder_forward_indexed(
+        xbuf, ybuf, step, we_bf, b_enc, wd_bf, b_out, ws_bf, k, block_rows,
+        batch, use_skip,
+    )
+    xc = extra.pop()
+    dout = ybuf.shape[1]
+    loss = sq[0, 0] / (batch * dout)
+    l0 = l0s[0, 0] / batch
+    active = act[0] > 0
+    l1 = extra[0][0, 0] if extra else None
+    hsum = extra[1][0] if extra else None
+    return loss, l0, active, hid, resid, l1, hsum, xc, (we_bf, wd_bf, ws_bf)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def fused_transcoder_loss_indexed(xbuf, ybuf, step, w_enc, b_enc, w_dec,
+                                  b_dec, w_skip, b_skip, k, block_rows,
+                                  batch, use_skip):
+    """fused_transcoder_loss over the windows ``xbuf/ybuf[step*batch:
+    (step+1)*batch]``, selected inside the kernel via scalar prefetch.
+    The TopK crosscoder's flattened view passes xbuf is ybuf (y = x).
+    Returns (loss, l0, active); buffers are not differentiated."""
+    loss, l0, active, *_ = _fused_coder_indexed_impl(
+        xbuf, ybuf, step, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip,
+        k, block_rows, batch, use_skip,
+    )
+    return loss, l0, active
+
+
+def _fused_tc_idx_vjp_fwd(xbuf, ybuf, step, w_enc, b_enc, w_dec, b_dec,
+                          w_skip, b_skip, k, block_rows, batch, use_skip):
+    loss, l0, active, hid, resid, _, _, xc, (we_bf, wd_bf, ws_bf) = (
+        _fused_coder_indexed_impl(
+            xbuf, ybuf, step, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip,
+            k, block_rows, batch, use_skip,
+        )
+    )
+    return (loss, l0, active), (
+        xbuf, ybuf, w_skip, b_skip, we_bf, wd_bf, hid, resid, xc
+    )
+
+
+def _fused_tc_idx_vjp_bwd(k, block_rows, batch, use_skip, res, g):
+    gl = g[0]  # l0/active are metrics: zero a.e.
+    xbuf, ybuf, w_skip, b_skip, we_bf, wd_bf, hid, resid, xc = res
+    dout = resid.shape[1]
+    d_pred = resid * (2.0 * gl / (batch * dout))
+    dp_bf = d_pred.astype(jnp.bfloat16)
+    dhidden = jnp.dot(dp_bf, wd_bf.T, preferred_element_type=jnp.float32)
+    dpre = jnp.where(hid > 0, dhidden, 0.0)
+    dpre_bf = dpre.astype(jnp.bfloat16)
+    dw_enc = jnp.einsum(
+        "bd,bh->dh", xc, dpre_bf, preferred_element_type=jnp.float32
+    )
+    db_enc = jnp.sum(dpre, axis=0)
+    dw_dec = jnp.einsum(
+        "bh,bd->hd", hid, dp_bf, preferred_element_type=jnp.float32
+    )
+    db_dec = jnp.sum(d_pred, axis=0)
+    if use_skip:
+        dw_skip = jnp.einsum(
+            "bd,bo->do", xc, dp_bf, preferred_element_type=jnp.float32
+        )
+        db_skip = db_dec  # b_dec and b_skip enter the prediction identically
+    else:
+        dw_skip = jnp.zeros_like(w_skip)
+        db_skip = jnp.zeros_like(b_skip)
+    dstep = np.zeros((), dtype=jax.dtypes.float0)
+    # buffer cotangents are dead (zeros, DCE'd by the transpose)
+    return (jnp.zeros_like(xbuf), jnp.zeros_like(ybuf), dstep,
+            dw_enc, db_enc, dw_dec, db_dec, dw_skip, db_skip)
+
+
+fused_transcoder_loss_indexed.defvjp(_fused_tc_idx_vjp_fwd, _fused_tc_idx_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def fused_relu_sae_loss_indexed(buf, step, w_enc, b_enc, w_dec, b_dec,
+                                sparsity_weight, block_rows, batch):
+    """fused_relu_sae_loss over ``buf[step*batch:(step+1)*batch]``,
+    window-selected inside the kernel (scalar prefetch, y = x)."""
+    out = _fused_coder_indexed_impl(
+        buf, buf, step, w_enc, b_enc, w_dec, b_dec,
+        jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+        None, block_rows, batch, False,
+    )
+    recon_loss, l0, active, hid, _, l1, _, _, _ = out
+    h = hid.shape[1]
+    sparsity = l1 / (batch * h)
+    return (recon_loss + sparsity_weight * sparsity, recon_loss, sparsity,
+            l0, active)
+
+
+def _fused_relu_idx_vjp_fwd(buf, step, w_enc, b_enc, w_dec, b_dec,
+                            sparsity_weight, block_rows, batch):
+    out = _fused_coder_indexed_impl(
+        buf, buf, step, w_enc, b_enc, w_dec, b_dec,
+        jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+        None, block_rows, batch, False,
+    )
+    recon_loss, l0, active, hid, resid, l1, _, xc, (we_bf, wd_bf, _) = out
+    h = hid.shape[1]
+    sparsity = l1 / (batch * h)
+    loss = recon_loss + sparsity_weight * sparsity
+    return (loss, recon_loss, sparsity, l0, active), (
+        buf, we_bf, wd_bf, hid, resid, xc
+    )
+
+
+def _fused_relu_idx_vjp_bwd(sparsity_weight, block_rows, batch, res, g):
+    gl, g_rec, g_sp, _, _ = g
+    buf, we_bf, wd_bf, hid, resid, xc = res
+    d = resid.shape[1]
+    h = hid.shape[1]
+    d_recon = resid * (2.0 * (gl + g_rec) / (batch * d))
+    drec_bf = d_recon.astype(jnp.bfloat16)
+    dhidden = jnp.dot(drec_bf, wd_bf.T, preferred_element_type=jnp.float32)
+    dpre = jnp.where(
+        hid > 0, dhidden + (gl * sparsity_weight + g_sp) / (batch * h), 0.0
+    )
+    dpre_bf = dpre.astype(jnp.bfloat16)
+    dw_enc = jnp.einsum(
+        "bd,bh->dh", xc, dpre_bf, preferred_element_type=jnp.float32
+    )
+    db_enc = jnp.sum(dpre, axis=0)
+    dw_dec = jnp.einsum(
+        "bh,bd->hd", hid, drec_bf, preferred_element_type=jnp.float32
+    )
+    db_dec = jnp.sum(d_recon, axis=0)
+    dstep = np.zeros((), dtype=jax.dtypes.float0)
+    return jnp.zeros_like(buf), dstep, dw_enc, db_enc, dw_dec, db_dec
+
+
+fused_relu_sae_loss_indexed.defvjp(_fused_relu_idx_vjp_fwd, _fused_relu_idx_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def fused_relu_crosscoder_loss_indexed(buf, step, w_enc, b_enc, w_dec, b_dec,
+                                       norms, sparsity_weight, n_layers,
+                                       block_rows, batch):
+    """fused_relu_crosscoder_loss over ``buf[step*batch:(step+1)*batch]``
+    (the flattened [N, L*D] view), window-selected inside the kernel."""
+    out = _fused_coder_indexed_impl(
+        buf, buf, step, w_enc, b_enc, w_dec, b_dec,
+        jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+        None, block_rows, batch, False,
+    )
+    flat_loss, l0, active, _, _, _, hsum, _, _ = out
+    recon_loss = n_layers * flat_loss
+    sparsity = jnp.dot(hsum, norms) / batch
+    return (recon_loss + sparsity_weight * sparsity, recon_loss, sparsity,
+            l0, active)
+
+
+def _fused_relu_cc_idx_vjp_fwd(buf, step, w_enc, b_enc, w_dec, b_dec, norms,
+                               sparsity_weight, n_layers, block_rows, batch):
+    out = _fused_coder_indexed_impl(
+        buf, buf, step, w_enc, b_enc, w_dec, b_dec,
+        jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+        None, block_rows, batch, False,
+    )
+    flat_loss, l0, active, hid, resid, _, hsum, xc, (we_bf, wd_bf, _) = out
+    recon_loss = n_layers * flat_loss
+    sparsity = jnp.dot(hsum, norms) / batch
+    loss = recon_loss + sparsity_weight * sparsity
+    return (loss, recon_loss, sparsity, l0, active), (
+        buf, norms, we_bf, wd_bf, hid, resid, hsum, xc
+    )
+
+
+def _fused_relu_cc_idx_vjp_bwd(sparsity_weight, n_layers, block_rows, batch,
+                               res, g):
+    gl, g_rec, g_sp, _, _ = g
+    buf, norms, we_bf, wd_bf, hid, resid, hsum, xc = res
+    ld = resid.shape[1]
+    c_rec = 2.0 * n_layers * (gl + g_rec) / (batch * ld)
+    c_sp = (gl * sparsity_weight + g_sp) / batch
+    d_pred = resid * c_rec
+    dp_bf = d_pred.astype(jnp.bfloat16)
+    dhidden = (
+        jnp.dot(dp_bf, wd_bf.T, preferred_element_type=jnp.float32)
+        + c_sp * norms[None, :]
+    )
+    dpre = jnp.where(hid > 0, dhidden, 0.0)
+    dpre_bf = dpre.astype(jnp.bfloat16)
+    dw_enc = jnp.einsum(
+        "bd,bh->dh", xc, dpre_bf, preferred_element_type=jnp.float32
+    )
+    db_enc = jnp.sum(dpre, axis=0)
+    dw_dec = jnp.einsum(
+        "bh,bd->hd", hid, dp_bf, preferred_element_type=jnp.float32
+    )
+    db_dec = jnp.sum(d_pred, axis=0)
+    dnorms = c_sp * hsum
+    dstep = np.zeros((), dtype=jax.dtypes.float0)
+    return (jnp.zeros_like(buf), dstep, dw_enc, db_enc, dw_dec, db_dec,
+            dnorms)
+
+
+fused_relu_crosscoder_loss_indexed.defvjp(
+    _fused_relu_cc_idx_vjp_fwd, _fused_relu_cc_idx_vjp_bwd
+)
+
+
 def fused_coder_supported(x_shape, out_dim: int, hidden_dim: int,
                           with_skip: bool = False) -> bool:
     """Transcoder fused-loss geometry: all weights VMEM-resident, lane-

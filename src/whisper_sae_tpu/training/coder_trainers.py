@@ -69,6 +69,44 @@ class TranscoderTrainer(SAETrainer):
             return (arr[0], arr[1])
         raise ValueError("transcoder batches must be (mlp_input, mlp_output)")
 
+    def _use_indexed_epoch(self) -> bool:
+        if not self._indexed_env_ok():
+            return False
+        from ..ops import pallas_sae
+
+        b = self.config.batch_size
+        return pallas_sae.fused_coder_supported(
+            (b, self.model.input_dim), self.model.output_dim,
+            self.model.hidden_dim,
+            with_skip="w_skip" in self.model.params,
+        )
+
+    def _indexed_loss_fn(self):
+        from ..ops import pallas_sae
+
+        k = self.model.k
+        b = self.config.batch_size
+        use_skip = "w_skip" in self.model.params
+        block_rows = pallas_sae.pick_block_rows(
+            b, self.model.hidden_dim, self.model.input_dim
+        )
+
+        def loss_fn(p, sel, step):
+            x, y = sel
+            loss, l0, active = pallas_sae.fused_transcoder_loss_indexed(
+                x, y, step, p["w_enc"], p["b_enc"], p["w_dec"], p["b_dec"],
+                p.get("w_skip", jnp.zeros((), jnp.float32)),
+                p.get("b_skip", jnp.zeros((), jnp.float32)),
+                k, block_rows, b, use_skip,
+            )
+            return loss, {
+                "reconstruction_loss": loss,
+                "sparsity_loss": jnp.zeros((), jnp.float32),
+                "l0": l0, "active": active,
+            }
+
+        return loss_fn
+
     def set_resample_dataset(self, dataset) -> None:
         x, y = dataset
         self._resample_dataset = (np.asarray(x), np.asarray(y))
@@ -126,3 +164,57 @@ class CrosscoderTrainer(SAETrainer):
 
     def _renorm_params(self, params):
         return normalize_crosscoder_decoder(params)
+
+    def _use_indexed_epoch(self) -> bool:
+        if not self._indexed_env_ok():
+            return False
+        from ..ops import pallas_sae
+
+        b = self.config.batch_size
+        ld = self.model.n_layers * self.model.d_model
+        return pallas_sae.fused_coder_supported((b, ld), ld, self.model.d_sae)
+
+    def _indexed_prepare(self, sel):
+        # [N, L, D] -> the kernels' flattened [N, L*D] view (row-major
+        # contiguous: a free reshape, no copy)
+        n, l, d = sel.shape
+        return sel.reshape(n, l * d)
+
+    def _indexed_loss_fn(self):
+        from ..models.crosscoder import decoder_norms
+        from ..ops import pallas_sae
+
+        k = self.model._k  # None selects the ReLU + weighted-L1 variant
+        sw = float(self.model.sparsity_weight)
+        b = self.config.batch_size
+        l, d, s = self.model.n_layers, self.model.d_model, self.model.d_sae
+        block_rows = pallas_sae.pick_block_rows(b, s, l * d)
+
+        def loss_fn(p, sel, step):
+            we = p["w_enc"].reshape(l * d, s)
+            wd = p["w_dec"].reshape(s, l * d)
+            bd = p["b_dec"].reshape(l * d)
+            if k is not None:
+                flat_loss, l0, active = pallas_sae.fused_transcoder_loss_indexed(
+                    sel, sel, step, we, p["b_enc"], wd, bd,
+                    jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+                    k, block_rows, b, False,
+                )
+                recon_loss = l * flat_loss  # sum of per-layer means
+                return recon_loss, {
+                    "reconstruction_loss": recon_loss,
+                    "sparsity_loss": jnp.zeros((), jnp.float32),
+                    "l0": l0, "active": active,
+                }
+            loss, recon, sparsity, l0, active = (
+                pallas_sae.fused_relu_crosscoder_loss_indexed(
+                    sel, step, we, p["b_enc"], wd, bd, decoder_norms(p),
+                    sw, l, block_rows, b,
+                )
+            )
+            return loss, {
+                "reconstruction_loss": recon, "sparsity_loss": sparsity,
+                "l0": l0, "active": active,
+            }
+
+        return loss_fn

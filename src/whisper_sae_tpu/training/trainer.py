@@ -567,66 +567,116 @@ class SAETrainer:
 
         return jax.jit(epoch, donate_argnums=(0, 1, 2))
 
-    def _use_indexed_epoch(self) -> bool:
-        """Scalar-prefetch indexed epoch: single-device TopK-SAE AMP at
-        fused-kernel geometry.  The scan body passes its step index into
-        the kernel, which reads its batch window straight from the epoch
-        buffer (ops/pallas_sae.py:fused_sae_loss_indexed) — no per-step
-        dynamic-slice materialization between the scan xs and the opaque
-        pallas_call.  ``WST_INDEXED_EPOCH=0`` forces the slicing scan
-        (the A/B lever)."""
+    def _indexed_env_ok(self) -> bool:
+        """Common preconditions for the scalar-prefetch indexed epoch:
+        single device, bf16 AMP, not force-disabled.
+        ``WST_INDEXED_EPOCH=0`` restores the slicing scan (the A/B
+        lever); ``WST_DISABLE_FUSED_CODER`` disables it too via the
+        kernel-supported gates in the per-family checks."""
         if os.environ.get("WST_INDEXED_EPOCH", "1") == "0":
             return False
-        if self.mesh is not None or not isinstance(self.model, TopKSAE):
+        return self.mesh is None and self.compute_dtype == jnp.bfloat16
+
+    def _use_indexed_epoch(self) -> bool:
+        """Scalar-prefetch indexed epoch: the scan body passes its step
+        index into the kernel, which reads its batch window straight from
+        the epoch buffer (ops/pallas_sae.py:fused_sae_loss_indexed) — no
+        per-step dynamic-slice materialization between the scan xs and
+        the opaque pallas_call.  Subclasses override with their family's
+        kernel-geometry gate."""
+        if not self._indexed_env_ok():
             return False
-        if isinstance(self.model, ReLUSAE) or self.compute_dtype != jnp.bfloat16:
-            return False
-        if type(self)._loss_fn is not SAETrainer._loss_fn:
-            return False  # coder trainers use their own loss/batch layout
         from ..ops import pallas_sae
 
         b = self.config.batch_size
-        return pallas_sae.fused_loss_supported(
-            (b, self.model.input_dim), self.model.hidden_dim
-        )
+        if isinstance(self.model, TopKSAE):
+            return pallas_sae.fused_loss_supported(
+                (b, self.model.input_dim), self.model.hidden_dim
+            )
+        if isinstance(self.model, ReLUSAE):
+            return pallas_sae.fused_coder_supported(
+                (b, self.model.input_dim), self.model.input_dim,
+                self.model.hidden_dim,
+            )
+        return False
 
-    def _build_epoch_indexed_fn(self):
-        """Fused epoch whose scan body reads its batch window DIRECTLY
-        from the gathered epoch buffer via a scalar-prefetch Pallas index
-        — the [B, D] slice+copy the flat path pays per step (the measured
-        isolated-step 6.75 M vs epoch 6.40 M act/s gap, docs/DESIGN.md)
-        never materializes.  Same signature as the flat epoch fn."""
+    def _indexed_prepare(self, sel):
+        """Hook: reshape the gathered epoch buffer(s) into the kernel's
+        layout (identity here; the crosscoder flattens [N, L, D])."""
+        return sel
+
+    def _indexed_loss_fn(self):
+        """(params, sel, step) -> (loss, aux) through the family's indexed
+        kernel, with the same aux keys as ``_loss_fn``."""
         from ..ops import pallas_sae
 
-        opt = self._optimizer
-        renorm = self._should_renorm()
-        renorm_fn = self._renorm_params
-        threshold = getattr(self.model, "dead_feature_threshold", 10_000)
-        k = self.model.k
         b = self.config.batch_size
         block_rows = pallas_sae.pick_block_rows(
             b, self.model.hidden_dim, self.model.input_dim
         )
+        if isinstance(self.model, ReLUSAE):
+            sw = float(self.model.sparsity_weight)
+
+            def relu_fn(p, sel, step):
+                loss, recon, sparsity, l0, active = (
+                    pallas_sae.fused_relu_sae_loss_indexed(
+                        sel, step, p["w_enc"], p["b_enc"], p["w_dec"],
+                        p["b_dec"], sw, block_rows, b,
+                    )
+                )
+                return loss, {
+                    "reconstruction_loss": recon, "sparsity_loss": sparsity,
+                    "l0": l0, "active": active,
+                }
+
+            return relu_fn
+        k = self.model.k
+
+        def topk_fn(p, sel, step):
+            loss, l0, active = pallas_sae.fused_sae_loss_indexed(
+                sel, step, p["w_enc"], p["b_enc"], p["b_pre"],
+                p["w_dec"], p["b_dec"], k, block_rows, b,
+            )
+            return loss, {
+                "reconstruction_loss": loss,
+                "sparsity_loss": jnp.zeros((), jnp.float32),
+                "l0": l0, "active": active,
+            }
+
+        return topk_fn
+
+    def _build_epoch_indexed_fn(self):
+        """Fused epoch whose scan body reads its batch window DIRECTLY
+        from the gathered epoch buffer via a scalar-prefetch Pallas index
+        — the [B, ...] slice+copy the flat path pays per step (the
+        measured isolated-step 6.75 M vs epoch 6.40 M act/s gap,
+        docs/DESIGN.md) never materializes.  Same signature as the flat
+        epoch fn; family specifics live in ``_indexed_loss_fn`` /
+        ``_indexed_prepare``."""
+        opt = self._optimizer
+        renorm = self._should_renorm()
+        renorm_fn = self._renorm_params
+        threshold = getattr(self.model, "dead_feature_threshold", 10_000)
+        b = self.config.batch_size
+        indexed_loss = self._indexed_loss_fn()
+        prepare = self._indexed_prepare
 
         def epoch(params, opt_state, dstate, data, perm):
-            steps = data.shape[0] // b
-            sel = data if perm is None else jnp.take(
-                data, perm[: steps * b], axis=0
-            )
-            sel = jax.lax.stop_gradient(sel[: steps * b])
+            n = jax.tree_util.tree_leaves(data)[0].shape[0]
+            steps = n // b
+
+            def gather_trim(a):
+                sel = a if perm is None else jnp.take(
+                    a, perm[: steps * b], axis=0
+                )
+                return jax.lax.stop_gradient(sel[: steps * b])
+
+            sel = prepare(jax.tree_util.tree_map(gather_trim, data))
 
             def body(carry, step):
                 params, opt_state, dstate = carry
-
-                def loss_fn(p):
-                    loss, l0, active = pallas_sae.fused_sae_loss_indexed(
-                        sel, step, p["w_enc"], p["b_enc"], p["b_pre"],
-                        p["w_dec"], p["b_dec"], k, block_rows, b,
-                    )
-                    return loss, {"l0": l0, "active": active}
-
                 (loss, aux), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
+                    lambda p: indexed_loss(p, sel, step), has_aux=True
                 )(params)
                 updates, opt_state = opt.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
@@ -635,8 +685,8 @@ class SAETrainer:
                 dstate = update_dead_state(dstate, aux["active"])
                 metrics = {
                     "loss": loss,
-                    "reconstruction_loss": loss,
-                    "sparsity_loss": jnp.zeros((), jnp.float32),
+                    "reconstruction_loss": aux["reconstruction_loss"],
+                    "sparsity_loss": aux["sparsity_loss"],
                     "l0": aux["l0"],
                     "dead_feature_ratio": jnp.mean(
                         dead_feature_mask(dstate, threshold).astype(jnp.float32)

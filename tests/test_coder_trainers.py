@@ -71,6 +71,43 @@ class TestTranscoderTrainer:
         for a, b in zip(ms1, ms2):
             assert a.loss == pytest.approx(b.loss, rel=1e-5)
 
+    @pytest.mark.parametrize("use_skip", [False, True])
+    def test_indexed_epoch_matches_flat(self, tmp_path, xy, monkeypatch, use_skip):
+        """The scalar-prefetch indexed transcoder epoch must be
+        bit-identical to the flat epoch through the same fused kernel
+        (CPU: interpret mode with the geometry gate forced open)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from whisper_sae_tpu.ops import pallas_sae
+
+        monkeypatch.setattr(
+            pallas_sae, "fused_coder_supported", lambda *a, **k: True
+        )
+        x, y = xy
+        perm = np.random.default_rng(5).permutation(len(x))
+        cls = SkipTranscoder if use_skip else TopKTranscoder
+
+        def run(indexed):
+            monkeypatch.setenv("WST_INDEXED_EPOCH", "1" if indexed else "0")
+            t = TranscoderTrainer(
+                cls(DIN, DOUT, H, k=K, seed=0), cfg(use_amp=True),
+                run_dir=tmp_path,
+            )
+            assert t._use_indexed_epoch() == indexed
+            with pltpu.force_tpu_interpret_mode():
+                ms = t.train_epoch_fused((x, y), perm=perm)
+            return ms, t.model.params
+
+        m_i, p_i = run(True)
+        m_f, p_f = run(False)
+        assert len(m_i) == len(m_f) == 8
+        for a, b in zip(m_i, m_f):
+            assert a.loss == b.loss and a.l0 == b.l0
+        for key in p_f:
+            np.testing.assert_array_equal(
+                np.asarray(p_i[key]), np.asarray(p_f[key]), err_msg=key
+            )
+
     def test_resampling(self, tmp_path, xy):
         x, y = xy
         model = TopKTranscoder(DIN, DOUT, H, k=K, dead_feature_threshold=1, seed=0)
@@ -131,3 +168,48 @@ class TestCrosscoderTrainer:
         assert len(ms) == 8
         assert np.isfinite(ms[-1].loss)
         assert ms[0].l0 == pytest.approx(4, abs=1e-4)
+
+    @pytest.mark.parametrize("variant", ["topk", "relu"])
+    def test_indexed_epoch_matches_flat(self, tmp_path, data, monkeypatch, variant):
+        """Indexed crosscoder epochs (flattened [N, L*D] buffer read by
+        the kernel via scalar prefetch) bit-identical to the flat epoch,
+        for both the TopK and ReLU (decoder-norm-weighted L1) variants."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from whisper_sae_tpu.models.crosscoder import CrossLayerCrosscoder
+        from whisper_sae_tpu.ops import pallas_sae
+
+        monkeypatch.setattr(
+            pallas_sae, "fused_coder_supported", lambda *a, **k: True
+        )
+        perm = np.random.default_rng(7).permutation(len(data))
+
+        def make_model():
+            if variant == "topk":
+                return TopKCrossLayerCrosscoder(
+                    d_model=self.D, n_layers=self.L, d_sae=self.S, k=4, seed=0
+                )
+            return CrossLayerCrosscoder(
+                d_model=self.D, n_layers=self.L, d_sae=self.S, seed=0
+            )
+
+        def run(indexed):
+            monkeypatch.setenv("WST_INDEXED_EPOCH", "1" if indexed else "0")
+            t = CrosscoderTrainer(
+                make_model(), cfg(use_amp=True), run_dir=tmp_path
+            )
+            assert t._use_indexed_epoch() == indexed
+            with pltpu.force_tpu_interpret_mode():
+                ms = t.train_epoch_fused(data, perm=perm)
+            return ms, t.model.params
+
+        m_i, p_i = run(True)
+        m_f, p_f = run(False)
+        assert len(m_i) == len(m_f) == 8
+        for a, b in zip(m_i, m_f):
+            assert a.loss == b.loss and a.l0 == b.l0
+            assert a.sparsity_loss == b.sparsity_loss
+        for key in p_f:
+            np.testing.assert_array_equal(
+                np.asarray(p_i[key]), np.asarray(p_f[key]), err_msg=key
+            )

@@ -115,6 +115,77 @@ class TestIndexedFusedLoss:
                     err_msg=f"step {step}: {key}",
                 )
 
+    @pytest.mark.parametrize("family", ["transcoder", "skip", "relu", "relu_cc", "topk_cc"])
+    def test_coder_indexed_matches_sliced(self, data, monkeypatch, family):
+        """Each coder family's indexed wrapper must match its sliced
+        wrapper bit-for-bit (loss + every parameter gradient) per window."""
+        monkeypatch.setenv("WST_SAE_XC", "1")  # sliced path persists xc too
+        x, y = data
+        p = _params(3, with_skip=(family == "skip"))
+        zero = jnp.zeros((), jnp.float32)
+        xbuf = jnp.concatenate([x, y])
+        ybuf = jnp.concatenate([y, x])
+
+        def loss_idx(p, step):
+            with pltpu.force_tpu_interpret_mode():
+                if family in ("transcoder", "skip"):
+                    return ps.fused_transcoder_loss_indexed(
+                        xbuf, ybuf, step, p["w_enc"], p["b_enc"], p["w_dec"],
+                        p["b_dec"], p.get("w_skip", zero), p.get("b_skip", zero),
+                        K, BLOCK, B, family == "skip",
+                    )[0]
+                if family == "topk_cc":
+                    return ps.fused_transcoder_loss_indexed(
+                        xbuf, xbuf, step, p["w_enc"], p["b_enc"], p["w_dec"],
+                        p["b_dec"], zero, zero, K, BLOCK, B, False,
+                    )[0]
+                if family == "relu":
+                    return ps.fused_relu_sae_loss_indexed(
+                        xbuf, step, p["w_enc"], p["b_enc"], p["w_dec"],
+                        p["b_dec"], 0.01, BLOCK, B,
+                    )[0]
+                norms = jnp.sqrt(jnp.sum(jnp.square(p["w_dec"]), axis=1))
+                return ps.fused_relu_crosscoder_loss_indexed(
+                    xbuf, step, p["w_enc"], p["b_enc"], p["w_dec"], p["b_dec"],
+                    norms, 0.01, 4, BLOCK, B,
+                )[0]
+
+        def loss_slice(p, rows, targets):
+            with pltpu.force_tpu_interpret_mode():
+                if family in ("transcoder", "skip"):
+                    return ps.fused_transcoder_loss(
+                        rows, targets, p["w_enc"], p["b_enc"], p["w_dec"],
+                        p["b_dec"], p.get("w_skip", zero), p.get("b_skip", zero),
+                        K, BLOCK, family == "skip",
+                    )[0]
+                if family == "topk_cc":
+                    return ps.fused_transcoder_loss(
+                        rows, rows, p["w_enc"], p["b_enc"], p["w_dec"],
+                        p["b_dec"], zero, zero, K, BLOCK, False,
+                    )[0]
+                if family == "relu":
+                    return ps.fused_relu_sae_loss(
+                        rows, p["w_enc"], p["b_enc"], p["w_dec"], p["b_dec"],
+                        0.01, BLOCK,
+                    )[0]
+                norms = jnp.sqrt(jnp.sum(jnp.square(p["w_dec"]), axis=1))
+                return ps.fused_relu_crosscoder_loss(
+                    rows, p["w_enc"], p["b_enc"], p["w_dec"], p["b_dec"],
+                    norms, 0.01, 4, BLOCK,
+                )[0]
+
+        for step in range(2):
+            rows = (x, y)[step]
+            targets = (y, x)[step]
+            l_i, g_i = jax.value_and_grad(loss_idx)(p, jnp.int32(step))
+            l_s, g_s = jax.value_and_grad(loss_slice)(p, rows, targets)
+            assert float(l_i) == float(l_s), (family, step)
+            for key in g_s:
+                np.testing.assert_array_equal(
+                    np.asarray(g_i[key]), np.asarray(g_s[key]),
+                    err_msg=f"{family} step {step}: {key}",
+                )
+
     def test_scan_over_steps_matches_per_window_calls(self, data):
         x, y = data
         buf = jnp.concatenate([x, y])
