@@ -36,7 +36,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 D, H, K = 384, 3072, 32  # whisper-tiny SAE geometry
 
 
-def bench_tpu(batch: int, steps: int, warmup_steps: int = 8) -> float:
+def bench_tpu(batch: int, steps: int, warmup_steps: int = 8,
+              data_dtype: str = "f32") -> float:
+    """``data_dtype="bf16"`` stages the epoch stack in bfloat16 — the
+    shape of a production ``--cache-dtype bfloat16`` run (extraction's
+    bf16 fast mode stores the cache at half width); the headline metric
+    stays on the f32 stack for round-over-round comparability."""
     import jax
     import jax.numpy as jnp
 
@@ -54,6 +59,8 @@ def bench_tpu(batch: int, steps: int, warmup_steps: int = 8) -> float:
 
     key = jax.random.PRNGKey(0)
     data = jax.random.normal(key, (steps * batch, D), jnp.float32)
+    if data_dtype == "bf16":
+        data = data.astype(jnp.bfloat16)
 
     # compile + warm up on the SAME scan shape (a different step count
     # would recompile inside the timed region)
@@ -335,6 +342,13 @@ def main() -> None:
     }
     if baseline:
         result["baseline_torch_same_host"] = round(baseline, 1)
+    try:
+        # the production-cache configuration: bf16-staged epoch stack
+        # (--cache-dtype bfloat16 / bf16 fast extraction)
+        bf16_value, _ = bench_tpu(args.batch, args.steps, data_dtype="bf16")
+        result["bf16_stack_act_per_sec"] = round(bf16_value, 1)
+    except Exception as e:  # pragma: no cover
+        print(f"bf16-stack bench failed: {e}", file=sys.stderr)
     if not args.skip_large:
         try:
             result["large_geometry_act_per_sec"] = round(bench_tpu_large(), 1)

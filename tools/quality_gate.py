@@ -12,12 +12,15 @@ on the same data from the same initial parameters.
 
 Families (--family):
   sae         reference TopKSAE + its own SAETrainer (training.py:161-217)
+  relu-sae    reference ReLUSAE (model.py:260-322) + its own SAETrainer
   transcoder  reference TopKTranscoder (transcoder.py:139-175) under the
               same training contract our trainer applies (AdamW +
               global-norm clip + post-step decoder renorm) — the
               reference ships no trainer for it
   crosscoder  reference TopKCrossLayerCrosscoder (crosscoder.py:287-379),
               same contract
+  relu-crosscoder  reference CrossLayerCrosscoder (crosscoder.py:38-284,
+              decoder-norm-weighted L1), same contract
 
 Both sides start from IDENTICAL parameters and consume IDENTICAL
 per-epoch batch orders (the ``np.random.default_rng(0)`` permutation
@@ -100,7 +103,7 @@ def extract_tokens(family: str, tokens: int, n_layers: int):
             params, mels, arch, with_decoder=False,
             with_mlp=family == "transcoder",
         )
-        if family == "sae":
+        if family in ("sae", "relu-sae"):
             # encoder layer 0 (tiny_test.yaml: encoder_layers: [0])
             chunks.append(np.asarray(acts["encoder"][0]).reshape(-1, arch.d_model))
         elif family == "transcoder":
@@ -165,13 +168,53 @@ def run_reference(family: str, data, args):
     import torch
 
     torch.manual_seed(0)
+    if family == "relu-sae":
+        # the reference's own trainer can't run its ReLUSAE (train_step
+        # calls get_dead_feature_ratio, which only TopKSAE defines —
+        # training.py:212 vs model.py:192), so the ReLU oracle goes
+        # through the shared contract loop like the coder families
+        from whisper_sae.sae.model import ReLUSAE as RefReLUSAE
+
+        d = data.shape[1]
+        ref_model = RefReLUSAE(input_dim=d, hidden_dim=d * args.expansion)
+        init_sd = {k: v.detach().clone() for k, v in ref_model.state_dict().items()}
+        params_t = list(ref_model.parameters())
+        rng = np.random.default_rng(0)
+
+        def relu_batches(ep, m):
+            perm = rng.permutation(len(data))
+            for s in range(0, len(data), args.batch_size):
+                yield m(torch.from_numpy(data[perm[s : s + args.batch_size]])).loss
+
+        _torch_contract_loop(
+            ref_model, params_t, relu_batches, args.epochs, args.lr,
+            ref_model.normalize_decoder_weights,
+            total_steps=args.epochs * -(-len(data) // args.batch_size),
+            warmup_steps=args.warmup_steps,
+        )
+        ref_model.eval()
+        with torch.no_grad():
+            mses, l0s = [], []
+            for s in range(0, len(data), EVAL_CHUNK):
+                out = ref_model(torch.from_numpy(data[s : s + EVAL_CHUNK]))
+                rows = min(s + EVAL_CHUNK, len(data)) - s
+                mses.append(float(out.reconstruction_loss) * rows)
+                l0s.append(float(out.l0) * rows)
+        return init_sd, {"mse": sum(mses) / len(data), "l0": sum(l0s) / len(data)}
+
     if family == "sae":
         from whisper_sae.config import TrainingConfig as RefTrainingConfig
         from whisper_sae.sae.model import TopKSAE as RefTopKSAE
         from whisper_sae.sae.training import SAETrainer as RefSAETrainer
 
         d = data.shape[1]
-        ref_model = RefTopKSAE(input_dim=d, hidden_dim=d * args.expansion, k=args.k)
+
+        def make_ref_model():
+            return RefTopKSAE(
+                input_dim=d, hidden_dim=d * args.expansion, k=args.k
+            )
+
+        ref_model = make_ref_model()
         init_sd = {k: v.detach().clone() for k, v in ref_model.state_dict().items()}
         ref_cfg = RefTrainingConfig(
             batch_size=args.batch_size, learning_rate=args.lr, epochs=args.epochs,
@@ -204,9 +247,7 @@ def run_reference(family: str, data, args):
             if seed == 0:
                 model = ref_model
             else:
-                model = RefTopKSAE(
-                    input_dim=d, hidden_dim=d * args.expansion, k=args.k
-                )
+                model = make_ref_model()
                 model.load_state_dict(init_sd)
             with tempfile.TemporaryDirectory() as td:
                 trainer = RefSAETrainer(model, ref_cfg, device="cpu", run_dir=Path(td))
@@ -276,13 +317,21 @@ def run_reference(family: str, data, args):
                 l0s.append(float(out.l0) * n)
         return init_sd, {"mse": sum(mses) / len(x), "l0": sum(l0s) / len(x)}
 
-    # crosscoder
-    from whisper_sae.sae.crosscoder import TopKCrossLayerCrosscoder as RefCrosscoder
+    # crosscoder families
+    from whisper_sae.sae.crosscoder import (
+        CrossLayerCrosscoder as RefReLUCrosscoder,
+        TopKCrossLayerCrosscoder as RefCrosscoder,
+    )
 
     n, n_layers, d = data.shape
-    ref_model = RefCrosscoder(
-        d_model=d, n_layers=n_layers, d_sae=d * args.expansion, k=args.k
-    )
+    if family == "crosscoder":
+        ref_model = RefCrosscoder(
+            d_model=d, n_layers=n_layers, d_sae=d * args.expansion, k=args.k
+        )
+    else:
+        ref_model = RefReLUCrosscoder(
+            d_model=d, n_layers=n_layers, d_sae=d * args.expansion
+        )
     init_sd = {k: v.detach().clone() for k, v in ref_model.state_dict().items()}
     params_t = list(ref_model.parameters())
     rng = np.random.default_rng(0)
@@ -356,15 +405,19 @@ def run_ours(family: str, data, init_sd, args, mode: str):
         warmup_steps=args.warmup_steps, use_amp=use_amp,
     )
 
-    if family == "sae":
-        from whisper_sae_tpu.models.sae import TopKSAE
+    if family in ("sae", "relu-sae"):
+        from whisper_sae_tpu.models.sae import ReLUSAE, TopKSAE
         from whisper_sae_tpu.training.trainer import SAETrainer
 
         d = data.shape[1]
         jparams = import_torch_state_dict(init_sd)
-        jparams["b_pre"] = jnp.zeros((d,), jnp.float32)
-        model = TopKSAE(input_dim=d, hidden_dim=d * args.expansion, k=args.k,
-                        params=jparams)
+        if family == "sae":
+            jparams["b_pre"] = jnp.zeros((d,), jnp.float32)
+            model = TopKSAE(input_dim=d, hidden_dim=d * args.expansion,
+                            k=args.k, params=jparams)
+        else:  # reference ReLUSAE has no pre-encoder bias
+            model = ReLUSAE(input_dim=d, hidden_dim=d * args.expansion,
+                            params=jparams)
         with tempfile.TemporaryDirectory() as td:
             trainer = SAETrainer(model, cfg, run_dir=Path(td))
             _train_same_order(trainer, data, len(data), args)
@@ -404,8 +457,11 @@ def run_ours(family: str, data, init_sd, args, mode: str):
             l0s.append(float(out.l0) * rows)
         return {"mse": sum(mses) / len(x), "l0": sum(l0s) / len(x)}
 
-    # crosscoder (reference parameter names: W_enc/b_enc/W_dec/b_dec)
-    from whisper_sae_tpu.models.crosscoder import TopKCrossLayerCrosscoder
+    # crosscoder families (reference parameter names: W_enc/b_enc/W_dec/b_dec)
+    from whisper_sae_tpu.models.crosscoder import (
+        CrossLayerCrosscoder,
+        TopKCrossLayerCrosscoder,
+    )
     from whisper_sae_tpu.training.coder_trainers import CrosscoderTrainer
 
     n, n_layers, d = data.shape
@@ -415,9 +471,15 @@ def run_ours(family: str, data, init_sd, args, mode: str):
         "w_dec": jnp.array(np.asarray(init_sd["W_dec"])),
         "b_dec": jnp.array(np.asarray(init_sd["b_dec"])),
     }
-    model = TopKCrossLayerCrosscoder(
-        d_model=d, n_layers=n_layers, d_sae=d * args.expansion, k=args.k, params=init
-    )
+    if family == "crosscoder":
+        model = TopKCrossLayerCrosscoder(
+            d_model=d, n_layers=n_layers, d_sae=d * args.expansion, k=args.k,
+            params=init,
+        )
+    else:
+        model = CrossLayerCrosscoder(
+            d_model=d, n_layers=n_layers, d_sae=d * args.expansion, params=init
+        )
     with tempfile.TemporaryDirectory() as td:
         trainer = CrosscoderTrainer(model, cfg, run_dir=Path(td))
         _train_same_order(trainer, data, n, args)
@@ -433,8 +495,12 @@ def run_ours(family: str, data, init_sd, args, mode: str):
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--family", choices=["sae", "transcoder", "crosscoder"],
-                        default="sae")
+    parser.add_argument(
+        "--family",
+        choices=["sae", "relu-sae", "transcoder", "crosscoder",
+                 "relu-crosscoder"],
+        default="sae",
+    )
     parser.add_argument("--modes", default="f32,amp",
                         help="comma list of f32|amp|amp-nofused")
     # defaults = reference configs/tiny_test.yaml (500 clips x 1500 tokens)
@@ -474,7 +540,8 @@ def main() -> None:
             "tokens": n_tok, "epochs": args.epochs, "batch_size": args.batch_size,
             "k": args.k, "expansion": args.expansion, "lr": args.lr,
             "warmup_steps": args.warmup_steps,
-            **({"n_layers": args.n_layers} if args.family == "crosscoder" else {}),
+            **({"n_layers": args.n_layers}
+               if args.family.endswith("crosscoder") else {}),
             "note": "reference configs/tiny_test.yaml scale; oracle = f32 torch "
                     "reference implementation imported from /root/reference; "
                     "identical init AND batch order (np rng 0) on both sides",
@@ -487,10 +554,14 @@ def main() -> None:
         ours = run_ours(args.family, data, init_sd, args, mode)
         ratio = ours["mse"] / ref["mse"] if ref["mse"] > 0 else float("inf")
         # same init + same batch order: f32 differs only by associativity
-        # (tight band); AMP modes additionally carry bf16 numerics
+        # (tight band); AMP modes additionally carry bf16 numerics.  TopK
+        # families have exact L0; the ReLU families' L0 is data-dependent,
+        # so it gets a relative band
         band = 0.02 if mode == "f32" else 0.05
+        l0_tol = max(0.5, 0.02 * abs(ref["l0"])) if "relu" in args.family else 0.5
         passed = bool(
-            1 - band <= ratio <= 1 + band and abs(ours["l0"] - ref["l0"]) < 0.5
+            1 - band <= ratio <= 1 + band
+            and abs(ours["l0"] - ref["l0"]) < l0_tol
         )
         ok = ok and passed
         result["modes"][mode] = {
