@@ -77,7 +77,7 @@ def bench_tpu(batch: int, steps: int, warmup_steps: int = 8,
         jax.block_until_ready(trainer.model.params["w_enc"])
         dt = time.perf_counter() - t0
         best = max(best, epochs * steps * batch / dt)
-    return best, ("indexed" if trainer._use_indexed_epoch() else "flat")
+    return best, ("indexed" if trainer._use_indexed_epoch(data) else "flat")
 
 
 def bench_tpu_large(batch: int = 8192, steps: int = 6) -> float:

@@ -69,8 +69,8 @@ class TranscoderTrainer(SAETrainer):
             return (arr[0], arr[1])
         raise ValueError("transcoder batches must be (mlp_input, mlp_output)")
 
-    def _use_indexed_epoch(self) -> bool:
-        if not self._indexed_env_ok():
+    def _use_indexed_epoch(self, data=None) -> bool:
+        if not self._indexed_env_ok(data):
             return False
         from ..ops import pallas_sae
 
@@ -165,8 +165,8 @@ class CrosscoderTrainer(SAETrainer):
     def _renorm_params(self, params):
         return normalize_crosscoder_decoder(params)
 
-    def _use_indexed_epoch(self) -> bool:
-        if not self._indexed_env_ok():
+    def _use_indexed_epoch(self, data=None) -> bool:
+        if not self._indexed_env_ok(data):
             return False
         from ..ops import pallas_sae
 

@@ -567,24 +567,39 @@ class SAETrainer:
 
         return jax.jit(epoch, donate_argnums=(0, 1, 2))
 
-    def _indexed_env_ok(self) -> bool:
+    def _indexed_env_ok(self, data=None) -> bool:
         """Common preconditions for the scalar-prefetch indexed epoch:
         single device, bf16 AMP, not force-disabled.
-        ``WST_INDEXED_EPOCH=0`` restores the slicing scan (the A/B
-        lever); ``WST_DISABLE_FUSED_CODER`` disables it too via the
-        kernel-supported gates in the per-family checks."""
-        if os.environ.get("WST_INDEXED_EPOCH", "1") == "0":
-            return False
-        return self.mesh is None and self.compute_dtype == jnp.bfloat16
 
-    def _use_indexed_epoch(self) -> bool:
+        ``WST_INDEXED_EPOCH``: ``0`` forces the slicing scan, ``1``
+        forces indexed (the A/B levers); unset/auto engages indexed only
+        for bf16-staged epoch buffers — the measured-win configuration
+        (the indexed read trades the per-step slice copy for the xc
+        residual write: a wash on f32 stacks, a win on bf16 stacks,
+        epoch_ab_idx.log).  ``WST_DISABLE_FUSED_CODER`` disables it too
+        via the kernel-supported gates in the per-family checks."""
+        env = os.environ.get("WST_INDEXED_EPOCH", "auto")
+        if env == "0":
+            return False
+        if self.mesh is not None or self.compute_dtype != jnp.bfloat16:
+            return False
+        if env == "1":
+            return True
+        if data is None:
+            return False
+        leaves = jax.tree_util.tree_leaves(data)
+        return bool(leaves) and all(
+            leaf.dtype == jnp.bfloat16 for leaf in leaves
+        )
+
+    def _use_indexed_epoch(self, data=None) -> bool:
         """Scalar-prefetch indexed epoch: the scan body passes its step
         index into the kernel, which reads its batch window straight from
         the epoch buffer (ops/pallas_sae.py:fused_sae_loss_indexed) — no
         per-step dynamic-slice materialization between the scan xs and
         the opaque pallas_call.  Subclasses override with their family's
         kernel-geometry gate."""
-        if not self._indexed_env_ok():
+        if not self._indexed_env_ok(data):
             return False
         from ..ops import pallas_sae
 
@@ -703,16 +718,29 @@ class SAETrainer:
 
         return jax.jit(epoch, donate_argnums=(0, 1, 2))
 
-    def _ensure_epoch_fn(self):
+    def _ensure_epoch_fn(self, data=None):
         """Pick the fused-epoch program for the environment: single-device
-        scan, GSPMD-partitioned scan (dp mesh), or the explicit shard_map
-        dp x tp epoch — each is ONE dispatch per epoch, which is what makes
-        multi-chip training survive the per-dispatch tunnel latency."""
+        scan (slicing or scalar-prefetch indexed, see
+        ``_use_indexed_epoch``), GSPMD-partitioned scan (dp mesh), or the
+        explicit shard_map dp x tp epoch — each is ONE dispatch per epoch,
+        which is what makes multi-chip training survive the per-dispatch
+        tunnel latency.  Built programs are cached per kind (the indexed
+        choice can differ per data dtype)."""
+        if self._is_tp():
+            kind = "tp"
+        elif self.mesh is not None:
+            kind = "mesh"
+        elif self._use_indexed_epoch(data):
+            kind = "indexed"
+        else:
+            kind = "flat"
         if self._epoch_fn is None:
-            if self._is_tp():
+            self._epoch_fn = {}
+        if kind not in self._epoch_fn:
+            if kind == "tp":
                 from ..parallel.tp_step import build_tp_epoch_fn
 
-                self._epoch_fn = build_tp_epoch_fn(
+                self._epoch_fn[kind] = build_tp_epoch_fn(
                     self._optimizer,
                     self._tp_family(),
                     self.compute_dtype,
@@ -724,13 +752,13 @@ class SAETrainer:
                     renorm=self._should_renorm(),
                     gradient_clip=self.config.gradient_clip,
                 )
-            elif self.mesh is not None:
-                self._epoch_fn = self._build_epoch_fn()[0]
-            elif self._use_indexed_epoch():
-                self._epoch_fn = self._build_epoch_indexed_fn()
+            elif kind == "mesh":
+                self._epoch_fn[kind] = self._build_epoch_fn()[0]
+            elif kind == "indexed":
+                self._epoch_fn[kind] = self._build_epoch_indexed_fn()
             else:
-                self._epoch_fn = self._build_epoch_flat_fn()
-        return self._epoch_fn
+                self._epoch_fn[kind] = self._build_epoch_flat_fn()
+        return self._epoch_fn[kind]
 
     def _stage_batches(self, batches):
         """Place pre-shuffled [S, B, ...] batch stacks on the mesh, sharded
@@ -798,7 +826,7 @@ class SAETrainer:
         epoch_metrics: list[TrainingMetrics] = []
 
         if steps > 0:
-            epoch_fn = self._ensure_epoch_fn()
+            epoch_fn = self._ensure_epoch_fn(data)
             start_step = self.global_step
             if self.mesh is not None:
                 batches = jax.tree_util.tree_map(
@@ -941,7 +969,7 @@ class SAETrainer:
             return out
 
         steps = n // b
-        epoch_fn = self._ensure_epoch_fn()
+        epoch_fn = self._ensure_epoch_fn(data)
         base_seed = self.config.seed if seed is None else seed
         pending: list[tuple[int, Any]] = []
         for _ in range(epochs):
