@@ -340,6 +340,25 @@ class TestFusedEpoch:
                 np.asarray(p_idx[key]), np.asarray(p_flat[key]), err_msg=key
             )
 
+    def test_indexed_auto_mode_is_bf16_only(self, tmp_path, data, monkeypatch):
+        """Unset WST_INDEXED_EPOCH = auto: indexed engages only for
+        bf16-staged epoch buffers (the measured-win configuration);
+        1/0 force either path."""
+        from whisper_sae_tpu.ops import pallas_sae
+
+        monkeypatch.setattr(pallas_sae, "fused_loss_supported", lambda *a: True)
+        monkeypatch.delenv("WST_INDEXED_EPOCH", raising=False)
+        t = make_trainer(tmp_path, use_amp=True)
+        f32 = jnp.asarray(data)
+        bf16 = f32.astype(jnp.bfloat16)
+        assert not t._use_indexed_epoch(f32)
+        assert t._use_indexed_epoch(bf16)
+        assert not t._use_indexed_epoch()  # no data in sight: slicing scan
+        monkeypatch.setenv("WST_INDEXED_EPOCH", "1")
+        assert t._use_indexed_epoch(f32)
+        monkeypatch.setenv("WST_INDEXED_EPOCH", "0")
+        assert not t._use_indexed_epoch(bf16)
+
     def test_explicit_perm_overrides_shuffle(self, tmp_path, rng):
         """train_epoch_fused(perm=...) must visit the batches of data[perm]
         in order, including the remainder tail — the quality gate replays
