@@ -37,7 +37,7 @@ D, H, K = 384, 3072, 32  # whisper-tiny SAE geometry
 
 
 def bench_tpu(batch: int, steps: int, warmup_steps: int = 8,
-              data_dtype: str = "f32") -> float:
+              data_dtype: str = "f32") -> tuple[float, str]:
     """``data_dtype="bf16"`` stages the epoch stack in bfloat16 — the
     shape of a production ``--cache-dtype bfloat16`` run (extraction's
     bf16 fast mode stores the cache at half width); the headline metric
@@ -296,6 +296,9 @@ def main() -> None:
     parser.add_argument("--skip-large", action="store_true")
     parser.add_argument("--extraction", action="store_true",
                         help="Benchmark activation extraction only")
+    parser.add_argument("--skip-bf16", action="store_true",
+                        help="Skip the bf16-staged-stack bench (saves a "
+                             "second warmup/compile cycle)")
     parser.add_argument("--skip-coders", action="store_true",
                         help="Skip the ReLU-SAE / transcoder / crosscoder "
                              "fused-epoch benches (saves compile time)")
@@ -342,13 +345,14 @@ def main() -> None:
     }
     if baseline:
         result["baseline_torch_same_host"] = round(baseline, 1)
-    try:
-        # the production-cache configuration: bf16-staged epoch stack
-        # (--cache-dtype bfloat16 / bf16 fast extraction)
-        bf16_value, _ = bench_tpu(args.batch, args.steps, data_dtype="bf16")
-        result["bf16_stack_act_per_sec"] = round(bf16_value, 1)
-    except Exception as e:  # pragma: no cover
-        print(f"bf16-stack bench failed: {e}", file=sys.stderr)
+    if not args.skip_bf16:
+        try:
+            # the production-cache configuration: bf16-staged epoch stack
+            # (--cache-dtype bfloat16 / bf16 fast extraction)
+            bf16_value, _ = bench_tpu(args.batch, args.steps, data_dtype="bf16")
+            result["bf16_stack_act_per_sec"] = round(bf16_value, 1)
+        except Exception as e:  # pragma: no cover
+            print(f"bf16-stack bench failed: {e}", file=sys.stderr)
     if not args.skip_large:
         try:
             result["large_geometry_act_per_sec"] = round(bench_tpu_large(), 1)

@@ -196,6 +196,7 @@ def crosscoder_loss(
                     k,
                     block_rows,
                     False,
+                    True,  # y_is_x: one DMA per row
                 )
                 recon_loss = l * flat_loss  # sum of per-layer means == L x flat
                 return recon_loss, {

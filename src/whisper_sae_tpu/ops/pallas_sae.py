@@ -530,24 +530,30 @@ fused_sae_loss_indexed.defvjp(
 
 
 def _fused_coder_kernel(*refs, k: int | None, use_skip: bool,
-                        emit_xc: bool = False):
+                        emit_xc: bool = False, y_is_x: bool = False):
     refs = list(refs)
     # ReLU mode appends an L1 ([1,1]) and a per-feature hidden-sum ([1,H])
     # accumulator — the latter is what lets decoder-norm-weighted L1 (the
     # ReLU crosscoder sparsity, reference crosscoder.py:204-219) and its
     # VJP be assembled outside the kernel from one extra [1,H] output.
     # emit_xc appends the bf16 rows last (see _use_xc_residual).
+    # y_is_x: autoencoding families (ReLU SAE, crosscoders' flattened
+    # view) pass no y operand — the x block is reused as the target, so
+    # each row is DMA'd once instead of twice.
     xc_ref = refs.pop() if emit_xc else None
     hsum_ref = refs.pop() if k is None else None
     l1_ref = refs.pop() if k is None else None
+    x_ref = refs.pop(0)
+    y_ref = x_ref if y_is_x else refs.pop(0)
     if use_skip:
-        (x_ref, y_ref, we_ref, benc_ref, wd_ref, bout_ref, ws_ref,
+        (we_ref, benc_ref, wd_ref, bout_ref, ws_ref,
          hid_ref, resid_ref, sq_ref, l0_ref, act_ref) = refs
     else:
-        (x_ref, y_ref, we_ref, benc_ref, wd_ref, bout_ref,
+        (we_ref, benc_ref, wd_ref, bout_ref,
          hid_ref, resid_ref, sq_ref, l0_ref, act_ref) = refs
     i = pl.program_id(0)
-    xc = x_ref[:].astype(jnp.bfloat16)
+    xv = x_ref[:]
+    xc = xv.astype(jnp.bfloat16)
     if xc_ref is not None:
         xc_ref[:] = xc  # backward's dw_enc/dw_skip operand, persisted bf16
     pre = (
@@ -582,7 +588,8 @@ def _fused_coder_kernel(*refs, k: int | None, use_skip: bool,
     )
     if use_skip:
         pred = pred + jnp.dot(xc, ws_ref[:], preferred_element_type=jnp.float32)
-    resid = pred - y_ref[:].astype(jnp.float32)  # y may arrive bf16
+    yv = xv if y_is_x else y_ref[:]
+    resid = pred - yv.astype(jnp.float32)  # y may arrive bf16
     resid_ref[:] = resid
 
     pos = (hidden > 0.0).astype(jnp.float32)
@@ -612,19 +619,26 @@ def _fused_coder_kernel(*refs, k: int | None, use_skip: bool,
 
 
 def _fused_coder_forward(x, y, we_bf, b_enc, wd_bf, b_out, ws_bf,
-                         k, block_rows, use_skip, emit_xc: bool = False):
+                         k, block_rows, use_skip, emit_xc: bool = False,
+                         y_is_x: bool | None = None):
     b, d = x.shape
     dout = y.shape[1]
     h = we_bf.shape[1]
+    if y_is_x is None:  # autoencoding families: DMA each row once, not twice
+        y_is_x = y is x
     in_specs = [
         pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_rows, dout), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        *([] if y_is_x else [
+            pl.BlockSpec((block_rows, dout), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]),
         pl.BlockSpec((d, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((h, dout), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, dout), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
-    args = [x, y, we_bf, b_enc.reshape(1, h), wd_bf, b_out.reshape(1, dout)]
+    args = [x, *([] if y_is_x else [y]), we_bf, b_enc.reshape(1, h), wd_bf,
+            b_out.reshape(1, dout)]
     if use_skip:
         in_specs.append(
             pl.BlockSpec((d, dout), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -660,7 +674,7 @@ def _fused_coder_forward(x, y, we_bf, b_enc, wd_bf, b_out, ws_bf,
         )
     return pl.pallas_call(
         functools.partial(_fused_coder_kernel, k=k, use_skip=use_skip,
-                          emit_xc=emit_xc),
+                          emit_xc=emit_xc, y_is_x=y_is_x),
         out_shape=tuple(out_shape),
         grid=(b // block_rows,),
         in_specs=in_specs,
@@ -670,7 +684,7 @@ def _fused_coder_forward(x, y, we_bf, b_enc, wd_bf, b_out, ws_bf,
             + 2 * b * h * dout             # decode matmul
             + (2 * b * d * dout if use_skip else 0)
             + (33 if k is not None else 1) * b * h,
-            bytes_accessed=b * (d + dout) * 4          # x + y reads
+            bytes_accessed=b * (d if y_is_x else d + dout) * 4  # x (+ y)
             + (d * h + h * dout + (d * dout if use_skip else 0)) * 2
             + b * h * 2 + b * dout * 4,                # latent + resid out
             transcendentals=0,
@@ -681,9 +695,9 @@ def _fused_coder_forward(x, y, we_bf, b_enc, wd_bf, b_out, ws_bf,
     )(*args)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
 def fused_transcoder_loss(x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip,
-                          k, block_rows, use_skip):
+                          k, block_rows, use_skip, y_is_x=False):
     """(loss, l0, active, resid, hidden_bf16) of a TopK/Skip transcoder in
     one fused kernel (AMP/bf16).
 
@@ -696,13 +710,14 @@ def fused_transcoder_loss(x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip,
     Gradients match the unfused AMP path (bf16 matmuls, f32 accumulation).
     """
     loss, l0, active, resid, hid, _, _, _, _ = _fused_coder_impl(
-        x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip, k, block_rows, use_skip
+        x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip, k, block_rows,
+        use_skip, y_is_x
     )
     return loss, l0, active, resid, hid
 
 
 def _fused_coder_impl(x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip,
-                      k, block_rows, use_skip):
+                      k, block_rows, use_skip, y_is_x: bool | None = None):
     we_bf = w_enc.astype(jnp.bfloat16)
     wd_bf = w_dec.astype(jnp.bfloat16)
     ws_bf = w_skip.astype(jnp.bfloat16) if use_skip else None
@@ -710,7 +725,7 @@ def _fused_coder_impl(x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip,
     emit_xc = _use_xc_residual()
     hid, resid, sq, l0s, act, *extra = _fused_coder_forward(
         x, y, we_bf, b_enc, wd_bf, b_out, ws_bf, k, block_rows, use_skip,
-        emit_xc=emit_xc,
+        emit_xc=emit_xc, y_is_x=y_is_x,
     )
     xc = extra.pop() if emit_xc else None
     b, dout = y.shape
@@ -723,11 +738,11 @@ def _fused_coder_impl(x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip,
 
 
 def _fused_coder_vjp_fwd(x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip,
-                         k, block_rows, use_skip):
+                         k, block_rows, use_skip, y_is_x=False):
     loss, l0, active, resid, hid, _, _, xc, (we_bf, wd_bf, ws_bf) = (
         _fused_coder_impl(
             x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip, k, block_rows,
-            use_skip,
+            use_skip, y_is_x,
         )
     )
     y_proto = jnp.zeros((), y.dtype)  # carries y's dtype for the dy cotangent
@@ -736,7 +751,7 @@ def _fused_coder_vjp_fwd(x, y, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip,
     )
 
 
-def _fused_coder_vjp_bwd(k, block_rows, use_skip, res, g):
+def _fused_coder_vjp_bwd(k, block_rows, use_skip, y_is_x, res, g):
     # cotangents: loss (g[0]) is the training path; resid (g[3]) and the
     # exported latent (g[4]) are honored too so analysis code
     # differentiating through aux['predicted']/aux['hidden'] matches the
@@ -798,7 +813,7 @@ def fused_relu_sae_loss(x, w_enc, b_enc, w_dec, b_dec, sparsity_weight,
     out = _fused_coder_impl(
         x, x, w_enc, b_enc, w_dec, b_dec,
         jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
-        None, block_rows, False,
+        None, block_rows, False, y_is_x=True,
     )
     recon_loss, l0, active, _, hid, l1, _, _, _ = out
     b, h = hid.shape
@@ -812,7 +827,7 @@ def _fused_relu_vjp_fwd(x, w_enc, b_enc, w_dec, b_dec, sparsity_weight,
         _fused_coder_impl(
             x, x, w_enc, b_enc, w_dec, b_dec,
             jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
-            None, block_rows, False,
+            None, block_rows, False, y_is_x=True,
         )
     )
     b, h = hid.shape
@@ -888,7 +903,7 @@ def fused_relu_crosscoder_loss(x, w_enc, b_enc, w_dec, b_dec, norms,
     out = _fused_coder_impl(
         x, x, w_enc, b_enc, w_dec, b_dec,
         jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
-        None, block_rows, False,
+        None, block_rows, False, y_is_x=True,
     )
     flat_loss, l0, active, _, hid, _, hsum, _, _ = out
     b = x.shape[0]
@@ -904,7 +919,7 @@ def _fused_relu_cc_vjp_fwd(x, w_enc, b_enc, w_dec, b_dec, norms,
     out = _fused_coder_impl(
         x, x, w_enc, b_enc, w_dec, b_dec,
         jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
-        None, block_rows, False,
+        None, block_rows, False, y_is_x=True,
     )
     flat_loss, l0, active, resid, hid, _, hsum, xc, (we_bf, wd_bf, _) = out
     b = x.shape[0]
@@ -966,18 +981,22 @@ fused_relu_crosscoder_loss.defvjp(_fused_relu_cc_vjp_fwd, _fused_relu_cc_vjp_bwd
 # ---------------------------------------------------------------------------
 
 
-def _fused_coder_kernel_indexed(step_ref, *refs, k, use_skip, emit_xc):
+def _fused_coder_kernel_indexed(step_ref, *refs, k, use_skip, emit_xc,
+                                y_is_x=False):
     del step_ref  # consumed by the BlockSpec index maps only
-    _fused_coder_kernel(*refs, k=k, use_skip=use_skip, emit_xc=emit_xc)
+    _fused_coder_kernel(*refs, k=k, use_skip=use_skip, emit_xc=emit_xc,
+                        y_is_x=y_is_x)
 
 
 def _fused_coder_forward_indexed(xbuf, ybuf, step, we_bf, b_enc, wd_bf,
                                  b_out, ws_bf, k, block_rows, batch,
-                                 use_skip):
+                                 use_skip, y_is_x: bool | None = None):
     d = xbuf.shape[1]
     dout = ybuf.shape[1]
     h = we_bf.shape[1]
     blocks = batch // block_rows
+    if y_is_x is None:  # autoencoding: DMA each row once, not twice
+        y_is_x = ybuf is xbuf
 
     def xmap(i, s):
         return (s[0] * blocks + i, 0)
@@ -990,14 +1009,17 @@ def _fused_coder_forward_indexed(xbuf, ybuf, step, we_bf, b_enc, wd_bf,
 
     in_specs = [
         pl.BlockSpec((block_rows, d), xmap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_rows, dout), xmap, memory_space=pltpu.VMEM),
+        *([] if y_is_x else [
+            pl.BlockSpec((block_rows, dout), xmap, memory_space=pltpu.VMEM),
+        ]),
         pl.BlockSpec((d, h), fixed, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, h), fixed, memory_space=pltpu.VMEM),
         pl.BlockSpec((h, dout), fixed, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, dout), fixed, memory_space=pltpu.VMEM),
     ]
     args = [
-        jnp.asarray(step, jnp.int32).reshape(1), xbuf, ybuf, we_bf,
+        jnp.asarray(step, jnp.int32).reshape(1), xbuf,
+        *([] if y_is_x else [ybuf]), we_bf,
         b_enc.reshape(1, h), wd_bf, b_out.reshape(1, dout),
     ]
     if use_skip:
@@ -1030,7 +1052,7 @@ def _fused_coder_forward_indexed(xbuf, ybuf, step, we_bf, b_enc, wd_bf,
     )
     return pl.pallas_call(
         functools.partial(_fused_coder_kernel_indexed, k=k, use_skip=use_skip,
-                          emit_xc=True),
+                          emit_xc=True, y_is_x=y_is_x),
         out_shape=tuple(out_shape),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -1042,7 +1064,7 @@ def _fused_coder_forward_indexed(xbuf, ybuf, step, we_bf, b_enc, wd_bf,
             flops=2 * batch * d * h + 2 * batch * h * dout
             + (2 * batch * d * dout if use_skip else 0)
             + (33 if k is not None else 1) * batch * h,
-            bytes_accessed=batch * (d + dout) * 4
+            bytes_accessed=batch * (d if y_is_x else d + dout) * 4
             + (d * h + h * dout + (d * dout if use_skip else 0)) * 2
             + batch * h * 2 + batch * dout * 4,
             transcendentals=0,
@@ -1054,14 +1076,15 @@ def _fused_coder_forward_indexed(xbuf, ybuf, step, we_bf, b_enc, wd_bf,
 
 
 def _fused_coder_indexed_impl(xbuf, ybuf, step, w_enc, b_enc, w_dec, b_dec,
-                              w_skip, b_skip, k, block_rows, batch, use_skip):
+                              w_skip, b_skip, k, block_rows, batch, use_skip,
+                              y_is_x: bool | None = None):
     we_bf = w_enc.astype(jnp.bfloat16)
     wd_bf = w_dec.astype(jnp.bfloat16)
     ws_bf = w_skip.astype(jnp.bfloat16) if use_skip else None
     b_out = b_dec + b_skip if use_skip else b_dec
     hid, resid, sq, l0s, act, *extra = _fused_coder_forward_indexed(
         xbuf, ybuf, step, we_bf, b_enc, wd_bf, b_out, ws_bf, k, block_rows,
-        batch, use_skip,
+        batch, use_skip, y_is_x=y_is_x,
     )
     xc = extra.pop()
     dout = ybuf.shape[1]
@@ -1073,27 +1096,28 @@ def _fused_coder_indexed_impl(xbuf, ybuf, step, w_enc, b_enc, w_dec, b_dec,
     return loss, l0, active, hid, resid, l1, hsum, xc, (we_bf, wd_bf, ws_bf)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
 def fused_transcoder_loss_indexed(xbuf, ybuf, step, w_enc, b_enc, w_dec,
                                   b_dec, w_skip, b_skip, k, block_rows,
-                                  batch, use_skip):
+                                  batch, use_skip, y_is_x=False):
     """fused_transcoder_loss over the windows ``xbuf/ybuf[step*batch:
     (step+1)*batch]``, selected inside the kernel via scalar prefetch.
     The TopK crosscoder's flattened view passes xbuf is ybuf (y = x).
     Returns (loss, l0, active); buffers are not differentiated."""
     loss, l0, active, *_ = _fused_coder_indexed_impl(
         xbuf, ybuf, step, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip,
-        k, block_rows, batch, use_skip,
+        k, block_rows, batch, use_skip, y_is_x,
     )
     return loss, l0, active
 
 
 def _fused_tc_idx_vjp_fwd(xbuf, ybuf, step, w_enc, b_enc, w_dec, b_dec,
-                          w_skip, b_skip, k, block_rows, batch, use_skip):
+                          w_skip, b_skip, k, block_rows, batch, use_skip,
+                          y_is_x=False):
     loss, l0, active, hid, resid, _, _, xc, (we_bf, wd_bf, ws_bf) = (
         _fused_coder_indexed_impl(
             xbuf, ybuf, step, w_enc, b_enc, w_dec, b_dec, w_skip, b_skip,
-            k, block_rows, batch, use_skip,
+            k, block_rows, batch, use_skip, y_is_x,
         )
     )
     return (loss, l0, active), (
@@ -1101,7 +1125,7 @@ def _fused_tc_idx_vjp_fwd(xbuf, ybuf, step, w_enc, b_enc, w_dec, b_dec,
     )
 
 
-def _fused_tc_idx_vjp_bwd(k, block_rows, batch, use_skip, res, g):
+def _fused_tc_idx_vjp_bwd(k, block_rows, batch, use_skip, y_is_x, res, g):
     gl = g[0]  # l0/active are metrics: zero a.e.
     xbuf, ybuf, w_skip, b_skip, we_bf, wd_bf, hid, resid, xc = res
     dout = resid.shape[1]
@@ -1143,7 +1167,7 @@ def fused_relu_sae_loss_indexed(buf, step, w_enc, b_enc, w_dec, b_dec,
     out = _fused_coder_indexed_impl(
         buf, buf, step, w_enc, b_enc, w_dec, b_dec,
         jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
-        None, block_rows, batch, False,
+        None, block_rows, batch, False, y_is_x=True,
     )
     recon_loss, l0, active, hid, _, l1, _, _, _ = out
     h = hid.shape[1]
@@ -1157,7 +1181,7 @@ def _fused_relu_idx_vjp_fwd(buf, step, w_enc, b_enc, w_dec, b_dec,
     out = _fused_coder_indexed_impl(
         buf, buf, step, w_enc, b_enc, w_dec, b_dec,
         jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
-        None, block_rows, batch, False,
+        None, block_rows, batch, False, y_is_x=True,
     )
     recon_loss, l0, active, hid, resid, l1, _, xc, (we_bf, wd_bf, _) = out
     h = hid.shape[1]
@@ -1204,7 +1228,7 @@ def fused_relu_crosscoder_loss_indexed(buf, step, w_enc, b_enc, w_dec, b_dec,
     out = _fused_coder_indexed_impl(
         buf, buf, step, w_enc, b_enc, w_dec, b_dec,
         jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
-        None, block_rows, batch, False,
+        None, block_rows, batch, False, y_is_x=True,
     )
     flat_loss, l0, active, _, _, _, hsum, _, _ = out
     recon_loss = n_layers * flat_loss
@@ -1218,7 +1242,7 @@ def _fused_relu_cc_idx_vjp_fwd(buf, step, w_enc, b_enc, w_dec, b_dec, norms,
     out = _fused_coder_indexed_impl(
         buf, buf, step, w_enc, b_enc, w_dec, b_dec,
         jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
-        None, block_rows, batch, False,
+        None, block_rows, batch, False, y_is_x=True,
     )
     flat_loss, l0, active, hid, resid, _, hsum, xc, (we_bf, wd_bf, _) = out
     recon_loss = n_layers * flat_loss

@@ -198,7 +198,7 @@ class CrosscoderTrainer(SAETrainer):
                 flat_loss, l0, active = pallas_sae.fused_transcoder_loss_indexed(
                     sel, sel, step, we, p["b_enc"], wd, bd,
                     jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
-                    k, block_rows, b, False,
+                    k, block_rows, b, False, True,  # y_is_x
                 )
                 recon_loss = l * flat_loss  # sum of per-layer means
                 return recon_loss, {

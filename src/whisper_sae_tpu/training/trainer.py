@@ -495,24 +495,20 @@ class SAETrainer:
     # fused-scan epoch (device-resident fast path)
     # ------------------------------------------------------------------
 
-    def _build_epoch_fn(self):
-        """One jitted program per epoch: lax.scan over [S, B, D] batches.
-
-        No per-step host round-trip — metrics come back stacked once per
-        epoch.  This is the TPU-native replacement for the reference's
-        per-batch Python loop (training.py:237) and the path the benchmark
-        measures.
-        """
-        loss_fn = self._loss_fn()
+    def _scan_step_body(self, loss_call):
+        """Shared fused-epoch scan step.  ``loss_call(params, item) ->
+        (loss, aux)`` where ``item`` is the scan xs element — a batch for
+        the slicing scan, a step index for the indexed scan — and aux
+        carries reconstruction_loss / sparsity_loss / l0 / active."""
         opt = self._optimizer
         renorm = self._should_renorm()
         renorm_fn = self._renorm_params
         threshold = getattr(self.model, "dead_feature_threshold", 10_000)
 
-        def body(carry, batch):
+        def body(carry, item):
             params, opt_state, dstate = carry
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, batch
+            (loss, aux), grads = jax.value_and_grad(loss_call, has_aux=True)(
+                params, item
             )
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -529,6 +525,18 @@ class SAETrainer:
                 ),
             }
             return (params, opt_state, dstate), metrics
+
+        return body
+
+    def _build_epoch_fn(self):
+        """One jitted program per epoch: lax.scan over [S, B, D] batches.
+
+        No per-step host round-trip — metrics come back stacked once per
+        epoch.  This is the TPU-native replacement for the reference's
+        per-batch Python loop (training.py:237) and the path the benchmark
+        measures.
+        """
+        body = self._scan_step_body(self._loss_fn())
 
         def epoch(params, opt_state, dstate, batches):
             (params, opt_state, dstate), metrics = jax.lax.scan(
@@ -668,13 +676,12 @@ class SAETrainer:
         docs/DESIGN.md) never materializes.  Same signature as the flat
         epoch fn; family specifics live in ``_indexed_loss_fn`` /
         ``_indexed_prepare``."""
-        opt = self._optimizer
-        renorm = self._should_renorm()
-        renorm_fn = self._renorm_params
-        threshold = getattr(self.model, "dead_feature_threshold", 10_000)
         b = self.config.batch_size
         indexed_loss = self._indexed_loss_fn()
         prepare = self._indexed_prepare
+        body = self._scan_step_body(
+            lambda p, args: indexed_loss(p, args[0], args[1])
+        )
 
         def epoch(params, opt_state, dstate, data, perm):
             n = jax.tree_util.tree_leaves(data)[0].shape[0]
@@ -688,29 +695,11 @@ class SAETrainer:
 
             sel = prepare(jax.tree_util.tree_map(gather_trim, data))
 
-            def body(carry, step):
-                params, opt_state, dstate = carry
-                (loss, aux), grads = jax.value_and_grad(
-                    lambda p: indexed_loss(p, sel, step), has_aux=True
-                )(params)
-                updates, opt_state = opt.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                if renorm:
-                    params = renorm_fn(params)
-                dstate = update_dead_state(dstate, aux["active"])
-                metrics = {
-                    "loss": loss,
-                    "reconstruction_loss": aux["reconstruction_loss"],
-                    "sparsity_loss": aux["sparsity_loss"],
-                    "l0": aux["l0"],
-                    "dead_feature_ratio": jnp.mean(
-                        dead_feature_mask(dstate, threshold).astype(jnp.float32)
-                    ),
-                }
-                return (params, opt_state, dstate), metrics
+            def step_body(carry, step):
+                return body(carry, (sel, step))
 
             (params, opt_state, dstate), metrics = jax.lax.scan(
-                body, (params, opt_state, dstate),
+                step_body, (params, opt_state, dstate),
                 jnp.arange(steps, dtype=jnp.int32),
             )
             stacked = jnp.stack([metrics[m] for m in _METRIC_KEYS], axis=1)

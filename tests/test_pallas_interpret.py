@@ -137,7 +137,7 @@ class TestIndexedFusedLoss:
                 if family == "topk_cc":
                     return ps.fused_transcoder_loss_indexed(
                         xbuf, xbuf, step, p["w_enc"], p["b_enc"], p["w_dec"],
-                        p["b_dec"], zero, zero, K, BLOCK, B, False,
+                        p["b_dec"], zero, zero, K, BLOCK, B, False, True,
                     )[0]
                 if family == "relu":
                     return ps.fused_relu_sae_loss_indexed(
@@ -161,7 +161,7 @@ class TestIndexedFusedLoss:
                 if family == "topk_cc":
                     return ps.fused_transcoder_loss(
                         rows, rows, p["w_enc"], p["b_enc"], p["w_dec"],
-                        p["b_dec"], zero, zero, K, BLOCK, False,
+                        p["b_dec"], zero, zero, K, BLOCK, False, True,
                     )[0]
                 if family == "relu":
                     return ps.fused_relu_sae_loss(
