@@ -70,7 +70,10 @@ class TranscoderTrainer(SAETrainer):
         raise ValueError("transcoder batches must be (mlp_input, mlp_output)")
 
     def _use_indexed_epoch(self, data=None) -> bool:
-        if not self._indexed_env_ok(data):
+        # force-only: the coder kernels' indexed numbers regressed in the
+        # r4 bench preview (see _indexed_mode) — auto stays off until a
+        # clean per-family win is measured
+        if self._indexed_mode(data) != "force":
             return False
         from ..ops import pallas_sae
 
@@ -166,7 +169,8 @@ class CrosscoderTrainer(SAETrainer):
         return normalize_crosscoder_decoder(params)
 
     def _use_indexed_epoch(self, data=None) -> bool:
-        if not self._indexed_env_ok(data):
+        # force-only, same rationale as the transcoder gate above
+        if self._indexed_mode(data) != "force":
             return False
         from ..ops import pallas_sae
 

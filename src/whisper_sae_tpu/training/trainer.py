@@ -575,30 +575,32 @@ class SAETrainer:
 
         return jax.jit(epoch, donate_argnums=(0, 1, 2))
 
-    def _indexed_env_ok(self, data=None) -> bool:
+    def _indexed_mode(self, data=None) -> str | None:
         """Common preconditions for the scalar-prefetch indexed epoch:
         single device, bf16 AMP, not force-disabled.
 
-        ``WST_INDEXED_EPOCH``: ``0`` forces the slicing scan, ``1``
-        forces indexed (the A/B levers); unset/auto engages indexed only
-        for bf16-staged epoch buffers — the measured-win configuration
-        (the indexed read trades the per-step slice copy for the xc
-        residual write: a wash on f32 stacks, a win on bf16 stacks,
-        epoch_ab_idx.log).  ``WST_DISABLE_FUSED_CODER`` disables it too
-        via the kernel-supported gates in the per-family checks."""
+        Returns "force" (``WST_INDEXED_EPOCH=1``), "auto" (env unset and
+        the epoch buffers are bf16-staged), or None.  Auto is then
+        accepted only by the families where indexed MEASURED a win (the
+        TopK SAE; r4 bench preview): the scalar-prefetch grid appears to
+        cost DMA pipelining that the TopK bisection hides but the faster
+        ReLU/coder kernels cannot — their indexed numbers regressed, so
+        they take indexed only under force (the A/B lever).
+        ``WST_DISABLE_FUSED_CODER`` disables everything via the
+        kernel-supported gates in the per-family checks."""
         env = os.environ.get("WST_INDEXED_EPOCH", "auto")
         if env == "0":
-            return False
+            return None
         if self.mesh is not None or self.compute_dtype != jnp.bfloat16:
-            return False
+            return None
         if env == "1":
-            return True
+            return "force"
         if data is None:
-            return False
+            return None
         leaves = jax.tree_util.tree_leaves(data)
-        return bool(leaves) and all(
-            leaf.dtype == jnp.bfloat16 for leaf in leaves
-        )
+        if leaves and all(leaf.dtype == jnp.bfloat16 for leaf in leaves):
+            return "auto"
+        return None
 
     def _use_indexed_epoch(self, data=None) -> bool:
         """Scalar-prefetch indexed epoch: the scan body passes its step
@@ -607,7 +609,8 @@ class SAETrainer:
         per-step dynamic-slice materialization between the scan xs and
         the opaque pallas_call.  Subclasses override with their family's
         kernel-geometry gate."""
-        if not self._indexed_env_ok(data):
+        mode = self._indexed_mode(data)
+        if mode is None:
             return False
         from ..ops import pallas_sae
 
@@ -616,7 +619,7 @@ class SAETrainer:
             return pallas_sae.fused_loss_supported(
                 (b, self.model.input_dim), self.model.hidden_dim
             )
-        if isinstance(self.model, ReLUSAE):
+        if isinstance(self.model, ReLUSAE) and mode == "force":
             return pallas_sae.fused_coder_supported(
                 (b, self.model.input_dim), self.model.input_dim,
                 self.model.hidden_dim,
