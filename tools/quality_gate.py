@@ -546,7 +546,13 @@ def main() -> None:
                     "reference implementation imported from /root/reference; "
                     "identical init AND batch order (np rng 0) on both sides",
         },
-        "reference": {"mse": round(ref["mse"], 6), "l0": round(ref["l0"], 3)},
+        "reference": {
+            "mse": round(ref["mse"], 6), "l0": round(ref["l0"], 3),
+            # --ref-seeds > 1: the oracle's own batch-order noise floor
+            **({"seed_mses": [round(m, 6) for m in ref["seed_mses"]],
+                "seed_spread": round(ref["seed_spread"], 4)}
+               if "seed_spread" in ref else {}),
+        },
         "modes": {},
     }
     ok = True
