@@ -112,11 +112,16 @@ def bench_tpu_large(batch: int = 8192, steps: int = 6) -> float:
     return best
 
 
-def bench_coders(batch: int = 32768, steps: int = 32) -> dict:
+def bench_coders(batch: int = 32768, steps: int = 64) -> dict:
     """Fused-epoch training throughput for the other coder families
     (ReLU+L1 SAE and TopK transcoder) at whisper-tiny geometry — the
-    numbers quoted in README/DESIGN; off by default (each compiles its
-    own epoch program)."""
+    numbers quoted in README/DESIGN.
+
+    Longer epochs than the headline bench would need: these kernels run
+    3-10x faster per step, so short epochs are dispatch-bound — any
+    host-side jitter between chained epoch programs reads as a large
+    throughput loss (the r4 preview measured ReLU at half speed purely
+    from a loaded host core)."""
     import jax
     import jax.numpy as jnp
 
@@ -161,7 +166,9 @@ def bench_coders(batch: int = 32768, steps: int = 32) -> dict:
     from whisper_sae_tpu.models.crosscoder import CrossLayerCrosscoder
     from whisper_sae_tpu.training.coder_trainers import CrosscoderTrainer
 
-    cc_steps = max(steps // 4, 1)  # 4 layers -> 4x the bytes per token
+    cc_steps = max(steps // 2, 1)  # 4 layers -> 4x the bytes per token
+    # (6.4 GB device-resident at steps=64: 32 x 32768 x 4 x 384 f32 —
+    # fine with shuffle=False, no in-jit gather copy)
     xc = jax.random.normal(
         jax.random.PRNGKey(2), (cc_steps * batch, 4, D), jnp.float32
     )
