@@ -161,6 +161,30 @@ def _torch_contract_loop(model, params_t, batches_fn, epochs, lr, renorm,
         log(f"oracle epoch {ep + 1}/{epochs} done")
 
 
+def _seeded_oracle(one_run, ref_seeds: int):
+    """Run the oracle once per shuffle seed (seed 0 = the shared-order
+    stream numpy rng 0, replayed by run_ours; seeds > 0 vary ONLY the
+    batch order) and fold the spread into the reference record — the
+    family's own batch-order noise floor at this scale (VERDICT r4 #3:
+    per-family floors, not the TopK SAE's borrowed one)."""
+    runs = []
+    for seed in range(max(ref_seeds, 1)):
+        runs.append(one_run(seed))
+        log(f"oracle seed {seed}: mse={runs[-1]['mse']:.6f}")
+    ref = dict(runs[0])
+    if len(runs) > 1:
+        ms = [r["mse"] for r in runs]
+        ref["seed_mses"] = ms
+        ref["seed_spread"] = max(ms) / min(ms)
+    return ref
+
+
+def _shuffle_rng(seed: int):
+    import numpy as np
+
+    return np.random.default_rng(0 if seed == 0 else 1000 + seed)
+
+
 def run_reference(family: str, data, args):
     import numpy as np
 
@@ -178,29 +202,38 @@ def run_reference(family: str, data, args):
         d = data.shape[1]
         ref_model = RefReLUSAE(input_dim=d, hidden_dim=d * args.expansion)
         init_sd = {k: v.detach().clone() for k, v in ref_model.state_dict().items()}
-        params_t = list(ref_model.parameters())
-        rng = np.random.default_rng(0)
 
-        def relu_batches(ep, m):
-            perm = rng.permutation(len(data))
-            for s in range(0, len(data), args.batch_size):
-                yield m(torch.from_numpy(data[perm[s : s + args.batch_size]])).loss
+        def one_run(seed: int) -> dict:
+            model = ref_model
+            if seed > 0:
+                model = RefReLUSAE(input_dim=d, hidden_dim=d * args.expansion)
+                model.load_state_dict(init_sd)
+            rng = _shuffle_rng(seed)
 
-        _torch_contract_loop(
-            ref_model, params_t, relu_batches, args.epochs, args.lr,
-            ref_model.normalize_decoder_weights,
-            total_steps=args.epochs * -(-len(data) // args.batch_size),
-            warmup_steps=args.warmup_steps,
-        )
-        ref_model.eval()
-        with torch.no_grad():
-            mses, l0s = [], []
-            for s in range(0, len(data), EVAL_CHUNK):
-                out = ref_model(torch.from_numpy(data[s : s + EVAL_CHUNK]))
-                rows = min(s + EVAL_CHUNK, len(data)) - s
-                mses.append(float(out.reconstruction_loss) * rows)
-                l0s.append(float(out.l0) * rows)
-        return init_sd, {"mse": sum(mses) / len(data), "l0": sum(l0s) / len(data)}
+            def relu_batches(ep, m):
+                perm = rng.permutation(len(data))
+                for s in range(0, len(data), args.batch_size):
+                    yield m(
+                        torch.from_numpy(data[perm[s : s + args.batch_size]])
+                    ).loss
+
+            _torch_contract_loop(
+                model, list(model.parameters()), relu_batches, args.epochs,
+                args.lr, model.normalize_decoder_weights,
+                total_steps=args.epochs * -(-len(data) // args.batch_size),
+                warmup_steps=args.warmup_steps,
+            )
+            model.eval()
+            with torch.no_grad():
+                mses, l0s = [], []
+                for s in range(0, len(data), EVAL_CHUNK):
+                    out = model(torch.from_numpy(data[s : s + EVAL_CHUNK]))
+                    rows = min(s + EVAL_CHUNK, len(data)) - s
+                    mses.append(float(out.reconstruction_loss) * rows)
+                    l0s.append(float(out.l0) * rows)
+            return {"mse": sum(mses) / len(data), "l0": sum(l0s) / len(data)}
+
+        return init_sd, _seeded_oracle(one_run, args.ref_seeds)
 
     if family == "sae":
         from whisper_sae.config import TrainingConfig as RefTrainingConfig
@@ -267,55 +300,58 @@ def run_reference(family: str, data, args):
                     l0s.append(float(out.l0) * n)
             return {"mse": sum(mses) / len(data), "l0": sum(l0s) / len(data)}
 
-        runs = []
-        for seed in range(max(args.ref_seeds, 1)):
-            runs.append(one_run(seed))
-            log(f"oracle seed {seed}: mse={runs[-1]['mse']:.6f}")
-        ref = dict(runs[0])
-        if len(runs) > 1:
-            ms = [r["mse"] for r in runs]
-            ref["seed_mses"] = ms
-            ref["seed_spread"] = max(ms) / min(ms)
-        return init_sd, ref
+        return init_sd, _seeded_oracle(one_run, args.ref_seeds)
 
     if family == "transcoder":
         from whisper_sae.sae.transcoder import TopKTranscoder as RefTranscoder
 
         x, y = data
         d = x.shape[1]
-        ref_model = RefTranscoder(
-            input_dim=d, output_dim=y.shape[1], hidden_dim=d * args.expansion, k=args.k
-        )
+
+        def make_tc():
+            return RefTranscoder(
+                input_dim=d, output_dim=y.shape[1],
+                hidden_dim=d * args.expansion, k=args.k,
+            )
+
+        ref_model = make_tc()
         init_sd = {k: v.detach().clone() for k, v in ref_model.state_dict().items()}
-        params_t = list(ref_model.parameters())
-        rng = np.random.default_rng(0)
 
-        def batches(ep, m):
-            # drop_last=False like the reference DataLoader default
-            perm = rng.permutation(len(x))
-            for s in range(0, len(x), args.batch_size):
-                i = perm[s : s + args.batch_size]
-                out = m(torch.from_numpy(x[i]), torch.from_numpy(y[i]))
-                yield out.loss
+        def one_run(seed: int) -> dict:
+            model = ref_model
+            if seed > 0:
+                model = make_tc()
+                model.load_state_dict(init_sd)
+            rng = _shuffle_rng(seed)
 
-        _torch_contract_loop(
-            ref_model, params_t, batches, args.epochs, args.lr,
-            ref_model.normalize_decoder_weights,
-            total_steps=args.epochs * -(-len(x) // args.batch_size),
-            warmup_steps=args.warmup_steps,
-        )
-        ref_model.eval()
-        with torch.no_grad():
-            mses, l0s = [], []
-            for s in range(0, len(x), EVAL_CHUNK):
-                n = min(s + EVAL_CHUNK, len(x)) - s
-                out = ref_model(
-                    torch.from_numpy(x[s : s + EVAL_CHUNK]),
-                    torch.from_numpy(y[s : s + EVAL_CHUNK]),
-                )
-                mses.append(float(out.reconstruction_loss) * n)
-                l0s.append(float(out.l0) * n)
-        return init_sd, {"mse": sum(mses) / len(x), "l0": sum(l0s) / len(x)}
+            def batches(ep, m):
+                # drop_last=False like the reference DataLoader default
+                perm = rng.permutation(len(x))
+                for s in range(0, len(x), args.batch_size):
+                    i = perm[s : s + args.batch_size]
+                    out = m(torch.from_numpy(x[i]), torch.from_numpy(y[i]))
+                    yield out.loss
+
+            _torch_contract_loop(
+                model, list(model.parameters()), batches, args.epochs,
+                args.lr, model.normalize_decoder_weights,
+                total_steps=args.epochs * -(-len(x) // args.batch_size),
+                warmup_steps=args.warmup_steps,
+            )
+            model.eval()
+            with torch.no_grad():
+                mses, l0s = [], []
+                for s in range(0, len(x), EVAL_CHUNK):
+                    n = min(s + EVAL_CHUNK, len(x)) - s
+                    out = model(
+                        torch.from_numpy(x[s : s + EVAL_CHUNK]),
+                        torch.from_numpy(y[s : s + EVAL_CHUNK]),
+                    )
+                    mses.append(float(out.reconstruction_loss) * n)
+                    l0s.append(float(out.l0) * n)
+            return {"mse": sum(mses) / len(x), "l0": sum(l0s) / len(x)}
+
+        return init_sd, _seeded_oracle(one_run, args.ref_seeds)
 
     # crosscoder families
     from whisper_sae.sae.crosscoder import (
@@ -324,48 +360,59 @@ def run_reference(family: str, data, args):
     )
 
     n, n_layers, d = data.shape
-    if family == "crosscoder":
-        ref_model = RefCrosscoder(
-            d_model=d, n_layers=n_layers, d_sae=d * args.expansion, k=args.k
-        )
-    else:
-        ref_model = RefReLUCrosscoder(
+
+    def make_cc():
+        if family == "crosscoder":
+            return RefCrosscoder(
+                d_model=d, n_layers=n_layers, d_sae=d * args.expansion,
+                k=args.k,
+            )
+        return RefReLUCrosscoder(
             d_model=d, n_layers=n_layers, d_sae=d * args.expansion
         )
+
+    ref_model = make_cc()
     init_sd = {k: v.detach().clone() for k, v in ref_model.state_dict().items()}
-    params_t = list(ref_model.parameters())
-    rng = np.random.default_rng(0)
 
-    def cc_batches(ep, m):
-        # drop_last=False like the reference DataLoader default
-        perm = rng.permutation(n)
-        for s in range(0, n, args.batch_size):
-            i = perm[s : s + args.batch_size]
-            acts = {
-                li: torch.from_numpy(data[i, li]) for li in range(n_layers)
-            }
-            out = m(acts)
-            yield out.loss
+    def one_run(seed: int) -> dict:
+        model = ref_model
+        if seed > 0:
+            model = make_cc()
+            model.load_state_dict(init_sd)
+        rng = _shuffle_rng(seed)
 
-    _torch_contract_loop(
-        ref_model, params_t, cc_batches, args.epochs, args.lr,
-        ref_model.normalize_decoder_weights,
-        total_steps=args.epochs * -(-n // args.batch_size),
-        warmup_steps=args.warmup_steps,
-    )
-    ref_model.eval()
-    with torch.no_grad():
-        mses, l0s = [], []
-        for s in range(0, n, EVAL_CHUNK):
-            rows = min(s + EVAL_CHUNK, n) - s
-            acts = {
-                li: torch.from_numpy(data[s : s + EVAL_CHUNK, li])
-                for li in range(n_layers)
-            }
-            out = ref_model(acts)
-            mses.append(float(out.reconstruction_loss) * rows)
-            l0s.append(float(out.l0) * rows)
-    return init_sd, {"mse": sum(mses) / n, "l0": sum(l0s) / n}
+        def cc_batches(ep, m):
+            # drop_last=False like the reference DataLoader default
+            perm = rng.permutation(n)
+            for s in range(0, n, args.batch_size):
+                i = perm[s : s + args.batch_size]
+                acts = {
+                    li: torch.from_numpy(data[i, li]) for li in range(n_layers)
+                }
+                out = m(acts)
+                yield out.loss
+
+        _torch_contract_loop(
+            model, list(model.parameters()), cc_batches, args.epochs,
+            args.lr, model.normalize_decoder_weights,
+            total_steps=args.epochs * -(-n // args.batch_size),
+            warmup_steps=args.warmup_steps,
+        )
+        model.eval()
+        with torch.no_grad():
+            mses, l0s = [], []
+            for s in range(0, n, EVAL_CHUNK):
+                rows = min(s + EVAL_CHUNK, n) - s
+                acts = {
+                    li: torch.from_numpy(data[s : s + EVAL_CHUNK, li])
+                    for li in range(n_layers)
+                }
+                out = model(acts)
+                mses.append(float(out.reconstruction_loss) * rows)
+                l0s.append(float(out.l0) * rows)
+        return {"mse": sum(mses) / n, "l0": sum(l0s) / n}
+
+    return init_sd, _seeded_oracle(one_run, args.ref_seeds)
 
 
 # ---------------------------------------------------------------------------
@@ -515,9 +562,10 @@ def main() -> None:
     parser.add_argument("--lr", type=float, default=1e-4)
     parser.add_argument("--ref-seeds", type=int, default=1,
                         help="train the torch oracle this many times with "
-                             "different shuffle seeds (SAE family) to "
+                             "different shuffle seeds (any family) to "
                              "measure the oracle's own batch-order noise "
-                             "floor; seed 0 is the historical path")
+                             "floor; seed 0 is the shared-order path, and "
+                             "the measured spread widens the pass band")
     parser.add_argument("--out", type=Path, default=None,
                         help="also write the JSON result here")
     parser.add_argument("--amp", action="store_true",
@@ -563,13 +611,20 @@ def main() -> None:
         # at multi-epoch horizons ANY numeric difference (f32 reduction
         # order, bf16 rounding) compounds chaotically until trajectories
         # decorrelate — the final-MSE deviation saturates toward the
-        # oracle's own batch-order noise floor (measured 4.1% at 750k
-        # tokens / 3 epochs, quality_gate_refseeds.json; at 190 steps the
-        # same-order f32 ratio is 1.0000, at 35k steps it lands ~1.03).
-        # So the band IS the measured noise floor; the SHARP short-horizon
-        # instruments are tests/test_torch_parity.py (20-step trajectory,
+        # oracle's own batch-order noise floor (TopK SAE: 4.1% spread at
+        # 750k tokens / 3 epochs; at 190 steps the same-order f32 ratio
+        # is 1.0000, at 35k steps it lands ~1.03).  The floor is FAMILY-
+        # SPECIFIC (ReLU families sit much closer to the data's intrinsic
+        # noise, so their relative MSE spread is larger): when this run
+        # measured the family's own floor (--ref-seeds > 1), the band is
+        # that spread with a 25% sampling margin (3 seeds undersample the
+        # spread); otherwise the historical TopK-SAE floor band applies.
+        # The SHARP short-horizon instruments are tests/test_torch_parity
+        # .py and tests/test_relu_torch_parity.py (20-30-step trajectories,
         # rtol 2e-4) and the interpret/on-chip kernel bit-identity pins.
         band = 0.045 if mode == "f32" else 0.05
+        if "seed_spread" in ref:
+            band = max(band, (ref["seed_spread"] - 1.0) * 1.25)
         l0_tol = max(0.5, 0.02 * abs(ref["l0"])) if "relu" in args.family else 0.5
         passed = bool(
             1 - band <= ratio <= 1 + band
@@ -578,7 +633,8 @@ def main() -> None:
         ok = ok and passed
         result["modes"][mode] = {
             "mse": round(ours["mse"], 6), "l0": round(ours["l0"], 3),
-            "mse_ratio": round(ratio, 4), "pass": passed,
+            "mse_ratio": round(ratio, 4), "band": round(band, 4),
+            "pass": passed,
         }
         log(f"mode {mode}: mse={ours['mse']:.6f} ratio={ratio:.4f} pass={passed}")
     result["pass"] = ok
