@@ -1074,8 +1074,10 @@ def causal_validate(
     from whisper_sae_tpu.models.sae import load_trained_sae
     from whisper_sae_tpu.models.whisper import arch_for, init_whisper, load_pretrained
 
-    if component != "encoder":
-        raise ValueError("causal patching intervenes on encoder layers")
+    if component not in ("encoder", "decoder"):
+        raise ValueError(
+            "causal patching intervenes on encoder or decoder layers"
+        )
     t0 = time.time()
     if run_dir is None:
         run_dir = Path(output_dir) / f"{experiment_name}_{component}_layer{layer_idx}"
@@ -1123,7 +1125,9 @@ def causal_validate(
         "component": component,
         "layer_idx": layer_idx,
         "num_samples": num_samples,
-        **substitution_effect(params, mels, arch, sae, layer_idx),
+        **substitution_effect(
+            params, mels, arch, sae, layer_idx, component=component
+        ),
     }
     if sweep_features:
         # rank the report's top features when available, else 0..N-1
@@ -1133,7 +1137,7 @@ def causal_validate(
             tops = json.loads(spath.read_text())["top_features"]
             feats = [f["feature_idx"] for f in tops[:sweep_features]]
         result["ablation_sweep"] = feature_ablation_sweep(
-            params, mels, arch, sae, layer_idx, feats
+            params, mels, arch, sae, layer_idx, feats, component=component
         )
     result["elapsed_s"] = round(time.time() - t0, 1)
     out_dir = run_dir / "analysis"

@@ -8,8 +8,10 @@ from .patching import (
     feature_ablation_patch,
     feature_ablation_sweep,
     feature_steering_patch,
+    greedy_decode_patched_decoder,
     logit_kl,
     patched_logits,
+    patched_logits_decoder,
     sae_reconstruction_patch,
     substitution_effect,
     token_agreement,
@@ -21,8 +23,10 @@ __all__ = [
     "feature_ablation_patch",
     "feature_ablation_sweep",
     "feature_steering_patch",
+    "greedy_decode_patched_decoder",
     "logit_kl",
     "patched_logits",
+    "patched_logits_decoder",
     "sae_reconstruction_patch",
     "substitution_effect",
     "token_agreement",

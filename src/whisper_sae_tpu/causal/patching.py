@@ -34,6 +34,7 @@ from ..models.whisper import (
     _layer_norm,
     decoder_forward,
     decoder_logits,
+    encoder_forward,
     greedy_decode_cached,
 )
 
@@ -258,6 +259,61 @@ def patched_logits(
     return decoder_logits(params, hidden[:, 0, :])
 
 
+def patched_logits_decoder(
+    params: dict,
+    mel: jax.Array,
+    arch: WhisperArch,
+    layer_idx: int,
+    patch_fn,
+    encoder_hidden: jax.Array | None = None,
+) -> jax.Array:
+    """LM logits for the BOS step with ``patch_fn`` applied to decoder
+    layer ``layer_idx`` (the encoder runs clean — decoder-side SAEs
+    intervene on the decoder residual stream only)."""
+    if encoder_hidden is None:
+        encoder_hidden, _ = encoder_forward(params, mel, arch)
+    bos = jnp.full((mel.shape[0], 1), arch.decoder_start_token_id, jnp.int32)
+    hidden, _ = decoder_forward_patched(
+        params, bos, encoder_hidden, arch, layer_idx, patch_fn
+    )
+    return decoder_logits(params, hidden[:, 0, :])
+
+
+def greedy_decode_patched_decoder(
+    params: dict,
+    mel: jax.Array,
+    arch: WhisperArch,
+    layer_idx: int,
+    patch_fn,
+    max_len: int = 16,
+    encoder_hidden: jax.Array | None = None,
+) -> jax.Array:
+    """Greedy decode with ``patch_fn`` live on decoder layer ``layer_idx``
+    at every generation step (no KV cache — the patch sees the full
+    prefix each step, mirroring models/whisper.py:greedy_decode's
+    fixed-shape O(L) loop; analysis-scale only)."""
+    if encoder_hidden is None:
+        encoder_hidden, _ = encoder_forward(params, mel, arch)
+    b = encoder_hidden.shape[0]
+    tokens = jnp.full((b, max_len), arch.decoder_start_token_id, jnp.int32)
+    finished = jnp.zeros((b,), jnp.bool_)
+    eos = jnp.int32(arch.eos_token_id)
+
+    def step(t, state):
+        tokens, finished = state
+        hidden, _ = decoder_forward_patched(
+            params, tokens, encoder_hidden, arch, layer_idx, patch_fn
+        )
+        logits = decoder_logits(params, hidden[:, t, :])
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(finished, eos, nxt)
+        finished = finished | (nxt == eos)
+        return tokens.at[:, t + 1].set(nxt), finished
+
+    tokens, _ = jax.lax.fori_loop(0, max_len - 1, step, (tokens, finished))
+    return tokens
+
+
 def logit_kl(clean_logits: jax.Array, patched: jax.Array) -> jax.Array:
     """Mean KL(clean || patched) over the batch."""
     p = jax.nn.log_softmax(clean_logits, axis=-1)
@@ -278,19 +334,40 @@ def substitution_effect(
     layer_idx: int,
     apply_layer_norm: bool = True,
     max_len: int = 16,
+    component: str = "encoder",
 ) -> dict[str, float]:
     """End-to-end causal validation of an SAE: substitute the layer's
     activations with the SAE reconstruction and measure the downstream
-    effect on logits and greedy decodes."""
-    clean = patched_logits(params, mel, arch, layer_idx, lambda h: h)
-    patch = sae_reconstruction_patch(sae, params, apply_layer_norm)
-    subbed = patched_logits(params, mel, arch, layer_idx, patch)
+    effect on logits and greedy decodes.
 
-    clean_tokens = greedy_decode_cached(params, mel, arch, max_len=max_len)
-    enc_last, _ = encoder_forward_patched(params, mel, arch, layer_idx, patch)
-    patched_tokens = greedy_decode_cached(
-        params, mel, arch, max_len=max_len, encoder_hidden=enc_last
+    ``component`` selects where the intervention lands: ``encoder``
+    patches encoder layer ``layer_idx`` (the patched last hidden state
+    then feeds a clean cached decode); ``decoder`` patches decoder layer
+    ``layer_idx`` live at every generation step of an uncached decode
+    (the encoder runs clean)."""
+    patch = sae_reconstruction_patch(
+        sae, params, apply_layer_norm, component=component
     )
+    clean_tokens = greedy_decode_cached(params, mel, arch, max_len=max_len)
+    if component == "decoder":
+        enc_last, _ = encoder_forward(params, mel, arch)
+        clean = patched_logits_decoder(
+            params, mel, arch, layer_idx, lambda h: h, encoder_hidden=enc_last
+        )
+        subbed = patched_logits_decoder(
+            params, mel, arch, layer_idx, patch, encoder_hidden=enc_last
+        )
+        patched_tokens = greedy_decode_patched_decoder(
+            params, mel, arch, layer_idx, patch,
+            max_len=max_len, encoder_hidden=enc_last,
+        )
+    else:
+        clean = patched_logits(params, mel, arch, layer_idx, lambda h: h)
+        subbed = patched_logits(params, mel, arch, layer_idx, patch)
+        enc_last, _ = encoder_forward_patched(params, mel, arch, layer_idx, patch)
+        patched_tokens = greedy_decode_cached(
+            params, mel, arch, max_len=max_len, encoder_hidden=enc_last
+        )
     return {
         "logit_kl": float(logit_kl(clean, subbed)),
         "token_agreement": float(token_agreement(clean_tokens, patched_tokens)),
@@ -305,6 +382,7 @@ def feature_ablation_sweep(
     layer_idx: int,
     feature_indices,
     apply_layer_norm: bool = True,
+    component: str = "encoder",
 ) -> list[dict[str, float]]:
     """Causal importance ranking: ablate each feature in turn (zero its
     latent inside the SAE substitution) and measure the marginal logit-KL
@@ -315,17 +393,26 @@ def feature_ablation_sweep(
     are the causally load-bearing ones — the quantitative follow-up to
     the report's activation ranking (which is correlational only).
     """
-    clean = patched_logits(params, mel, arch, layer_idx, lambda h: h)
-    base_patch = sae_reconstruction_patch(sae, params, apply_layer_norm)
-    base = patched_logits(params, mel, arch, layer_idx, base_patch)
+    if component == "decoder":
+        enc_last, _ = encoder_forward(params, mel, arch)
+        logits_fn = partial(
+            patched_logits_decoder, encoder_hidden=enc_last
+        )
+    else:
+        logits_fn = patched_logits
+    clean = logits_fn(params, mel, arch, layer_idx, lambda h: h)
+    base_patch = sae_reconstruction_patch(
+        sae, params, apply_layer_norm, component=component
+    )
+    base = logits_fn(params, mel, arch, layer_idx, base_patch)
     base_kl = float(logit_kl(clean, base))
 
     out = []
     for fi in feature_indices:
         patch = feature_ablation_patch(
-            sae, [int(fi)], params, apply_layer_norm
+            sae, [int(fi)], params, apply_layer_norm, component=component
         )
-        abl = patched_logits(params, mel, arch, layer_idx, patch)
+        abl = logits_fn(params, mel, arch, layer_idx, patch)
         kl = float(logit_kl(clean, abl))
         out.append({
             "feature_idx": int(fi),

@@ -639,11 +639,40 @@ class TestCausalValidate:
         )
         assert saved["layer_idx"] == 0
 
-    def test_decoder_component_rejected(self, tmp_path):
+    def test_decoder_component(self, tmp_path):
+        """Decoder-side causal validation (round-5; VERDICT r4 #7): train
+        a decoder-layer SAE, then patch it into the decoder residual
+        stream live at every generation step."""
+        from launch import causal_validate, extract_features, train_sae
+
+        extract_features(
+            layers_encoder="", layers_decoder="0", max_samples=4,
+            batch_size=2, dataset="synthetic", cache_dir=tmp_path / "c",
+            random_whisper=True, use_mesh=False, seed=5,
+        )
+        train_sae(
+            component="decoder", layer_idx=0, batch_size=512, epochs=1,
+            warmup_steps=0, use_amp=False, cache_dir=tmp_path / "c",
+            output_dir=tmp_path / "o",
+        )
+        res = causal_validate(
+            component="decoder", layer_idx=0, num_samples=2,
+            random_whisper=True,
+            cache_dir=tmp_path / "c", output_dir=tmp_path / "o",
+        )
+        assert np.isfinite(res["logit_kl"])
+        assert 0.0 <= res["token_agreement"] <= 1.0
+        saved = json.loads(
+            (tmp_path / "o" / "launch_decoder_layer0" / "analysis"
+             / "causal_validation.json").read_text()
+        )
+        assert saved["component"] == "decoder"
+
+    def test_invalid_component_rejected(self, tmp_path):
         from launch import causal_validate
 
-        with pytest.raises(ValueError, match="encoder"):
-            causal_validate(component="decoder", output_dir=tmp_path)
+        with pytest.raises(ValueError, match="encoder or decoder"):
+            causal_validate(component="both", output_dir=tmp_path)
 
 
 class TestCacheDtype:
