@@ -55,7 +55,8 @@ def timed(fn, args, steps: int, batch: int, label: str, out: dict,
     return per_step
 
 
-def trainer_ab(batch: int, steps: int, out: dict) -> None:
+def trainer_ab(batch: int, steps: int, out: dict,
+               data_dtype: str = "bf16") -> None:
     import jax
     import jax.numpy as jnp
 
@@ -65,7 +66,9 @@ def trainer_ab(batch: int, steps: int, out: dict) -> None:
 
     data = jax.random.normal(
         jax.random.PRNGKey(0), (steps * batch, D), jnp.float32
-    ).astype(jnp.bfloat16)
+    )
+    if data_dtype == "bf16":
+        data = data.astype(jnp.bfloat16)
 
     for fam, make in (("relu", lambda: ReLUSAE(D, H, seed=0)),
                       ("topk", lambda: TopKSAE(D, H, k=K, seed=0))):
@@ -84,7 +87,10 @@ def trainer_ab(batch: int, steps: int, out: dict) -> None:
                 tr.train_epochs_fused(data, epochs=2, shuffle=False)
                 jax.block_until_ready(tr.model.params["w_enc"])
                 best = min(best, (time.perf_counter() - t0) / (2 * steps))
-            label = f"trainer/{fam}/{'indexed' if indexed else 'sliced'}"
+            label = (
+                f"trainer/{data_dtype}/{fam}/"
+                f"{'indexed' if indexed else 'sliced'}"
+            )
             out[label] = {"ms_per_step": round(best * 1e3, 3),
                           "act_per_sec": round(batch / best, 1)}
             print(f"{label:42s} {best * 1e3:8.3f} ms/step  "
@@ -177,6 +183,51 @@ def standalone(batch: int, steps: int, out: dict, dtype_tag: str) -> None:
         timed(fb_indexed, (params,), steps, batch,
               f"fwdbwd/{dtype_tag}/relu/indexed_br{br}", out)
 
+    # ---- TopK SAE: the headline kernel (VERDICT r4 #5 — does indexed
+    # win on f32 epoch buffers the way it does on bf16 stacks?)
+    tparams = {**params, "b_pre": jnp.zeros((D,))}
+
+    def topk_sliced_loss(p, x):
+        return pallas_sae.fused_sae_loss(
+            x, p["w_enc"], p["b_enc"], p["b_pre"], p["w_dec"], p["b_dec"],
+            K, pallas_sae.pick_block_rows(batch, H, D),
+        )[0]
+
+    def make_topk_indexed_loss(block_rows):
+        def loss(p, step):
+            return pallas_sae.fused_sae_loss_indexed(
+                buf, step, p["w_enc"], p["b_enc"], p["b_pre"], p["w_dec"],
+                p["b_dec"], K, block_rows, batch,
+            )[0]
+        return loss
+
+    @jax.jit
+    def topk_fb_sliced(p):
+        def body(c, x):
+            g = jax.grad(topk_sliced_loss)(c, x)
+            return jax.tree_util.tree_map(lambda a, b: a - 1e-6 * b, c, g), None
+        return jax.lax.scan(body, p, stack)[0]
+
+    timed(topk_fb_sliced, (tparams,), steps, batch,
+          f"fwdbwd/{dtype_tag}/topk/sliced", out)
+
+    for br in (512, 1024, 2048):
+        loss_fn = make_topk_indexed_loss(br)
+
+        @jax.jit
+        def topk_fb_indexed(p):
+            def body(c, s):
+                g = jax.grad(loss_fn)(c, s)
+                return jax.tree_util.tree_map(
+                    lambda a, b: a - 1e-6 * b, c, g
+                ), None
+            return jax.lax.scan(
+                body, p, jnp.arange(steps, dtype=jnp.int32)
+            )[0]
+
+        timed(topk_fb_indexed, (tparams,), steps, batch,
+              f"fwdbwd/{dtype_tag}/topk/indexed_br{br}", out)
+
 
 def main() -> None:
     parser = argparse.ArgumentParser()
@@ -184,14 +235,20 @@ def main() -> None:
     parser.add_argument("--steps", type=int, default=64)
     parser.add_argument("--skip-trainer", action="store_true")
     parser.add_argument("--dtypes", default="bf16")
+    parser.add_argument("--trainer-dtypes", default="bf16")
+    parser.add_argument("--out", default=None)
     args = parser.parse_args()
 
     out: dict = {}
     if not args.skip_trainer:
-        trainer_ab(args.batch, args.steps, out)
+        for tag in args.trainer_dtypes.split(","):
+            trainer_ab(args.batch, args.steps, out, tag)
     for tag in args.dtypes.split(","):
         standalone(args.batch, args.steps, out, tag)
-    print(json.dumps(out))
+    blob = json.dumps(out, indent=2)
+    print(blob)
+    if args.out:
+        Path(args.out).write_text(blob)
 
 
 if __name__ == "__main__":

@@ -97,6 +97,69 @@ class TestTrajectoryParity:
             np.asarray(model.params["b_pre"]), ref.b_pre.detach().numpy(), atol=2e-4
         )
 
+    @pytest.mark.slow
+    def test_large_geometry_trajectory(self, tmp_path, rng):
+        """VERDICT r4 #6: the same trajectory contract at whisper-large
+        SAE geometry (D=1280, H=40960 — the dims where the on-chip path
+        takes the blocked encode kernel).  On CPU both sides run the
+        composed f32 path; tools/large_traj_gate.py is the on-chip twin
+        that exercises the blocked kernel itself."""
+        d, h, k, steps, batch = 1280, 40960, 32, 20, 128
+        torch.manual_seed(0)
+        enc = torch.nn.Linear(d, h)
+        dec = torch.nn.Linear(h, d)
+        b_pre_t = torch.nn.Parameter(torch.zeros(d))
+        with torch.no_grad():
+            torch.nn.init.xavier_uniform_(dec.weight)
+            dec.weight.data = torch.nn.functional.normalize(
+                dec.weight.data, dim=0
+            ) * 0.1
+        sd = {
+            "encoder.weight": enc.weight.detach().clone(),
+            "encoder.bias": enc.bias.detach().clone(),
+            "decoder.weight": dec.weight.detach().clone(),
+            "decoder.bias": dec.bias.detach().clone(),
+            "b_pre": b_pre_t.detach().clone(),
+        }
+        batches = [
+            rng.standard_normal((batch, d)).astype(np.float32)
+            for _ in range(steps)
+        ]
+
+        ps = list(enc.parameters()) + list(dec.parameters()) + [b_pre_t]
+        opt = torch.optim.AdamW(ps, lr=LR, weight_decay=0.0)
+        torch_losses = []
+        for b in batches:
+            xb = torch.from_numpy(b)
+            pre = enc(xb - b_pre_t)
+            vals, idx = torch.topk(pre, k, dim=-1)
+            hidden = torch.zeros_like(pre).scatter_(-1, idx, torch.relu(vals))
+            loss = torch.nn.functional.mse_loss(dec(hidden) + b_pre_t, xb)
+            opt.zero_grad()
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(ps, 1.0)
+            opt.step()
+            with torch.no_grad():
+                dec.weight.data = torch.nn.functional.normalize(
+                    dec.weight.data, dim=0
+                )
+            torch_losses.append(float(loss.detach()))
+
+        params = import_torch_state_dict(sd)
+        model = TopKSAE(input_dim=d, hidden_dim=h, k=k, params=params)
+        cfg = TrainingConfig(
+            batch_size=batch, learning_rate=LR, epochs=1, warmup_steps=0,
+            use_amp=False,
+        )
+        trainer = SAETrainer(model, cfg, run_dir=tmp_path)
+        ours = [trainer.train_step(b).loss for b in batches]
+
+        np.testing.assert_allclose(ours, torch_losses, rtol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(model.params["w_dec"]),
+            dec.weight.detach().numpy().T, atol=2e-4,
+        )
+
     def test_l0_parity(self, rng):
         # L0 (exact-k under gaussian inputs) must agree exactly
         x = rng.standard_normal((128, D)).astype(np.float32)
