@@ -570,9 +570,30 @@ def main() -> None:
                         help="also write the JSON result here")
     parser.add_argument("--amp", action="store_true",
                         help="legacy flag: equivalent to --modes amp")
+    parser.add_argument("--backend", choices=["default", "cpu"],
+                        default="default",
+                        help="cpu: run OUR side (and extraction) on the host "
+                             "CPU — true-f32 XLA, no MXU. Separates 'TPU "
+                             "matmul numerics' from 'training-dynamics "
+                             "chaos': on TPU even f32 mode feeds the MXU "
+                             "bf16 inputs under Precision.DEFAULT")
+    parser.add_argument("--matmul-precision",
+                        choices=["default", "highest"], default="default",
+                        help="highest: f32 dots run multi-pass on the MXU "
+                             "(jax_default_matmul_precision) — the on-chip "
+                             "true-f32 A/B lever")
     args = parser.parse_args()
     if args.amp:
         args.modes = "amp"
+    if args.backend == "cpu" or args.matmul_precision != "default":
+        import jax
+
+        if args.backend == "cpu":
+            jax.config.update("jax_platforms", "cpu")
+        if args.matmul_precision != "default":
+            jax.config.update(
+                "jax_default_matmul_precision", args.matmul_precision
+            )
     modes = [m.strip() for m in args.modes.split(",") if m.strip()]
 
     data = extract_tokens(args.family, args.tokens, args.n_layers)
@@ -590,6 +611,8 @@ def main() -> None:
             "warmup_steps": args.warmup_steps,
             **({"n_layers": args.n_layers}
                if args.family.endswith("crosscoder") else {}),
+            "backend": args.backend,
+            "matmul_precision": args.matmul_precision,
             "note": "reference configs/tiny_test.yaml scale; oracle = f32 torch "
                     "reference implementation imported from /root/reference; "
                     "identical init AND batch order (np rng 0) on both sides",
