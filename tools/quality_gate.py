@@ -179,6 +179,29 @@ def _seeded_oracle(one_run, ref_seeds: int):
     return ref
 
 
+def _oracle_or_cached(one_run, args):
+    """``--oracle-from FILE`` reuses a previous run's reference record
+    instead of retraining the torch oracle (it is deterministic for a
+    given config: torch.manual_seed init + numpy-rng-0 batch order), so
+    A/B runs that vary only OUR side (backend, matmul precision) cost
+    minutes instead of the oracle's ~40 min.  Prefers the full-precision
+    ``mse_exact`` field when the source run recorded it."""
+    if args.oracle_from:
+        prev = json.loads(Path(args.oracle_from).read_text())
+        pref = prev["reference"]
+        ref = {
+            "mse": pref.get("mse_exact", pref["mse"]),
+            "l0": pref.get("l0_exact", pref["l0"]),
+            "cached_from": str(args.oracle_from),
+        }
+        for key in ("seed_mses", "seed_spread"):
+            if key in pref:
+                ref[key] = pref[key]
+        log(f"oracle reused from {args.oracle_from}: mse={ref['mse']:.6g}")
+        return ref
+    return _seeded_oracle(one_run, args.ref_seeds)
+
+
 def _shuffle_rng(seed: int):
     import numpy as np
 
@@ -233,7 +256,7 @@ def run_reference(family: str, data, args):
                     l0s.append(float(out.l0) * rows)
             return {"mse": sum(mses) / len(data), "l0": sum(l0s) / len(data)}
 
-        return init_sd, _seeded_oracle(one_run, args.ref_seeds)
+        return init_sd, _oracle_or_cached(one_run, args)
 
     if family == "sae":
         from whisper_sae.config import TrainingConfig as RefTrainingConfig
@@ -300,7 +323,7 @@ def run_reference(family: str, data, args):
                     l0s.append(float(out.l0) * n)
             return {"mse": sum(mses) / len(data), "l0": sum(l0s) / len(data)}
 
-        return init_sd, _seeded_oracle(one_run, args.ref_seeds)
+        return init_sd, _oracle_or_cached(one_run, args)
 
     if family == "transcoder":
         from whisper_sae.sae.transcoder import TopKTranscoder as RefTranscoder
@@ -351,7 +374,7 @@ def run_reference(family: str, data, args):
                     l0s.append(float(out.l0) * n)
             return {"mse": sum(mses) / len(x), "l0": sum(l0s) / len(x)}
 
-        return init_sd, _seeded_oracle(one_run, args.ref_seeds)
+        return init_sd, _oracle_or_cached(one_run, args)
 
     # crosscoder families
     from whisper_sae.sae.crosscoder import (
@@ -412,7 +435,7 @@ def run_reference(family: str, data, args):
                 l0s.append(float(out.l0) * rows)
         return {"mse": sum(mses) / n, "l0": sum(l0s) / n}
 
-    return init_sd, _seeded_oracle(one_run, args.ref_seeds)
+    return init_sd, _oracle_or_cached(one_run, args)
 
 
 # ---------------------------------------------------------------------------
@@ -570,6 +593,11 @@ def main() -> None:
                         help="also write the JSON result here")
     parser.add_argument("--amp", action="store_true",
                         help="legacy flag: equivalent to --modes amp")
+    parser.add_argument("--oracle-from", type=Path, default=None,
+                        help="reuse the reference record from a previous "
+                             "result JSON (same config required) instead "
+                             "of retraining the deterministic torch "
+                             "oracle — for A/B runs varying only OUR side")
     parser.add_argument("--backend", choices=["default", "cpu"],
                         default="default",
                         help="cpu: run OUR side (and extraction) on the host "
@@ -619,6 +647,11 @@ def main() -> None:
         },
         "reference": {
             "mse": round(ref["mse"], 6), "l0": round(ref["l0"], 3),
+            # full precision for --oracle-from reuse (the rounded mse is
+            # only ~2 significant figures for the tiny ReLU-family MSEs)
+            "mse_exact": ref["mse"], "l0_exact": ref["l0"],
+            **({"cached_from": ref["cached_from"]}
+               if "cached_from" in ref else {}),
             # --ref-seeds > 1: the oracle's own batch-order noise floor
             **({"seed_mses": [round(m, 6) for m in ref["seed_mses"]],
                 "seed_spread": round(ref["seed_spread"], 4)}
