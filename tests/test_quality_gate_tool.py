@@ -1,0 +1,68 @@
+"""Regression tests for tools/quality_gate.py plumbing (the round-5
+adjudication evidence rides on this tool: shared-order contract,
+per-family ref-seeds noise floors, --backend/--matmul-precision levers,
+and --oracle-from reuse).  Runs the real tool as a subprocess at tiny
+token counts on the CPU backend."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+TOOL = REPO / "tools" / "quality_gate.py"
+
+
+def run_gate(tmp_path, *extra, timeout=900):
+    out = tmp_path / "gate.json"
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""  # never touch the chip from tests
+    cmd = [
+        sys.executable, str(TOOL), "--backend", "cpu",
+        "--tokens", "1500", "--epochs", "1", "--out", str(out), *extra,
+    ]
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=timeout, env=env,
+        cwd=REPO,
+    )
+    assert proc.returncode in (0, 1), proc.stderr[-2000:]
+    return json.loads(out.read_text()), proc
+
+
+@pytest.mark.slow
+class TestQualityGateTool:
+    def test_shared_order_f32_is_exact_and_oracle_reusable(self, tmp_path):
+        res, _ = run_gate(
+            tmp_path, "--family", "sae", "--modes", "f32",
+        )
+        assert res["config"]["backend"] == "cpu"
+        # same init + same order + true f32: the ratio is 1.0 to rounding
+        assert abs(res["modes"]["f32"]["mse_ratio"] - 1.0) < 2e-3
+        assert res["reference"]["mse_exact"] > 0
+        first = tmp_path / "gate.json"
+        cached = tmp_path / "cached"
+        cached.mkdir()
+        res2, proc2 = run_gate(
+            cached, "--family", "sae", "--modes", "f32",
+            "--oracle-from", str(first),
+        )
+        assert res2["reference"]["cached_from"] == str(first)
+        assert res2["reference"]["mse_exact"] == res["reference"]["mse_exact"]
+        assert "oracle reused" in proc2.stderr
+
+    def test_ref_seeds_measures_a_floor(self, tmp_path):
+        res, _ = run_gate(
+            tmp_path, "--family", "relu-sae", "--modes", "f32",
+            "--ref-seeds", "2",
+        )
+        ref = res["reference"]
+        assert len(ref["seed_mses"]) == 2
+        assert ref["seed_spread"] >= 1.0
+        # the band widens to the measured spread (x1.25) when it exceeds
+        # the historical default
+        band = res["modes"]["f32"]["band"]
+        assert band >= 0.045
+        assert band >= (ref["seed_spread"] - 1.0) * 1.25 - 1e-9
