@@ -278,6 +278,7 @@ def train_sae(
     epochs: int = 10,
     warmup_steps: int = 1000,
     use_amp: bool = True,
+    matmul_precision: str = "default",
     cache_dir: str | Path = CACHE_DIR,
     output_dir: str | Path = OUTPUT_DIR,
     experiment_name: str = "launch",
@@ -312,6 +313,7 @@ def train_sae(
     train_cfg = TrainingConfig(
         batch_size=batch_size, learning_rate=learning_rate, epochs=epochs,
         warmup_steps=warmup_steps, use_amp=use_amp, seed=seed,
+        matmul_precision=matmul_precision,
     )
 
     meta = cache.load_metadata(component, layer_idx)
@@ -379,6 +381,7 @@ def train_transcoder(
     epochs: int = 10,
     warmup_steps: int = 1000,
     use_amp: bool = True,
+    matmul_precision: str = "default",
     cache_dir: str | Path = CACHE_DIR,
     output_dir: str | Path = OUTPUT_DIR,
     experiment_name: str = "launch",
@@ -420,6 +423,7 @@ def train_transcoder(
     train_cfg = TrainingConfig(
         batch_size=batch_size, learning_rate=learning_rate, epochs=epochs,
         warmup_steps=warmup_steps, use_amp=use_amp, seed=seed,
+        matmul_precision=matmul_precision,
     )
     model = create_transcoder(
         input_dim=meta.hidden_dim,
@@ -526,6 +530,7 @@ def train_crosscoder(
     epochs: int = 10,
     warmup_steps: int = 1000,
     use_amp: bool = True,
+    matmul_precision: str = "default",
     cache_dir: str | Path = CACHE_DIR,
     output_dir: str | Path = OUTPUT_DIR,
     experiment_name: str = "launch",
@@ -570,6 +575,7 @@ def train_crosscoder(
     train_cfg = TrainingConfig(
         batch_size=batch_size, learning_rate=learning_rate, epochs=epochs,
         warmup_steps=warmup_steps, use_amp=use_amp, seed=seed,
+        matmul_precision=matmul_precision,
     )
     model = create_crosscoder(
         d_model=meta.hidden_dim,
@@ -1204,6 +1210,10 @@ def main() -> None:
     pt.add_argument("--checkpoint-every", type=int, default=None)
     pt.add_argument("--no-resume", action="store_true",
                     help="start fresh even if checkpoints exist")
+    pt.add_argument("--matmul-precision", default="default",
+                    choices=["default", "high", "highest"],
+                    help="MXU precision for f32 dots; highest = true-f32 "
+                         "(needed for exact-f32 parity on ReLU/L1 families)")
     _add_supervise_flags(pt)
 
     px = sub.add_parser(
@@ -1226,6 +1236,10 @@ def main() -> None:
     px.add_argument("--experiment-name", default="launch")
     px.add_argument("--checkpoint-every", type=int, default=None)
     px.add_argument("--no-resume", action="store_true")
+    px.add_argument("--matmul-precision", default="default",
+                    choices=["default", "high", "highest"],
+                    help="MXU precision for f32 dots; highest = true-f32 "
+                         "(needed for exact-f32 parity on ReLU/L1 families)")
     px.add_argument("--max-resident-gb", type=float, default=8.0,
                     help="stack caches eagerly (fused epochs) up to this "
                          "many GB; stream chunked beyond it")
@@ -1251,6 +1265,10 @@ def main() -> None:
     pc.add_argument("--experiment-name", default="launch")
     pc.add_argument("--checkpoint-every", type=int, default=None)
     pc.add_argument("--no-resume", action="store_true")
+    pc.add_argument("--matmul-precision", default="default",
+                    choices=["default", "high", "highest"],
+                    help="MXU precision for f32 dots; highest = true-f32 "
+                         "(needed for exact-f32 parity on ReLU/L1 families)")
     pc.add_argument("--max-resident-gb", type=float, default=8.0,
                     help="stack caches eagerly (fused epochs) up to this "
                          "many GB; stream chunked beyond it")
@@ -1375,6 +1393,7 @@ def main() -> None:
             experiment_name=args.experiment_name,
             checkpoint_every=args.checkpoint_every,
             auto_resume=not args.no_resume,
+            matmul_precision=args.matmul_precision,
             max_resident_bytes=int(args.max_resident_gb * (1 << 30)),
         )
     elif args.cmd == "train-crosscoder":
@@ -1393,6 +1412,7 @@ def main() -> None:
             experiment_name=args.experiment_name,
             checkpoint_every=args.checkpoint_every,
             auto_resume=not args.no_resume,
+            matmul_precision=args.matmul_precision,
             max_resident_bytes=int(args.max_resident_gb * (1 << 30)),
         )
     elif args.cmd == "analyze":
@@ -1453,6 +1473,7 @@ def main() -> None:
             experiment_name=args.experiment_name,
             checkpoint_every=args.checkpoint_every,
             auto_resume=not args.no_resume,
+            matmul_precision=args.matmul_precision,
         )
         if args.all_layers:
             out = train_all_layers(

@@ -80,6 +80,13 @@ class TrainingConfig(BaseModel):
     checkpoint_every: int = Field(default=10)
     seed: int = Field(default=42)
     num_workers: int = Field(default=4, ge=0)
+    # TPU-only extension (no reference analogue): precision of f32 dots on
+    # the MXU.  "default" feeds the systolic array bf16 inputs (fastest);
+    # "high" is 3-pass bf16 (~tf32 quality); "highest" is true f32
+    # (6-pass).  Families whose converged MSE sits near bf16 rounding
+    # noise (the ReLU/L1 SAEs — see docs/PARITY.md "ReLU-SAE deviation")
+    # need "highest" for exact-f32 training parity; TopK families do not.
+    matmul_precision: str = Field(default="default", pattern="^(default|high|highest)$")
 
 
 class DataConfig(BaseModel):

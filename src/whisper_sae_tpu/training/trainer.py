@@ -92,6 +92,14 @@ class SAETrainer:
         self.mesh = mesh
 
         self.compute_dtype = jnp.bfloat16 if config.use_amp else jnp.float32
+        if config.matmul_precision != "default":
+            # Process-global on purpose: precision is baked into every jit
+            # trace (step fn, fused epochs, out-of-core chunks, resample,
+            # eval), and launcher jobs own their process.  "highest" makes
+            # f32 dots true f32 on the MXU (6-pass) — required for
+            # exact-f32 parity on the ReLU/L1 families, whose converged
+            # MSE sits near bf16 rounding noise (docs/PARITY.md).
+            jax.config.update("jax_default_matmul_precision", config.matmul_precision)
         self._schedule = constant_schedule(config.learning_rate)
         self._total_steps: int | None = None
         self.scheduler = None  # set by setup_scheduler (API parity)

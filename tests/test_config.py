@@ -101,6 +101,13 @@ class TestTrainingConfig:
         assert cfg.seed == 42
         assert cfg.num_workers == 4
 
+    def test_matmul_precision(self):
+        assert TrainingConfig().matmul_precision == "default"
+        for p in ("default", "high", "highest"):
+            assert TrainingConfig(matmul_precision=p).matmul_precision == p
+        with pytest.raises(ValidationError):
+            TrainingConfig(matmul_precision="bf16")
+
     def test_validation(self):
         with pytest.raises(ValidationError):
             TrainingConfig(batch_size=0)

@@ -482,6 +482,24 @@ class TestReLUTrainer:
         assert np.isfinite(m.loss)
         assert m.sparsity_loss > 0
 
+    def test_matmul_precision_knob_applies(self, tmp_path, data):
+        """`matmul_precision="highest"` must reach the jax config (true-f32
+        MXU dots — the exact-f32 parity lever for the ReLU/L1 families,
+        docs/PARITY.md "ReLU-SAE deviation") and still train."""
+        import jax
+
+        prev = jax.config.jax_default_matmul_precision
+        try:
+            cfg = TrainingConfig(batch_size=16, learning_rate=1e-3, epochs=1,
+                                 use_amp=False, matmul_precision="highest")
+            model = ReLUSAE(input_dim=D, hidden_dim=H, seed=0)
+            t = SAETrainer(model, cfg, run_dir=tmp_path / "run")
+            assert jax.config.jax_default_matmul_precision == "highest"
+            m = t.train_step(data[:16])
+            assert np.isfinite(m.loss)
+        finally:
+            jax.config.update("jax_default_matmul_precision", prev)
+
 
 class TestResampleRngCheckpointed:
     def test_rng_state_round_trips(self, tmp_path):
