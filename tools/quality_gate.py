@@ -236,9 +236,19 @@ def run_reference(family: str, data, args):
             def relu_batches(ep, m):
                 perm = rng.permutation(len(data))
                 for s in range(0, len(data), args.batch_size):
-                    yield m(
-                        torch.from_numpy(data[perm[s : s + args.batch_size]])
-                    ).loss
+                    batch = torch.from_numpy(data[perm[s : s + args.batch_size]])
+                    if args.oracle_amp:
+                        # the reference's own production precision is CUDA
+                        # AMP (training.py use_amp); autocast-bf16 here
+                        # measures the REFERENCE's bf16 training cost for
+                        # this family, so ours-amp/oracle-amp compares
+                        # equal precisions (backward + optimizer stay f32,
+                        # like torch AMP and like our AMP trainer)
+                        with torch.autocast("cpu", dtype=torch.bfloat16):
+                            loss = m(batch).loss
+                        yield loss.float()
+                    else:
+                        yield m(batch).loss
 
             _torch_contract_loop(
                 model, list(model.parameters()), relu_batches, args.epochs,
@@ -610,7 +620,14 @@ def main() -> None:
                         help="highest: f32 dots run multi-pass on the MXU "
                              "(jax_default_matmul_precision) — the on-chip "
                              "true-f32 A/B lever")
+    parser.add_argument("--oracle-amp", action="store_true",
+                        help="train the torch oracle under autocast-bf16 "
+                             "(the reference's own production precision is "
+                             "CUDA AMP) so ours-amp/oracle-amp compares "
+                             "EQUAL precisions — relu-sae only")
     args = parser.parse_args()
+    if args.oracle_amp and args.family != "relu-sae":
+        parser.error("--oracle-amp is implemented for --family relu-sae only")
     if args.amp:
         args.modes = "amp"
     if args.backend == "cpu" or args.matmul_precision != "default":
@@ -641,6 +658,7 @@ def main() -> None:
                if args.family.endswith("crosscoder") else {}),
             "backend": args.backend,
             "matmul_precision": args.matmul_precision,
+            **({"oracle_amp": True} if args.oracle_amp else {}),
             "note": "reference configs/tiny_test.yaml scale; oracle = f32 torch "
                     "reference implementation imported from /root/reference; "
                     "identical init AND batch order (np rng 0) on both sides",
