@@ -38,6 +38,13 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+# Kernel dots are bf16-input MXU matmuls BY DESIGN (AMP); pin DEFAULT so a
+# global jax_default_matmul_precision override (e.g. "highest" for true-f32
+# XLA dots — TrainingConfig.matmul_precision) cannot attach an fp32
+# contract precision to bf16 operands, which Mosaic rejects ("Bad lhs
+# type") and which would silently change kernel numerics if it didn't.
+_MXU = jax.lax.Precision.DEFAULT
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -179,15 +186,15 @@ def _attention_block_kernel(
         xln = _ln_f32(xb.astype(jnp.float32), g_ref, b_ref).astype(jnp.bfloat16)
 
         q = (
-            jnp.dot(xln, wq_ref[:], preferred_element_type=jnp.float32)
+            jnp.dot(xln, wq_ref[:], preferred_element_type=jnp.float32, precision=_MXU)
             + bq_ref[:]
         ) * scale
         q = q.astype(jnp.bfloat16)
-        k = jnp.dot(xln, wk_ref[:], preferred_element_type=jnp.float32).astype(
+        k = jnp.dot(xln, wk_ref[:], preferred_element_type=jnp.float32, precision=_MXU).astype(
             jnp.bfloat16
         )
         v = (
-            jnp.dot(xln, wv_ref[:], preferred_element_type=jnp.float32)
+            jnp.dot(xln, wv_ref[:], preferred_element_type=jnp.float32, precision=_MXU)
             + bv_ref[:]
         ).astype(jnp.bfloat16)
 
@@ -197,7 +204,7 @@ def _attention_block_kernel(
             sl = slice(h * head_dim, (h + 1) * head_dim)
             s = jax.lax.dot_general(
                 q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=_MXU,
             )  # [T_pad, T_pad]
             if col is None:
                 col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -209,13 +216,13 @@ def _attention_block_kernel(
             denom = jnp.sum(p, axis=1, keepdims=True)
             o = jax.lax.dot_general(
                 p.astype(jnp.bfloat16), v[:, sl], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=_MXU,
             )
             outs.append((o / denom).astype(jnp.bfloat16))
         attn = jnp.concatenate(outs, axis=1)  # [T_pad, D]
 
         y = (
-            jnp.dot(attn, wo_ref[:], preferred_element_type=jnp.float32)
+            jnp.dot(attn, wo_ref[:], preferred_element_type=jnp.float32, precision=_MXU)
             + bo_ref[:]
         ).astype(jnp.bfloat16)
         o_ref[i] = xb + y
@@ -235,18 +242,18 @@ def _attention_block_kernel_tiled(
     t_pad = xb.shape[0]
     d = xb.shape[1]
     xln = _ln_f32(xb.astype(jnp.float32), g_ref, b_ref).astype(jnp.bfloat16)
-    k = jnp.dot(xln, wk_ref[:], preferred_element_type=jnp.float32).astype(
+    k = jnp.dot(xln, wk_ref[:], preferred_element_type=jnp.float32, precision=_MXU).astype(
         jnp.bfloat16
     )
     v = (
-        jnp.dot(xln, wv_ref[:], preferred_element_type=jnp.float32) + bv_ref[:]
+        jnp.dot(xln, wv_ref[:], preferred_element_type=jnp.float32, precision=_MXU) + bv_ref[:]
     ).astype(jnp.bfloat16)
     col = jax.lax.broadcasted_iota(jnp.int32, (tq, t_pad), 1)
     for r0 in range(0, t_pad, tq):
         xln_t = jax.lax.slice(xln, (r0, 0), (r0 + tq, d))
         q_t = (
             (
-                jnp.dot(xln_t, wq_ref[:], preferred_element_type=jnp.float32)
+                jnp.dot(xln_t, wq_ref[:], preferred_element_type=jnp.float32, precision=_MXU)
                 + bq_ref[:]
             )
             * scale
@@ -256,7 +263,7 @@ def _attention_block_kernel_tiled(
             sl = slice(h * head_dim, (h + 1) * head_dim)
             s = jax.lax.dot_general(
                 q_t[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=_MXU,
             )  # [tq, T_pad]
             s = jnp.where(col < t_real, s, -1e30)
             m = jnp.max(s, axis=1, keepdims=True)
@@ -264,12 +271,12 @@ def _attention_block_kernel_tiled(
             denom = jnp.sum(p_, axis=1, keepdims=True)
             o = jax.lax.dot_general(
                 p_.astype(jnp.bfloat16), v[:, sl], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=_MXU,
             )
             outs.append((o / denom).astype(jnp.bfloat16))
         attn_t = jnp.concatenate(outs, axis=1)  # [tq, D]
         y_t = (
-            jnp.dot(attn_t, wo_ref[:], preferred_element_type=jnp.float32)
+            jnp.dot(attn_t, wo_ref[:], preferred_element_type=jnp.float32, precision=_MXU)
             + bo_ref[:]
         ).astype(jnp.bfloat16)
         o_ref[0, r0:r0 + tq] = jax.lax.slice(xb, (r0, 0), (r0 + tq, d)) + y_t
@@ -394,7 +401,7 @@ def _mlp_block_kernel(
     xb = x_ref[:]  # [rows, D] bf16
     xln = _ln_f32(xb.astype(jnp.float32), g_ref, b_ref).astype(jnp.bfloat16)
     h = (
-        jnp.dot(xln, w1_ref[:], preferred_element_type=jnp.float32)
+        jnp.dot(xln, w1_ref[:], preferred_element_type=jnp.float32, precision=_MXU)
         + b1_ref[:]
     )
     # exact (erf) GELU in f32, matching jax.nn.gelu(approximate=False)
@@ -402,7 +409,7 @@ def _mlp_block_kernel(
     h = h * 0.5 * (1.0 + _erf_f32(h * np.float32(2.0**-0.5)))
     h = h.astype(jnp.bfloat16)
     y = (
-        jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+        jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32, precision=_MXU)
         + b2_ref[:]
     ).astype(jnp.bfloat16)
     out = xb + y
@@ -538,7 +545,7 @@ def _conv_stem_kernel(
     def dot(a, w_ref):
         return jax.lax.dot_general(
             a, w_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_MXU,
         )
 
     def gelu(h):

@@ -25,6 +25,13 @@ import os
 
 import jax
 import jax.numpy as jnp
+
+# Kernel dots are bf16-input MXU matmuls BY DESIGN (AMP); pin DEFAULT so a
+# global jax_default_matmul_precision override (e.g. "highest" for true-f32
+# XLA dots — TrainingConfig.matmul_precision) cannot attach an fp32
+# contract precision to bf16 operands, which Mosaic rejects ("Bad lhs
+# type") and which would silently change kernel numerics if it didn't.
+_MXU = jax.lax.Precision.DEFAULT
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -37,7 +44,7 @@ def _encode_kernel(x_ref, w_ref, benc_ref, bpre_ref, out_ref, *, k: int):
     # Mosaic mixed-dtype arithmetic is not trusted (CLAUDE.md quirks)
     xc = (x_ref[:].astype(jnp.float32) - bpre_ref[:]).astype(jnp.bfloat16)
     pre = (
-        jnp.dot(xc, w_ref[:], preferred_element_type=jnp.float32)
+        jnp.dot(xc, w_ref[:], preferred_element_type=jnp.float32, precision=_MXU)
         + benc_ref[:]
     )
 
@@ -121,17 +128,16 @@ def _bwd(k, block_rows, out_dtype, res, g):
     dpre_bf = dpre.astype(jnp.bfloat16)
     xc_bf = (x - b_pre).astype(jnp.bfloat16)
     dw = jnp.einsum(
-        "bd,bh->dh", xc_bf, dpre_bf, preferred_element_type=jnp.float32
+        "bd,bh->dh", xc_bf, dpre_bf, preferred_element_type=jnp.float32, precision=_MXU
     )
     db_enc = jnp.sum(dpre, axis=0)
     # d b_pre = -(sum_b dpre) @ w^T  (collapses to a [H] @ [H, D] product;
     # the sum must accumulate in f32 — a bf16 reduction over the batch
     # loses ~1e-3 relative)
     db_pre = -jnp.dot(
-        db_enc, w_bf.T.astype(jnp.float32), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        db_enc, w_bf.T.astype(jnp.float32), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
     )
-    dx = jnp.dot(dpre_bf, w_bf.T, preferred_element_type=jnp.float32).astype(
+    dx = jnp.dot(dpre_bf, w_bf.T, preferred_element_type=jnp.float32, precision=_MXU).astype(
         x.dtype
     )
     return dx, dw, db_enc, db_pre
@@ -170,7 +176,7 @@ def _fused_loss_kernel(
         # a 4-byte read + 2-byte write per row in the backward)
         xc_ref[:] = xc
     pre = (
-        jnp.dot(xc, we_ref[:], preferred_element_type=jnp.float32)
+        jnp.dot(xc, we_ref[:], preferred_element_type=jnp.float32, precision=_MXU)
         + benc_ref[:]
     )
 
@@ -193,7 +199,7 @@ def _fused_loss_kernel(
     hid_ref[:] = hid_bf
 
     recon = (
-        jnp.dot(hid_bf, wd_ref[:], preferred_element_type=jnp.float32)
+        jnp.dot(hid_bf, wd_ref[:], preferred_element_type=jnp.float32, precision=_MXU)
         + bout_ref[:]
     )
     resid = recon - x
@@ -318,7 +324,7 @@ def _fused_loss_vjp_bwd(k, block_rows, res, g):
     b, d = x.shape
     d_recon = resid * (2.0 * gl / (b * d))
     drec_bf = d_recon.astype(jnp.bfloat16)
-    dhidden = jnp.dot(drec_bf, wd_bf.T, preferred_element_type=jnp.float32)
+    dhidden = jnp.dot(drec_bf, wd_bf.T, preferred_element_type=jnp.float32, precision=_MXU)
     # bf16 rounding preserves sign, so hid > 0 selects exactly the entries
     # the f32 mask selected
     dpre = jnp.where(hid > 0, dhidden, 0.0)
@@ -326,24 +332,23 @@ def _fused_loss_vjp_bwd(k, block_rows, res, g):
     # identical bits either way: the kernel computes (f32(x) - b_pre).bf16
     xc_bf = (x - b_pre).astype(jnp.bfloat16) if xc is None else xc
     dw_enc = jnp.einsum(
-        "bd,bh->dh", xc_bf, dpre_bf, preferred_element_type=jnp.float32
+        "bd,bh->dh", xc_bf, dpre_bf, preferred_element_type=jnp.float32, precision=_MXU
     )
     db_enc = jnp.sum(dpre, axis=0)  # f32 accumulation (bf16 loses ~1e-3)
     dw_dec = jnp.einsum(
-        "bh,bd->hd", hid, drec_bf, preferred_element_type=jnp.float32
+        "bh,bd->hd", hid, drec_bf, preferred_element_type=jnp.float32, precision=_MXU
     )
     db_dec = jnp.sum(d_recon, axis=0)
     # b_pre enters twice: +recon (sum d_recon) and -encode input path
     db_pre = db_dec - jnp.dot(
         db_enc, we_bf.T.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
     )
     # dx is dead in training (the batch is not differentiated); XLA DCEs it
     # (cast to the primal dtype — rows may be bf16 under chunk staging and
     # custom_vjp cotangants must match the input aval)
     dx = (
-        jnp.dot(dpre_bf, we_bf.T, preferred_element_type=jnp.float32) - d_recon
+        jnp.dot(dpre_bf, we_bf.T, preferred_element_type=jnp.float32, precision=_MXU) - d_recon
     ).astype(x.dtype)
     return dx, dw_enc, db_enc, db_pre, dw_dec, db_dec
 
@@ -488,22 +493,21 @@ def _fused_loss_indexed_vjp_bwd(k, block_rows, batch, res, g):
     d = xc.shape[1]
     d_recon = resid * (2.0 * gl / (batch * d))
     drec_bf = d_recon.astype(jnp.bfloat16)
-    dhidden = jnp.dot(drec_bf, wd_bf.T, preferred_element_type=jnp.float32)
+    dhidden = jnp.dot(drec_bf, wd_bf.T, preferred_element_type=jnp.float32, precision=_MXU)
     dpre = jnp.where(hid > 0, dhidden, 0.0)
     dpre_bf = dpre.astype(jnp.bfloat16)
     # the persisted centered rows: the backward never reads ``data``
     dw_enc = jnp.einsum(
-        "bd,bh->dh", xc, dpre_bf, preferred_element_type=jnp.float32
+        "bd,bh->dh", xc, dpre_bf, preferred_element_type=jnp.float32, precision=_MXU
     )
     db_enc = jnp.sum(dpre, axis=0)
     dw_dec = jnp.einsum(
-        "bh,bd->hd", hid, drec_bf, preferred_element_type=jnp.float32
+        "bh,bd->hd", hid, drec_bf, preferred_element_type=jnp.float32, precision=_MXU
     )
     db_dec = jnp.sum(d_recon, axis=0)
     db_pre = db_dec - jnp.dot(
         db_enc, we_bf.T.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
     )
     # the epoch buffer and step index are never differentiated: zero
     # cotangents (float0 for the integer step), dead code the scan
@@ -557,7 +561,7 @@ def _fused_coder_kernel(*refs, k: int | None, use_skip: bool,
     if xc_ref is not None:
         xc_ref[:] = xc  # backward's dw_enc/dw_skip operand, persisted bf16
     pre = (
-        jnp.dot(xc, we_ref[:], preferred_element_type=jnp.float32)
+        jnp.dot(xc, we_ref[:], preferred_element_type=jnp.float32, precision=_MXU)
         + benc_ref[:]
     )
 
@@ -583,11 +587,11 @@ def _fused_coder_kernel(*refs, k: int | None, use_skip: bool,
     hid_ref[:] = hid_bf
 
     pred = (
-        jnp.dot(hid_bf, wd_ref[:], preferred_element_type=jnp.float32)
+        jnp.dot(hid_bf, wd_ref[:], preferred_element_type=jnp.float32, precision=_MXU)
         + bout_ref[:]
     )
     if use_skip:
-        pred = pred + jnp.dot(xc, ws_ref[:], preferred_element_type=jnp.float32)
+        pred = pred + jnp.dot(xc, ws_ref[:], preferred_element_type=jnp.float32, precision=_MXU)
     yv = xv if y_is_x else y_ref[:]
     resid = pred - yv.astype(jnp.float32)  # y may arrive bf16
     resid_ref[:] = resid
@@ -763,28 +767,28 @@ def _fused_coder_vjp_bwd(k, block_rows, use_skip, y_is_x, res, g):
     d_pred = resid * (2.0 * gl / (b * dout)) + g_resid
     dp_bf = d_pred.astype(jnp.bfloat16)
     dhidden = (
-        jnp.dot(dp_bf, wd_bf.T, preferred_element_type=jnp.float32)
+        jnp.dot(dp_bf, wd_bf.T, preferred_element_type=jnp.float32, precision=_MXU)
         + g_hid.astype(jnp.float32)
     )
     dpre = jnp.where(hid > 0, dhidden, 0.0)
     dpre_bf = dpre.astype(jnp.bfloat16)
     x_bf = x.astype(jnp.bfloat16) if xc is None else xc  # identical bits
     dw_enc = jnp.einsum(
-        "bd,bh->dh", x_bf, dpre_bf, preferred_element_type=jnp.float32
+        "bd,bh->dh", x_bf, dpre_bf, preferred_element_type=jnp.float32, precision=_MXU
     )
     db_enc = jnp.sum(dpre, axis=0)  # f32 accumulation (bf16 loses ~1e-3)
     dw_dec = jnp.einsum(
-        "bh,bd->hd", hid, dp_bf, preferred_element_type=jnp.float32
+        "bh,bd->hd", hid, dp_bf, preferred_element_type=jnp.float32, precision=_MXU
     )
     db_dec = jnp.sum(d_pred, axis=0)
     # dx/dy are dead in training (the batch is not differentiated); XLA DCEs
-    dx = jnp.dot(dpre_bf, we_bf.T, preferred_element_type=jnp.float32)
+    dx = jnp.dot(dpre_bf, we_bf.T, preferred_element_type=jnp.float32, precision=_MXU)
     if use_skip:
         dw_skip = jnp.einsum(
-            "bd,bo->do", x_bf, dp_bf, preferred_element_type=jnp.float32
+            "bd,bo->do", x_bf, dp_bf, preferred_element_type=jnp.float32, precision=_MXU
         )
         db_skip = db_dec  # b_dec and b_skip enter the prediction identically
-        dx = dx + jnp.dot(dp_bf, ws_bf.T, preferred_element_type=jnp.float32)
+        dx = dx + jnp.dot(dp_bf, ws_bf.T, preferred_element_type=jnp.float32, precision=_MXU)
     else:
         dw_skip = jnp.zeros_like(w_skip)
         db_skip = jnp.zeros_like(b_skip)
@@ -849,7 +853,7 @@ def _fused_relu_vjp_bwd(sparsity_weight, block_rows, res, g):
     h = hid.shape[1]
     d_recon = resid * (2.0 * (gl + g_rec) / (b * d))
     drec_bf = d_recon.astype(jnp.bfloat16)
-    dhidden = jnp.dot(drec_bf, wd_bf.T, preferred_element_type=jnp.float32)
+    dhidden = jnp.dot(drec_bf, wd_bf.T, preferred_element_type=jnp.float32, precision=_MXU)
     # d/dh of mean(h) adds a constant on active entries (hidden >= 0,
     # so |h| == h); relu backward zeroes inactive entries either way
     dpre = jnp.where(
@@ -858,15 +862,15 @@ def _fused_relu_vjp_bwd(sparsity_weight, block_rows, res, g):
     dpre_bf = dpre.astype(jnp.bfloat16)
     x_bf = x.astype(jnp.bfloat16) if xc is None else xc  # identical bits
     dw_enc = jnp.einsum(
-        "bd,bh->dh", x_bf, dpre_bf, preferred_element_type=jnp.float32
+        "bd,bh->dh", x_bf, dpre_bf, preferred_element_type=jnp.float32, precision=_MXU
     )
     db_enc = jnp.sum(dpre, axis=0)
     dw_dec = jnp.einsum(
-        "bh,bd->hd", hid, drec_bf, preferred_element_type=jnp.float32
+        "bh,bd->hd", hid, drec_bf, preferred_element_type=jnp.float32, precision=_MXU
     )
     db_dec = jnp.sum(d_recon, axis=0)
     dx = (
-        jnp.dot(dpre_bf, we_bf.T, preferred_element_type=jnp.float32) - d_recon
+        jnp.dot(dpre_bf, we_bf.T, preferred_element_type=jnp.float32, precision=_MXU) - d_recon
     ).astype(x.dtype)  # dead in training; XLA DCEs (dtype must match aval)
     return dx, dw_enc, db_enc, dw_dec, db_dec
 
@@ -908,7 +912,7 @@ def fused_relu_crosscoder_loss(x, w_enc, b_enc, w_dec, b_dec, norms,
     flat_loss, l0, active, _, hid, _, hsum, _, _ = out
     b = x.shape[0]
     recon_loss = n_layers * flat_loss
-    sparsity = jnp.dot(hsum, norms) / b
+    sparsity = jnp.dot(hsum, norms, precision=_MXU) / b
     return (
         recon_loss + sparsity_weight * sparsity, recon_loss, sparsity, l0, active
     )
@@ -924,7 +928,7 @@ def _fused_relu_cc_vjp_fwd(x, w_enc, b_enc, w_dec, b_dec, norms,
     flat_loss, l0, active, resid, hid, _, hsum, xc, (we_bf, wd_bf, _) = out
     b = x.shape[0]
     recon_loss = n_layers * flat_loss
-    sparsity = jnp.dot(hsum, norms) / b
+    sparsity = jnp.dot(hsum, norms, precision=_MXU) / b
     loss = recon_loss + sparsity_weight * sparsity
     return (loss, recon_loss, sparsity, l0, active), (
         x, norms, we_bf, wd_bf, hid, resid, hsum, xc
@@ -942,7 +946,7 @@ def _fused_relu_cc_vjp_bwd(sparsity_weight, n_layers, block_rows, res, g):
     d_pred = resid * c_rec
     dp_bf = d_pred.astype(jnp.bfloat16)
     dhidden = (
-        jnp.dot(dp_bf, wd_bf.T, preferred_element_type=jnp.float32)
+        jnp.dot(dp_bf, wd_bf.T, preferred_element_type=jnp.float32, precision=_MXU)
         + c_sp * norms[None, :]
     )
     # hidden >= 0 under ReLU, so |h| == h and the relu backward gate is
@@ -951,17 +955,17 @@ def _fused_relu_cc_vjp_bwd(sparsity_weight, n_layers, block_rows, res, g):
     dpre_bf = dpre.astype(jnp.bfloat16)
     x_bf = x.astype(jnp.bfloat16) if xc is None else xc  # identical bits
     dw_enc = jnp.einsum(
-        "bd,bh->dh", x_bf, dpre_bf, preferred_element_type=jnp.float32
+        "bd,bh->dh", x_bf, dpre_bf, preferred_element_type=jnp.float32, precision=_MXU
     )
     db_enc = jnp.sum(dpre, axis=0)  # f32 accumulation (bf16 loses ~1e-3)
     dw_dec = jnp.einsum(
-        "bh,bd->hd", hid, dp_bf, preferred_element_type=jnp.float32
+        "bh,bd->hd", hid, dp_bf, preferred_element_type=jnp.float32, precision=_MXU
     )
     db_dec = jnp.sum(d_pred, axis=0)
     dnorms = c_sp * hsum
     # x is both encode input and target; dead in training (XLA DCEs)
     dx = (
-        jnp.dot(dpre_bf, we_bf.T, preferred_element_type=jnp.float32) - d_pred
+        jnp.dot(dpre_bf, we_bf.T, preferred_element_type=jnp.float32, precision=_MXU) - d_pred
     ).astype(x.dtype)
     return dx, dw_enc, db_enc, dw_dec, db_dec, dnorms
 
@@ -1131,20 +1135,20 @@ def _fused_tc_idx_vjp_bwd(k, block_rows, batch, use_skip, y_is_x, res, g):
     dout = resid.shape[1]
     d_pred = resid * (2.0 * gl / (batch * dout))
     dp_bf = d_pred.astype(jnp.bfloat16)
-    dhidden = jnp.dot(dp_bf, wd_bf.T, preferred_element_type=jnp.float32)
+    dhidden = jnp.dot(dp_bf, wd_bf.T, preferred_element_type=jnp.float32, precision=_MXU)
     dpre = jnp.where(hid > 0, dhidden, 0.0)
     dpre_bf = dpre.astype(jnp.bfloat16)
     dw_enc = jnp.einsum(
-        "bd,bh->dh", xc, dpre_bf, preferred_element_type=jnp.float32
+        "bd,bh->dh", xc, dpre_bf, preferred_element_type=jnp.float32, precision=_MXU
     )
     db_enc = jnp.sum(dpre, axis=0)
     dw_dec = jnp.einsum(
-        "bh,bd->hd", hid, dp_bf, preferred_element_type=jnp.float32
+        "bh,bd->hd", hid, dp_bf, preferred_element_type=jnp.float32, precision=_MXU
     )
     db_dec = jnp.sum(d_pred, axis=0)
     if use_skip:
         dw_skip = jnp.einsum(
-            "bd,bo->do", xc, dp_bf, preferred_element_type=jnp.float32
+            "bd,bo->do", xc, dp_bf, preferred_element_type=jnp.float32, precision=_MXU
         )
         db_skip = db_dec  # b_dec and b_skip enter the prediction identically
     else:
@@ -1199,17 +1203,17 @@ def _fused_relu_idx_vjp_bwd(sparsity_weight, block_rows, batch, res, g):
     h = hid.shape[1]
     d_recon = resid * (2.0 * (gl + g_rec) / (batch * d))
     drec_bf = d_recon.astype(jnp.bfloat16)
-    dhidden = jnp.dot(drec_bf, wd_bf.T, preferred_element_type=jnp.float32)
+    dhidden = jnp.dot(drec_bf, wd_bf.T, preferred_element_type=jnp.float32, precision=_MXU)
     dpre = jnp.where(
         hid > 0, dhidden + (gl * sparsity_weight + g_sp) / (batch * h), 0.0
     )
     dpre_bf = dpre.astype(jnp.bfloat16)
     dw_enc = jnp.einsum(
-        "bd,bh->dh", xc, dpre_bf, preferred_element_type=jnp.float32
+        "bd,bh->dh", xc, dpre_bf, preferred_element_type=jnp.float32, precision=_MXU
     )
     db_enc = jnp.sum(dpre, axis=0)
     dw_dec = jnp.einsum(
-        "bh,bd->hd", hid, drec_bf, preferred_element_type=jnp.float32
+        "bh,bd->hd", hid, drec_bf, preferred_element_type=jnp.float32, precision=_MXU
     )
     db_dec = jnp.sum(d_recon, axis=0)
     dstep = np.zeros((), dtype=jax.dtypes.float0)
@@ -1232,7 +1236,7 @@ def fused_relu_crosscoder_loss_indexed(buf, step, w_enc, b_enc, w_dec, b_dec,
     )
     flat_loss, l0, active, _, _, _, hsum, _, _ = out
     recon_loss = n_layers * flat_loss
-    sparsity = jnp.dot(hsum, norms) / batch
+    sparsity = jnp.dot(hsum, norms, precision=_MXU) / batch
     return (recon_loss + sparsity_weight * sparsity, recon_loss, sparsity,
             l0, active)
 
@@ -1246,7 +1250,7 @@ def _fused_relu_cc_idx_vjp_fwd(buf, step, w_enc, b_enc, w_dec, b_dec, norms,
     )
     flat_loss, l0, active, hid, resid, _, hsum, xc, (we_bf, wd_bf, _) = out
     recon_loss = n_layers * flat_loss
-    sparsity = jnp.dot(hsum, norms) / batch
+    sparsity = jnp.dot(hsum, norms, precision=_MXU) / batch
     loss = recon_loss + sparsity_weight * sparsity
     return (loss, recon_loss, sparsity, l0, active), (
         buf, norms, we_bf, wd_bf, hid, resid, hsum, xc
@@ -1263,17 +1267,17 @@ def _fused_relu_cc_idx_vjp_bwd(sparsity_weight, n_layers, block_rows, batch,
     d_pred = resid * c_rec
     dp_bf = d_pred.astype(jnp.bfloat16)
     dhidden = (
-        jnp.dot(dp_bf, wd_bf.T, preferred_element_type=jnp.float32)
+        jnp.dot(dp_bf, wd_bf.T, preferred_element_type=jnp.float32, precision=_MXU)
         + c_sp * norms[None, :]
     )
     dpre = jnp.where(hid > 0, dhidden, 0.0)
     dpre_bf = dpre.astype(jnp.bfloat16)
     dw_enc = jnp.einsum(
-        "bd,bh->dh", xc, dpre_bf, preferred_element_type=jnp.float32
+        "bd,bh->dh", xc, dpre_bf, preferred_element_type=jnp.float32, precision=_MXU
     )
     db_enc = jnp.sum(dpre, axis=0)
     dw_dec = jnp.einsum(
-        "bh,bd->hd", hid, dp_bf, preferred_element_type=jnp.float32
+        "bh,bd->hd", hid, dp_bf, preferred_element_type=jnp.float32, precision=_MXU
     )
     db_dec = jnp.sum(d_pred, axis=0)
     dnorms = c_sp * hsum
@@ -1329,7 +1333,7 @@ def _encode_kernel_blocked(
     j = pl.program_id(1)
     xc = (x_ref[:] - bpre_ref[:]).astype(jnp.bfloat16)
     pre = (
-        jnp.dot(xc, w_ref[:], preferred_element_type=jnp.float32)
+        jnp.dot(xc, w_ref[:], preferred_element_type=jnp.float32, precision=_MXU)
         + benc_ref[:]
     )
     # scratch holds the monotone-int transform (computed once; the f32

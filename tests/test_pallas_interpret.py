@@ -78,6 +78,40 @@ class TestFusedSAELoss:
         )
 
 
+class TestGlobalPrecisionImmunity:
+    """The kernels pin precision=_MXU (Precision.DEFAULT) on every dot:
+    a global jax_default_matmul_precision override must neither crash the
+    trace (on chip, Mosaic rejects fp32 contract precision on bf16
+    operands — the round-5 Q4a amp-mode failure) nor change kernel
+    numerics."""
+
+    def test_fused_losses_bit_identical_under_global_highest(self, data):
+        x, y = data
+        p = _params(1, b_pre=True)
+
+        def run():
+            with pltpu.force_tpu_interpret_mode():
+                sae = ps.fused_sae_loss(
+                    x, p["w_enc"], p["b_enc"], p["b_pre"], p["w_dec"],
+                    p["b_dec"], K, BLOCK,
+                )
+                relu = ps.fused_relu_sae_loss(
+                    x, p["w_enc"], p["b_enc"], p["w_dec"], p["b_dec"],
+                    np.float32(3e-4), BLOCK,
+                )
+            return [np.asarray(v) for v in (*sae, *relu[:2])]
+
+        base = run()
+        prev = jax.config.jax_default_matmul_precision
+        try:
+            jax.config.update("jax_default_matmul_precision", "highest")
+            override = run()
+        finally:
+            jax.config.update("jax_default_matmul_precision", prev)
+        for a, b in zip(base, override):
+            np.testing.assert_array_equal(a, b)
+
+
 class TestIndexedFusedLoss:
     """fused_sae_loss_indexed reads its batch window from the epoch buffer
     via scalar prefetch; per window it must match fused_sae_loss on the
