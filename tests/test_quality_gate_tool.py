@@ -53,6 +53,28 @@ class TestQualityGateTool:
         assert res2["reference"]["mse_exact"] == res["reference"]["mse_exact"]
         assert "oracle reused" in proc2.stderr
 
+    def test_oracle_amp_trains_autocast_oracle(self, tmp_path):
+        """--oracle-amp (equal-precision amp adjudication): the oracle
+        trains under autocast-bf16, the record carries oracle_amp, and at
+        short horizon ours-amp matches the amp oracle about as well as
+        f32 matches f32 (both sides bf16-quality)."""
+        res, _ = run_gate(
+            tmp_path, "--family", "relu-sae", "--modes", "amp",
+            "--oracle-amp",
+        )
+        assert res["config"]["oracle_amp"] is True
+        assert abs(res["modes"]["amp"]["mse_ratio"] - 1.0) < 2e-2
+
+    def test_oracle_amp_rejected_for_other_families(self, tmp_path):
+        env = dict(os.environ)
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        proc = subprocess.run(
+            [sys.executable, str(TOOL), "--family", "sae", "--oracle-amp"],
+            capture_output=True, text=True, timeout=120, env=env, cwd=REPO,
+        )
+        assert proc.returncode != 0
+        assert "relu-sae only" in proc.stderr
+
     def test_ref_seeds_measures_a_floor(self, tmp_path):
         res, _ = run_gate(
             tmp_path, "--family", "relu-sae", "--modes", "f32",
