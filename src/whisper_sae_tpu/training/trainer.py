@@ -587,13 +587,16 @@ class SAETrainer:
         """Common preconditions for the scalar-prefetch indexed epoch:
         single device, bf16 AMP, not force-disabled.
 
-        Returns "force" (``WST_INDEXED_EPOCH=1``), "auto" (env unset and
-        the epoch buffers are bf16-staged), or None.  Auto is then
-        accepted only by the families where indexed MEASURED a win (the
-        TopK SAE; r4 bench preview): the scalar-prefetch grid appears to
-        cost DMA pipelining that the TopK bisection hides but the faster
-        ReLU/coder kernels cannot — their indexed numbers regressed, so
-        they take indexed only under force (the A/B lever).
+        Returns "force" (``WST_INDEXED_EPOCH=1``), "auto" (env unset,
+        single device, AMP compute, epoch buffer in sight — any staging
+        dtype), or None.  Auto is accepted by the SAE families (TopK and
+        ReLU), where the round-5 quiet-host probe measured indexed >=
+        sliced on BOTH f32 and bf16 stacks (cliff_probe.json: topk f32
+        6.06 -> 6.21 M act/s, relu f32 10.7 -> 11.2 M; the round-4
+        "ReLU cliff" that restricted auto to bf16-staged TopK was host-
+        core contention during the measurement, not DMA cost —
+        DESIGN.md).  Coder families still take indexed only under force:
+        their clean-host numbers are unmeasured.
         ``WST_DISABLE_FUSED_CODER`` disables everything via the
         kernel-supported gates in the per-family checks."""
         env = os.environ.get("WST_INDEXED_EPOCH", "auto")
@@ -605,10 +608,7 @@ class SAETrainer:
             return "force"
         if data is None:
             return None
-        leaves = jax.tree_util.tree_leaves(data)
-        if leaves and all(leaf.dtype == jnp.bfloat16 for leaf in leaves):
-            return "auto"
-        return None
+        return "auto"
 
     def _use_indexed_epoch(self, data=None) -> bool:
         """Scalar-prefetch indexed epoch: the scan body passes its step
@@ -627,7 +627,7 @@ class SAETrainer:
             return pallas_sae.fused_loss_supported(
                 (b, self.model.input_dim), self.model.hidden_dim
             )
-        if isinstance(self.model, ReLUSAE) and mode == "force":
+        if isinstance(self.model, ReLUSAE):
             return pallas_sae.fused_coder_supported(
                 (b, self.model.input_dim), self.model.input_dim,
                 self.model.hidden_dim,

@@ -340,10 +340,12 @@ class TestFusedEpoch:
                 np.asarray(p_idx[key]), np.asarray(p_flat[key]), err_msg=key
             )
 
-    def test_indexed_auto_mode_is_bf16_only(self, tmp_path, data, monkeypatch):
-        """Unset WST_INDEXED_EPOCH = auto: indexed engages only for
-        bf16-staged epoch buffers (the measured-win configuration);
-        1/0 force either path."""
+    def test_indexed_auto_mode_any_dtype(self, tmp_path, data, monkeypatch):
+        """Unset WST_INDEXED_EPOCH = auto: indexed engages for the SAE
+        families on any staging dtype (the round-5 quiet-host probe
+        measured indexed >= sliced on f32 AND bf16 stacks; the r4
+        bf16-only restriction was a contaminated measurement); 1/0 force
+        either path, and no data in sight means the slicing scan."""
         from whisper_sae_tpu.ops import pallas_sae
 
         monkeypatch.setattr(pallas_sae, "fused_loss_supported", lambda *a: True)
@@ -351,7 +353,7 @@ class TestFusedEpoch:
         t = make_trainer(tmp_path, use_amp=True)
         f32 = jnp.asarray(data)
         bf16 = f32.astype(jnp.bfloat16)
-        assert not t._use_indexed_epoch(f32)
+        assert t._use_indexed_epoch(f32)
         assert t._use_indexed_epoch(bf16)
         assert not t._use_indexed_epoch()  # no data in sight: slicing scan
         monkeypatch.setenv("WST_INDEXED_EPOCH", "1")
