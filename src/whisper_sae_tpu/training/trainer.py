@@ -591,7 +591,7 @@ class SAETrainer:
         single device, AMP compute, epoch buffer in sight — any staging
         dtype), or None.  Auto is accepted by the SAE families (TopK and
         ReLU), where the round-5 quiet-host probe measured indexed >=
-        sliced on BOTH f32 and bf16 stacks (cliff_probe.json: topk f32
+        sliced on BOTH f32 and bf16 stacks (cliff_probe_full.log: topk f32
         6.06 -> 6.21 M act/s, relu f32 10.7 -> 11.2 M; the round-4
         "ReLU cliff" that restricted auto to bf16-staged TopK was host-
         core contention during the measurement, not DMA cost —
