@@ -38,13 +38,22 @@ def timed(fn, args, steps: int, batch: int, label: str, out: dict,
           repeats: int = 3) -> float:
     import jax
 
-    r = fn(*args)
-    jax.block_until_ready(r)  # compile + warm
+    import numpy as np
+
+    def sync(res):
+        # the axon client's block_until_ready does not wait for on-device
+        # completion; a D2H fetch does.  Callers return SCALARS so the
+        # transfer is bytes, and the one extra fetch dispatch (~15-20 ms)
+        # is identical for every variant being compared.
+        leaf = jax.tree_util.tree_leaves(res)[0]
+        assert leaf.ndim == 0, "timed() expects scalar-returning programs"
+        return np.asarray(leaf)
+
+    sync(fn(*args))  # compile + warm
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        r = fn(*args)
-        jax.block_until_ready(r)
+        sync(fn(*args))
         best = min(best, time.perf_counter() - t0)
     per_step = best / steps
     acts = batch / per_step
@@ -124,63 +133,65 @@ def standalone(batch: int, steps: int, out: dict, dtype_tag: str) -> None:
         )[0]
 
     def make_relu_indexed_loss(block_rows):
-        def loss(p, step):
+        def loss(p, b, step):
             return pallas_sae.fused_relu_sae_loss_indexed(
-                buf, step, p["w_enc"], p["b_enc"], p["w_dec"], p["b_dec"],
+                b, step, p["w_enc"], p["b_enc"], p["w_dec"], p["b_dec"],
                 sw, block_rows, batch,
             )[0]
         return loss
 
     # ---- forward-only
     @jax.jit
-    def fwd_sliced(p):
+    def fwd_sliced(p, st):
         def body(c, x):
             return c + relu_sliced_loss(p, x), None
-        return jax.lax.scan(body, jnp.zeros(()), stack)[0]
+        return jax.lax.scan(body, jnp.zeros(()), st)[0]
 
-    timed(fwd_sliced, (params,), steps, batch,
+    timed(fwd_sliced, (params, stack), steps, batch,
           f"fwd/{dtype_tag}/relu/sliced", out)
 
     for br in (512, 1024, 2048):
         loss_fn = make_relu_indexed_loss(br)
 
         @jax.jit
-        def fwd_indexed(p):
+        def fwd_indexed(p, b):
             def body(c, s):
-                return c + loss_fn(p, s), None
+                return c + loss_fn(p, b, s), None
             return jax.lax.scan(
                 body, jnp.zeros(()), jnp.arange(steps, dtype=jnp.int32)
             )[0]
 
-        timed(fwd_indexed, (params,), steps, batch,
+        timed(fwd_indexed, (params, buf), steps, batch,
               f"fwd/{dtype_tag}/relu/indexed_br{br}", out)
 
     # ---- forward + backward (+ sgd-style update so grads are consumed)
     @jax.jit
-    def fb_sliced(p):
+    def fb_sliced(p, st):
         def body(c, x):
             g = jax.grad(relu_sliced_loss)(c, x)
             return jax.tree_util.tree_map(lambda a, b: a - 1e-6 * b, c, g), None
-        return jax.lax.scan(body, p, stack)[0]
+        out_p = jax.lax.scan(body, p, st)[0]
+        return out_p["w_enc"].sum()
 
-    timed(fb_sliced, (params,), steps, batch,
+    timed(fb_sliced, (params, stack), steps, batch,
           f"fwdbwd/{dtype_tag}/relu/sliced", out)
 
     for br in (512, 1024, 2048):
         loss_fn = make_relu_indexed_loss(br)
 
         @jax.jit
-        def fb_indexed(p):
+        def fb_indexed(p, b):
             def body(c, s):
-                g = jax.grad(loss_fn)(c, s)
+                g = jax.grad(loss_fn)(c, b, s)
                 return jax.tree_util.tree_map(
-                    lambda a, b: a - 1e-6 * b, c, g
+                    lambda a, bb: a - 1e-6 * bb, c, g
                 ), None
-            return jax.lax.scan(
+            out_p = jax.lax.scan(
                 body, p, jnp.arange(steps, dtype=jnp.int32)
             )[0]
+            return out_p["w_enc"].sum()
 
-        timed(fb_indexed, (params,), steps, batch,
+        timed(fb_indexed, (params, buf), steps, batch,
               f"fwdbwd/{dtype_tag}/relu/indexed_br{br}", out)
 
     # ---- TopK SAE: the headline kernel (VERDICT r4 #5 — does indexed
@@ -194,38 +205,40 @@ def standalone(batch: int, steps: int, out: dict, dtype_tag: str) -> None:
         )[0]
 
     def make_topk_indexed_loss(block_rows):
-        def loss(p, step):
+        def loss(p, b, step):
             return pallas_sae.fused_sae_loss_indexed(
-                buf, step, p["w_enc"], p["b_enc"], p["b_pre"], p["w_dec"],
+                b, step, p["w_enc"], p["b_enc"], p["b_pre"], p["w_dec"],
                 p["b_dec"], K, block_rows, batch,
             )[0]
         return loss
 
     @jax.jit
-    def topk_fb_sliced(p):
+    def topk_fb_sliced(p, st):
         def body(c, x):
             g = jax.grad(topk_sliced_loss)(c, x)
             return jax.tree_util.tree_map(lambda a, b: a - 1e-6 * b, c, g), None
-        return jax.lax.scan(body, p, stack)[0]
+        out_p = jax.lax.scan(body, p, st)[0]
+        return out_p["w_enc"].sum()
 
-    timed(topk_fb_sliced, (tparams,), steps, batch,
+    timed(topk_fb_sliced, (tparams, stack), steps, batch,
           f"fwdbwd/{dtype_tag}/topk/sliced", out)
 
     for br in (512, 1024, 2048):
         loss_fn = make_topk_indexed_loss(br)
 
         @jax.jit
-        def topk_fb_indexed(p):
+        def topk_fb_indexed(p, b):
             def body(c, s):
-                g = jax.grad(loss_fn)(c, s)
+                g = jax.grad(loss_fn)(c, b, s)
                 return jax.tree_util.tree_map(
-                    lambda a, b: a - 1e-6 * b, c, g
+                    lambda a, bb: a - 1e-6 * bb, c, g
                 ), None
-            return jax.lax.scan(
+            out_p = jax.lax.scan(
                 body, p, jnp.arange(steps, dtype=jnp.int32)
             )[0]
+            return out_p["w_enc"].sum()
 
-        timed(topk_fb_indexed, (tparams,), steps, batch,
+        timed(topk_fb_indexed, (tparams, buf), steps, batch,
               f"fwdbwd/{dtype_tag}/topk/indexed_br{br}", out)
 
 
